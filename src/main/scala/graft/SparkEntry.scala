@@ -1,13 +1,273 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has one entry in `queries`
+  * (Spark DataFrame form, run on the parquet testdata) and, where
+  * SQL-expressible, a matching DuckDB oracle in `oracleSql`. Column names and
+  * row order are deterministic and identical on both sides — the driver
+  * sorts columns by name and hashes values, so every aggregate is aliased
+  * the same way in both forms and every query ends in an ORDER BY over a
+  * unique key.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    EnrichJoin.enrichWideRow(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 stateless transforms (T1–T11)
+    "word_count"        -> (Relational.wordCount _),
+    "projection"        -> (Relational.projection _),
+    "filter"            -> (Relational.filterQuery _),
+    "string_funcs"      -> (Relational.stringFuncs _),
+    "date_funcs"        -> (Relational.dateFuncs _),
+    "decimal_arith"     -> (Relational.decimalArith _),
+    "json_extract"      -> (Relational.jsonExtract _),
+    "union_streams"     -> (Relational.unionStreams _),
+    "side_output_split" -> (Relational.sideOutputSplit _),
+    "iterate_until"     -> (Relational.iterateUntil _),
+    // §2.4 keyed rolling aggregation (A1–A5)
+    "rolling_sum"       -> (Rolling.rollingSum _),
+    "group_agg"         -> (Rolling.groupAgg _),
+    "max_min"           -> (Rolling.maxMin _),
+    "fold_cumsum"       -> (Rolling.foldCumsum _),
+    "last_nonnull_merge"-> (Rolling.lastNonNullMerge _),
+    // §2.5 windows (W1–W11)
+    "tumbling_window"   -> (Windows.tumbling _),
+    "sliding_window"    -> (Windows.sliding _),
+    "session_window"    -> (Windows.session _),
+    "late_split"        -> (Windows.lateSplit _),
+    "count_window_all"  -> (CountWindows.countWindowAll _),
+    "count_window_keyed"-> (CountWindows.countWindowKeyed _),
+    "trigger_evictor"   -> (CountWindows.triggerEvictor _),
+    // §2.6 joins & stateful enrichment (J1–J4, E3)
+    "window_join"       -> (EnrichJoin.windowJoin _),
+    "coprocess_merge"   -> (EnrichJoin.coProcessMerge _),
+    "state_kinds"       -> (EnrichJoin.stateKinds _),
+    "enrich_wide_row"   -> (EnrichJoin.enrichWideRow _),
+  )
+
+  /** DuckDB-dialect oracle for each query (same tables, same column names,
+    * same ORDER BY). Timestamps are compared as epoch integers; double sums
+    * go through DECIMAL(18,2) on both sides so association order can't
+    * change the value. */
+  def oracleSql: Map[String, String] = Map(
+    "word_count" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+
+    "projection" ->
+      """SELECT c_custkey AS cust_id, c_name AS cust_name, c_mktsegment AS segment
+        |FROM customer ORDER BY cust_id""".stripMargin,
+
+    "filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT p_partkey,
+        |  p_brand || '|' || p_type AS brand_type,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  upper(trim(p_name)) AS name_up,
+        |  printf('%s#%04d', p_brand, p_size) AS tag,
+        |  (p_name LIKE '%red%') AS has_red
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mon, quarter(o_orderdate) AS qtr,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "decimal_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "union_streams" ->
+      """SELECT src, name FROM (
+        |  SELECT 'customer' AS src, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier' AS src, s_name AS name FROM supplier
+        |) ORDER BY src, name""".stripMargin,
+
+    "side_output_split" ->
+      """SELECT event_id, value,
+        |  CASE WHEN value < 10 THEN 'side' ELSE 'main' END AS route
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "iterate_until" ->
+      """SELECT event_id,
+        |  CAST(CASE WHEN event_id % 10 > 5 THEN event_id % 10 ELSE 6 END AS INTEGER) AS x_final
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "rolling_sum" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "group_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "max_min" ->
+      """SELECT user_id, max(value) AS max_value, min(value) AS min_value, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "fold_cumsum" ->
+      """SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "last_nonnull_merge" ->
+      """SELECT user_id,
+        |  coalesce(max_by(value, event_id) FILTER (WHERE event_type = 'click'), -1.0) AS last_click,
+        |  coalesce(max_by(value, event_id) FILTER (WHERE event_type = 'view'), -1.0) AS last_view,
+        |  coalesce(max_by(value, event_id) FILTER (WHERE event_type = 'purchase'), -1.0) AS last_purchase,
+        |  coalesce(max_by(value, event_id) FILTER (WHERE event_type = 'signup'), -1.0) AS last_signup,
+        |  coalesce(max_by(value, event_id) FILTER (WHERE event_type = 'error'), -1.0) AS last_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "tumbling_window" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600 AS window_start,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sliding_window" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events)
+        |SELECT (us // 900000000 - i) * 900 AS window_start, event_type, count(*) AS n
+        |FROM e, (VALUES (0),(1),(2),(3)) AS g(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w >= 1800000000
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(us) // 1000000 AS session_start,
+        |  (max(us) + 1800000000) // 1000000 AS session_end,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "late_split" ->
+      """SELECT user_id, event_id,
+        |  coalesce(epoch_us(CAST(ts AS TIMESTAMP)) <
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 1800000000,
+        |    FALSE) AS is_late
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "count_window_all" ->
+      """WITH t AS (SELECT event_id, value, row_number() OVER (ORDER BY event_id) AS rn FROM events)
+        |SELECT (rn - 1) // 5 AS win_id,
+        |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM t GROUP BY 1 HAVING count(*) = 5 ORDER BY 1""".stripMargin,
+
+    "count_window_keyed" ->
+      """WITH t AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events)
+        |SELECT user_id, (rn - 1) // 3 AS win_id,
+        |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM t GROUP BY 1, 2 HAVING count(*) = 3 ORDER BY 1, 2""".stripMargin,
+
+    "trigger_evictor" ->
+      """WITH t AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS buf_sum
+        |  FROM events)
+        |SELECT user_id, rn, buf_sum FROM t WHERE rn % 2 = 0 ORDER BY user_id, rn""".stripMargin,
+
+    "window_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600 AS window_start FROM events)
+        |SELECT v.user_id, v.window_start, v.event_id AS view_id, c.event_id AS click_id
+        |FROM e v JOIN e c ON v.user_id = c.user_id AND v.window_start = c.window_start
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "coprocess_merge" ->
+      """SELECT user_id,
+        |  coalesce(max_by(value, event_id) FILTER (WHERE event_type = 'click'), -1.0) AS last_click,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  coalesce(max_by(value, event_id) FILTER (WHERE event_type = 'view'), -1.0) AS last_view,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "state_kinds" ->
+      """WITH base AS (
+        |  SELECT user_id,
+        |    max_by(value, event_id) AS value_state,
+        |    coalesce(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+        |      FILTER (WHERE event_type = 'error'), '') AS list_state,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS reducing_state,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS aggregating_state
+        |  FROM events GROUP BY user_id
+        |), ms AS (
+        |  SELECT user_id, string_agg(s, ',' ORDER BY s) AS map_state FROM (
+        |    SELECT user_id, event_type || ':' || CAST(count(*) AS VARCHAR) AS s
+        |    FROM events GROUP BY user_id, event_type
+        |  ) GROUP BY user_id
+        |)
+        |SELECT b.user_id, value_state, list_state, map_state, reducing_state, aggregating_state
+        |FROM base b JOIN ms USING (user_id) ORDER BY user_id""".stripMargin,
+
+    "enrich_wide_row" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, count(*) AS n_lines,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY l_orderkey
+        |)
+        |SELECT o.o_orderkey, o.o_orderstatus,
+        |  coalesce(c.c_name, 'UNKNOWN') AS cust_name,
+        |  coalesce(n.n_name, 'UNKNOWN') AS nation_name,
+        |  coalesce(r.r_name, 'UNKNOWN') AS region_name,
+        |  coalesce(li.n_lines, 0) AS n_lines,
+        |  coalesce(li.sum_qty, 0.0) AS sum_qty,
+        |  coalesce(li.revenue, 0.0) AS revenue
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+  )
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Prims._
+
+/** Joins and stateful-enrichment oracles — SURVEY.md §2.6 (J1–J4) and the
+  * E3 enrichment DAG (reference: test/StateTest.java:638-873). The streaming
+  * state machines live in graft.streaming; these are their exact batch
+  * formulations (outer joins + coalesce), which are what the driver's DuckDB
+  * oracle can check.
+  */
+object EnrichJoin {
+
+  /** J1: window inner join — per-window equi-join (reference:
+    * test/WindowTest.java:410-425 C⋈E; two-stage :577-622). Both sides are
+    * bucketed to the same tumbling window, then equi-joined on
+    * (key, bucket): Catalyst plans a shuffled hash/sort-merge join
+    * partitioned by the join key — the scalable shape; neither side here is
+    * a small dim, so no broadcast is forced. */
+  def windowJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("window_start", (epochUs(col("ts")) / lit(3600000000L)).cast("long") * 3600)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("window_start"), col("event_id").as("view_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("window_start"), col("event_id").as("click_id"))
+    views.join(clicks, Seq("user_id", "window_start"), "inner")
+      .select("user_id", "window_start", "view_id", "click_id")
+      .orderBy("user_id", "window_start", "view_id", "click_id")
+  }
+
+  /** J2: connect + CoProcessFunction with shared ValueState — merge two
+    * typed streams field-wise per key (reference:
+    * test/HelloWorldFlinkTest.java:239-352). Batch oracle: per-key latest
+    * value of each stream + counts, null-coalesced into one wide row. */
+  def coProcessMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def lastOf(t: String) = coalesce(
+      max_by(when(col("event_type") === t, col("value")),
+             when(col("event_type") === t, col("event_id"))),
+      lit(-1.0)).as(s"last_$t")
+    def cntOf(t: String) =
+      count(when(col("event_type") === t, lit(1))).as(s"n_$t")
+    ev.filter(col("event_type").isin("click", "view"))
+      .groupBy("user_id")
+      .agg(lastOf("click"), cntOf("click"), lastOf("view"), cntOf("view"))
+      .orderBy("user_id")
+  }
+
+  /** J4: the keyed state kinds — Value/List/Map/Reducing/Aggregating
+    * (reference: test/StateTest.java:53-527) — as one batch row per key:
+    *   value_state      = last value by arrival order      (ValueState)
+    *   list_state       = ids of 'error' events, sorted    (ListState)
+    *   map_state        = per-type counts "type:n" sorted  (MapState)
+    *   reducing_state   = exact running sum, final value   (ReducingState)
+    *   aggregating_state= mean via (sum, count) accumulator (AggregatingState)
+    * Three partial aggregates co-partitioned on user_id, then joined —
+    * AQE collapses these into local joins since partitioning matches. */
+  def stateKinds(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val base = ev.groupBy("user_id").agg(
+      max_by(col("value"), col("event_id")).as("value_state"),
+      coalesce(joinedSortedLongs(
+        collect_list(when(col("event_type") === "error", col("event_id")))),
+        lit("")).as("list_state"),
+      sumDec2(col("value")).as("reducing_state"),
+      (sum(dec2(col("value"))).cast("double") / count(lit(1))).as("aggregating_state"))
+    val mapState = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(array_join(array_sort(collect_list(
+        concat(col("event_type"), lit(":"), col("cnt")))), ",").as("map_state"))
+    base.join(mapState, Seq("user_id"), "inner")
+      .select("user_id", "value_state", "list_state", "map_state",
+              "reducing_state", "aggregating_state")
+      .orderBy("user_id")
+  }
+
+  /** E3/J2/J3 flagship: the six-source progressive enrichment into one wide
+    * row (reference: test/StateTest.java:638-873 → BdWaybillOrder), mapped
+    * onto the star schema: orders progressively widened with customer,
+    * nation, region and a per-order lineitem rollup; every missing side is
+    * null-coalesced exactly like the reference's Optional.ifPresent merge.
+    *
+    * Scale shape: nation/region are tiny dims → explicit broadcast;
+    * customer⋈orders shuffles on the key (both huge at 100 TB); the
+    * lineitem rollup partial-aggregates BEFORE its join so the big table is
+    * reduced map-side first. */
+  def enrichWideRow(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    val liAgg = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+           sumDec2(col("l_quantity")).as("sum_qty"),
+           sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+             .cast("double").as("revenue"))
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+      .join(liAgg, o("o_orderkey") === liAgg("l_orderkey"), "left")
+      .select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        coalesce(col("c_name"), lit("UNKNOWN")).as("cust_name"),
+        coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"),
+        coalesce(col("r_name"), lit("UNKNOWN")).as("region_name"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("sum_qty"), lit(0.0)).as("sum_qty"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("o_orderkey")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Determinism primitives shared by every operator.
+  *
+  * The driver's correctness gate hashes our parquet output against a DuckDB
+  * run of the oracle SQL, so every value we emit must be bit-identical across
+  * the two engines:
+  *
+  *   - Floating-point SUMS are order-dependent (Spark partial-aggregates over
+  *     32 partitions; DuckDB may use a different association). We therefore
+  *     aggregate in exact DECIMAL (order-independent) and cast the final
+  *     value to double — both engines then produce the same IEEE double.
+  *   - Per-row double arithmetic (a*b, 1-x, ...) is deterministic as long as
+  *     the expression shape matches the oracle SQL, so it stays in double.
+  *   - Timestamps are compared as epoch integers (seconds or micros), never
+  *     as engine-native timestamp values.
+  */
+object Prims {
+  /** Exact money/measure type: matches `CAST(x AS DECIMAL(18,2))` in DuckDB. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Decimal-exact, order-independent sum, surfaced as a double. */
+  def sumDec2(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Decimal-exact mean: exact sum divided by count, as a double. */
+  def avgDec2(c: Column): Column =
+    sum(dec2(c)).cast("double") / count(c)
+
+  /** Epoch microseconds of a TimestampType column (matches DuckDB
+    * `epoch_us(CAST(ts AS TIMESTAMP))`). */
+  def epochUs(c: Column): Column = unix_micros(c)
+
+  /** Join an array<long> deterministically as "1,2,3" (sorted ascending);
+    * matches DuckDB `string_agg(x::varchar, ',' ORDER BY x)`. */
+  def joinedSortedLongs(arr: Column): Column =
+    array_join(transform(array_sort(arr), _.cast("string")), ",")
+}
