@@ -51,6 +51,18 @@ object SparkEntry {
     "coprocess_merge"   -> (EnrichJoin.coProcessMerge _),
     "state_kinds"       -> (EnrichJoin.stateKinds _),
     "enrich_wide_row"   -> (EnrichJoin.enrichWideRow _),
+    // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
+    "dedup_exact"       -> (Dedup.dedupExact _),
+    "dedup_near_minhash"-> (Dedup.dedupNearMinhash _),
+    "simhash_dedup"     -> (Dedup.simhashDedup _),
+    "ngram_jaccard"     -> (Dedup.ngramJaccard _),
+    "ann_topk"          -> (Similarity.annTopK _),
+    "ann_lsh_pairs"     -> (Similarity.annLshPairs _),
+    "lang_id"           -> (TextAnalysis.langId _),
+    "quality_score"     -> (TextAnalysis.qualityScore _),
+    "token_count"       -> (TextAnalysis.tokenCount _),
+    "doc_fingerprint"   -> (TextAnalysis.docFingerprint _),
+    "multimodal_features" -> (Multimodal.multimodalFeatures _),
   )
 
   /** DuckDB-dialect oracle for each query (same tables, same column names,
@@ -269,5 +281,5 @@ object SparkEntry {
         |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
         |LEFT JOIN li ON o.o_orderkey = li.l_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
-  )
+  ) ++ Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,217 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Prims._
+
+/** Training-data deduplication over the `documents` table: exact
+  * (content-hash), MinHash+LSH near-dup, SimHash, and n-gram Jaccard.
+  *
+  * Scale posture (the 100 TB contract):
+  *   - NO all-pairs comparison anywhere. Candidate pairs come only from
+  *     LSH band buckets (minhash) or an inverted shingle index with a
+  *     document-frequency cap (jaccard) — both shuffle on
+  *     sketch/shingle keys, so work is proportional to collisions, not n².
+  *   - Every sketch is a groupBy aggregation with map-side partial
+  *     aggregation; the shingle explode is a narrow map stage.
+  *   - All hashing goes through Prims.hash60 (md5-based) with int64
+  *     modular arithmetic, so the DuckDB oracle reproduces every value
+  *     bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id.
+    * (ref: the reference dedups nothing itself; this is the M5/north-star
+    * surface — hash-groupBy is the canonical exact-dedup at any scale.) */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("content_hash")
+
+  // ---- shared shingling ----------------------------------------------
+
+  /** Distinct 3-word shingles per doc (docs with <3 words have none). */
+  private[ops] def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> w <> '')").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 2),
+          |  i -> concat(element_at(ws, i), ' ',
+          |              element_at(ws, i + 1), ' ',
+          |              element_at(ws, i + 2)))""".stripMargin)).as("s"))
+      .distinct()
+
+  /** DuckDB twin of `shingles` as a WITH-clause body over `documents`. */
+  private[ops] val shinglesSql: String =
+    """w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |      FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM w, unnest(range(1, len(ws) - 1)) AS t(i))""".stripMargin
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  private val NumHashes = 16
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows
+  private def aCoef(j: Int): Long = 2L * j + 3
+  private def bCoef(j: Int): Long = 7919L * j + 31
+
+  /** Per-doc 16-component MinHash signature (columns mh0..mh15). */
+  private def minhashSig(docs: DataFrame): DataFrame = {
+    val hs = shingles(docs)
+      .select(col("doc_id"), pmod(hash60(col("s")), lit(P31)).as("hm"))
+    val aggs = (0 until NumHashes).map(j =>
+      min(pmod(lit(aCoef(j)) * col("hm") + lit(bCoef(j)), lit(P31))).as(s"mh$j"))
+    hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Near-dup candidate pairs via banded LSH: docs sharing any 4-row band
+    * bucket, with the minhash-estimated Jaccard. The only join is on
+    * (band, band-signature) — bucket-local, never all-pairs. */
+  def dedupNearMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(Tables.documents(s, dir)).cache()
+    val bands = (0 until NumBands).map { k =>
+      sig.select(col("doc_id"), lit(k).as("band"),
+        concat_ws(",", (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*).as("bsig"))
+    }.reduce(_ unionByName _)
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.toDF("doc_a" +: (0 until NumHashes).map(j => s"a$j"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until NumHashes).map(j => s"b$j"): _*)
+    val eqCount = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (eqCount.cast("double") / NumHashes).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupNearMinhashSql: String = {
+    val mins = (0 until NumHashes).map(j =>
+      s"min((${aCoef(j)} * hm + ${bCoef(j)}) % $P31) AS mh$j").mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { k =>
+      val cat = (0 until BandRows).map(r => s"CAST(mh${BandRows * k + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $k AS band, $cat AS bsig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val eq = (0 until NumHashes)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shinglesSql,
+       |h AS (SELECT doc_id, ${hash60Sql("s")} % $P31 AS hm FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST($eq AS DOUBLE) / $NumHashes AS est_jaccard
+       |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  private val SimBits = 16
+
+  /** 16-bit SimHash fingerprint per doc + size of its exact-fingerprint
+    * dup group. Token hash sign-votes per bit; one explode + one groupBy
+    * (map-side combinable), then a tiny self-aggregation on fingerprint. */
+  def simhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), w -> w <> '')")).as("w"))
+      .select(col("doc_id"), pmod(hash60(col("w")), lit(65536L)).as("h"))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
+    val fp = (0 until SimBits).map(b =>
+      when(col(s"s$b") >= 0, 1L << b).otherwise(0L)).reduce(_ + _)
+    val withFp = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+    val groupSizes = withFp.groupBy("simhash").agg(count(lit(1)).as("n_same"))
+    withFp.join(groupSizes, "simhash")
+      .select("doc_id", "simhash", "n_same")
+      .orderBy("doc_id")
+  }
+
+  def simhashDedupSql: String = {
+    val sums = (0 until SimBits).map(b =>
+      s"sum((h >> $b) % 2 * 2 - 1) AS s$b").mkString(",\n    ")
+    val fp = (0 until SimBits).map(b =>
+      s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${hash60Sql("w")} % 65536 AS h FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+       |    FROM documents) t),
+       |sums AS (SELECT doc_id,
+       |    $sums
+       |  FROM toks GROUP BY doc_id),
+       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums),
+       |gs AS (SELECT simhash, count(*) AS n_same FROM fps GROUP BY simhash)
+       |SELECT doc_id, fps.simhash, n_same FROM fps JOIN gs ON fps.simhash = gs.simhash
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- n-gram Jaccard -------------------------------------------------
+
+  /** Max document frequency for a shingle to participate in candidate
+    * generation — the standard inverted-index guard: a shingle shared by
+    * everything generates O(n²) pairs and carries no signal. */
+  private val MaxShingleDf = 100
+
+  /** Exact 3-gram Jaccard for candidate pairs from an inverted shingle
+    * index (pairs sharing ≥1 rare shingle), reported at >= 0.5. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, dir))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select("s")
+    val shr = sh.join(rare, "s").cache()
+    val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shr.as("a").join(shr.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val na = sizes.toDF("doc_a", "na")
+    val nb = sizes.toDF("doc_b", "nb")
+    inter.join(na, "doc_a").join(nb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("union_n"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def ngramJaccardSql: String =
+    s"""WITH $shinglesSql,
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf),
+       |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS union_n,
+       |  CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+       |FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_near_minhash" -> dedupNearMinhashSql,
+    "simhash_dedup" -> simhashDedupSql,
+    "ngram_jaccard" -> ngramJaccardSql,
+  )
+}

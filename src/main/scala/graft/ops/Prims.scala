@@ -38,4 +38,21 @@ object Prims {
     * matches DuckDB `string_agg(x::varchar, ',' ORDER BY x)`. */
   def joinedSortedLongs(arr: Column): Column =
     array_join(transform(array_sort(arr), _.cast("string")), ",")
+
+  /** 2^31 - 1 — modulus for all hash-sketch arithmetic (MinHash, rolling
+    * fingerprints). Chosen so `a * (h % P31) + b` stays inside int64. */
+  val P31 = 2147483647L
+
+  /** Deterministic 60-bit hash both engines can compute identically:
+    * first 15 hex digits of md5, parsed as an integer.
+    * Spark: conv(substr(md5(x),1,15),16,10); DuckDB:
+    * CAST('0x' || substr(md5(x),1,15) AS BIGINT). Engine-native hash
+    * functions (murmur3 etc.) differ between Spark and DuckDB, so every
+    * sketch is built on this one. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB rendering of hash60 (for generated oracle SQL). */
+  def hash60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 }

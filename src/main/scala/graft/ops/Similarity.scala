@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Prims._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Vectors are quantized to int64 (floor(v * 1000)) before any arithmetic —
+  * the standard int-quantization trick from production ANN systems, and
+  * here it also makes every score exact and order-independent, so the
+  * DuckDB oracle matches bit-for-bit (float summation order never matters).
+  *
+  * Scale posture:
+  *   - `ann_topk` is the brute-force BASELINE: the query set is tiny and
+  *     broadcast; candidates stream through one narrow scan (no shuffle of
+  *     the big side), then a per-query top-k. Linear in candidates —
+  *     the right baseline shape, and the recall yardstick for the
+  *     bucketed variant.
+  *   - `ann_lsh_pairs` is the SCALE path: 16 random-hyperplane sign bits
+  *     bucket the vectors; candidate pairs only form inside a bucket.
+  *     Hyperplanes are derived from Prims.hash60 so both engines build
+  *     identical planes.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val NumQueries = 10
+  private val TopK = 5
+  private val NumPlanes = 16
+
+  /** embedding → int64-quantized array (floor(v*1000)). */
+  private val quantExpr =
+    "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+  private val quantSql =
+    "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** Brute-force top-k by quantized dot product: queries = vec_id < 10,
+    * neighbors ranked by (dot DESC, vec_id ASC), self excluded. */
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), expr(quantExpr).as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), expr(quantExpr).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("dot"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "dot", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  def annTopKSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, $quantSql AS qv
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS neighbor_id, $quantSql AS cv FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, $Dim + 1), i -> qv[i] * cv[i])) AS BIGINT) AS dot
+       |  FROM q, c WHERE neighbor_id <> query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Deterministic "random" hyperplanes: plane j, dim i has integer
+    * coefficient hash60('p<j>_<i>') % 2001 - 1000 ∈ [-1000, 1000]. */
+  private def planes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until NumPlanes).flatMap(j => (0 until Dim).map(i => (j, i)))
+      .toDF("pj", "pi")
+      .select(col("pj"), col("pi"),
+        (pmod(hash60(concat(lit("p"), col("pj"), lit("_"), col("pi"))), lit(2001L)) - 1000L)
+          .as("coef"))
+  }
+
+  /** LSH-bucketed near-neighbor pairs: 16-bit signature of hyperplane
+    * sign bits; pairs only within a bucket, scored by quantized dot. */
+  def annLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quantExpr).as("qv"))
+    // sign bit per (vector, plane): dot(qv, plane_j) >= 0
+    val proj = emb
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("pi", "v")))
+      .join(broadcast(planes(s)), "pi")
+      .groupBy("vec_id", "pj")
+      .agg(sum(col("v") * col("coef")).as("proj"))
+    val sigs = proj
+      .groupBy("vec_id")
+      .agg(sum(expr("CASE WHEN proj >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(pj AS INT)) ELSE CAST(0 AS BIGINT) END"))
+        .as("bucket"))
+    val wa = sigs.join(emb, "vec_id")
+      .select(col("vec_id").as("vec_a"), col("bucket"), col("qv").as("qa"))
+    val wb = sigs.join(emb, "vec_id")
+      .select(col("vec_id").as("vec_b"), col("bucket").as("bucket_b"), col("qv").as("qb"))
+    wa.join(wb, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .select(col("bucket"), col("vec_a"), col("vec_b"),
+        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("dot"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def annLshPairsSql: String =
+    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+       |pl AS (SELECT pj, pi,
+       |    ${hash60Sql("'p' || CAST(pj AS VARCHAR) || '_' || CAST(pi AS VARCHAR)")} % 2001 - 1000 AS coef
+       |  FROM (SELECT unnest(range(0, $NumPlanes)) AS pj),
+       |       (SELECT unnest(range(0, $Dim)) AS pi)),
+       |proj AS (SELECT vec_id, pj, sum(qv[pi + 1] * coef) AS proj
+       |  FROM e, pl GROUP BY vec_id, pj),
+       |sigs AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << pj) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id)
+       |SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST(list_sum(list_transform(range(1, $Dim + 1), i -> ea.qv[i] * eb.qv[i])) AS BIGINT) AS dot
+       |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |JOIN e ea ON a.vec_id = ea.vec_id JOIN e eb ON b.vec_id = eb.vec_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk" -> annTopKSql,
+    "ann_lsh_pairs" -> annLshPairsSql,
+  )
+}

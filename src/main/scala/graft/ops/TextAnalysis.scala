@@ -1,0 +1,183 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Prims._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language ID (stopword-list heuristic), quality scoring, token counting,
+  * and rolling-hash document fingerprinting.
+  *
+  * Everything is a narrow map stage or a keyed aggregation with map-side
+  * combine — no driver loops, no UDFs (pure Catalyst expressions, all
+  * inside WholeStageCodegen). Ratios are double divisions of exact integer
+  * counts with identical operand shapes in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  private val StopWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"),
+    "zh" -> Seq("de", "le", "he", "shi", "zai", "you", "wo"),
+  )
+
+  private val wordsExpr = "filter(split(lower(text), ' '), w -> w <> '')"
+  private val wordsSql = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  /** Language ID: score each language by stopword hits (token join against
+    * a broadcast keyword table), argmax with deterministic tie-break
+    * (higher hits, then lexicographic lang); no hits at all → 'und'. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = StopWords.toSeq
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("cand_lang", "w")
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
+    val scores = toks.join(broadcast(stop), "w")
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("hits"))
+    val winner = scores
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("hits").desc, col("cand_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("hits"))
+    docs.select(col("doc_id"), col("lang").as("true_lang"))
+      .join(winner, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("true_lang"),
+        (coalesce(col("pred_lang"), lit("und")) === col("true_lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  def langIdSql: String = {
+    val vals = StopWords.toSeq.sortBy(_._1)
+      .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+    s"""WITH stop(cand_lang, w) AS (VALUES $vals),
+       |toks AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+       |scores AS (SELECT doc_id, cand_lang, count(*) AS hits
+       |  FROM toks JOIN stop ON toks.w = stop.w GROUP BY 1, 2),
+       |winner AS (SELECT doc_id, cand_lang AS pred_lang, hits FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rk
+       |  FROM scores) WHERE rk = 1)
+       |SELECT d.doc_id, coalesce(pred_lang, 'und') AS pred_lang,
+       |  coalesce(hits, 0) AS hits, d.lang AS true_lang,
+       |  coalesce(pred_lang, 'und') = d.lang AS correct
+       |FROM documents d LEFT JOIN winner ON d.doc_id = winner.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length, vocabulary diversity, mean word length,
+    * stopword ratio → composite score in [0,1]. Identical double
+    * expression shape on both sides. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val enStops = StopWords("en").map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        expr("aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + length(w))").as("sum_wlen"),
+        expr(s"size(filter(ws, w -> w IN ($enStops)))").cast("long").as("stop_hits"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_words")).as("distinct_ratio"),
+        (col("sum_wlen").cast("double") / col("n_words")).as("mean_wlen"),
+        (col("stop_hits").cast("double") / col("n_words")).as("stop_ratio"))
+      .withColumn("score",
+        lit(0.3) * least(col("n_words").cast("double") / 200.0, lit(1.0)) +
+        lit(0.3) * col("distinct_ratio") +
+        lit(0.2) * least(col("mean_wlen") / 8.0, lit(1.0)) +
+        lit(0.2) * least(col("stop_ratio") * 5.0, lit(1.0)))
+      .orderBy("doc_id")
+  }
+
+  def qualityScoreSql: String = {
+    val enStops = StopWords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |m AS (SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_wlen,
+       |    CAST(len(list_filter(ws, w -> w IN ($enStops))) AS BIGINT) AS stop_hits
+       |  FROM t)
+       |SELECT doc_id, n_words, n_distinct,
+       |  CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+       |  CAST(sum_wlen AS DOUBLE) / n_words AS mean_wlen,
+       |  CAST(stop_hits AS DOUBLE) / n_words AS stop_ratio,
+       |  0.3 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0) +
+       |  0.3 * (CAST(n_distinct AS DOUBLE) / n_words) +
+       |  0.2 * least((CAST(sum_wlen AS DOUBLE) / n_words) / 8.0, 1.0) +
+       |  0.2 * least((CAST(stop_hits AS DOUBLE) / n_words) * 5.0, 1.0) AS score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single other chars). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr(s"size($wordsExpr)").cast("long").as("ws_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("len_chars"))
+      .orderBy("doc_id")
+
+  def tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len($wordsSql) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS re_tokens,
+       |  CAST(length(text) AS BIGINT) AS len_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val FpB = 131L
+  private val FpWindow = 4
+
+  /** Document fingerprint: minimum of a rolling polynomial hash over
+    * 4-word windows (Rabin-Karp / winnowing style), plus the size of the
+    * doc's fingerprint-collision group — a cheap near-dup prefilter. */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val hs = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(expr(wordsExpr)).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), pmod(hash60(col("w")), lit(P31)).as("h"))
+    val rolled = hs
+      .withColumn("h1", lead("h", 1).over(w))
+      .withColumn("h2", lead("h", 2).over(w))
+      .withColumn("h3", lead("h", 3).over(w))
+      .filter(col("h3").isNotNull)
+      .select(col("doc_id"),
+        pmod(col("h") * lit(FpB * FpB * FpB) + col("h1") * lit(FpB * FpB) +
+             col("h2") * lit(FpB) + col("h3"), lit(P31)).as("r"))
+    val fps = rolled.groupBy("doc_id").agg(min("r").as("fingerprint"))
+    val groups = fps.groupBy("fingerprint").agg(count(lit(1)).as("n_same"))
+    fps.join(groups, "fingerprint")
+      .select("doc_id", "fingerprint", "n_same")
+      .orderBy("doc_id")
+  }
+
+  def docFingerprintSql: String = {
+    val b3 = FpB * FpB * FpB; val b2 = FpB * FpB
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, ${hash60Sql("ws[i]")} % $P31 AS h
+       |  FROM (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |       unnest(range(1, len(ws) + 1)) AS t(i)),
+       |rolled AS (SELECT doc_id,
+       |    (h * $b3 + (lead(h, 1) OVER w) * $b2 + (lead(h, 2) OVER w) * $FpB + (lead(h, 3) OVER w)) % $P31 AS r
+       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |fps AS (SELECT doc_id, min(r) AS fingerprint FROM rolled WHERE r IS NOT NULL GROUP BY doc_id),
+       |gs AS (SELECT fingerprint, count(*) AS n_same FROM fps GROUP BY fingerprint)
+       |SELECT doc_id, fps.fingerprint, n_same FROM fps JOIN gs ON fps.fingerprint = gs.fingerprint
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "lang_id" -> langIdSql,
+    "quality_score" -> qualityScoreSql,
+    "token_count" -> tokenCountSql,
+    "doc_fingerprint" -> docFingerprintSql,
+  )
+}
