@@ -1,0 +1,81 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Sink surface — K1–K4/K6 (reference: main/HelloWorldFlink.java:143-250).
+  *
+  * Kafka and Elasticsearch are interface-level here (no brokers in the
+  * build container): the Kafka writers produce the exact
+  * `writeStream.format("kafka")` configuration the reference's producer
+  * used, and the ES sink isolates the BULK BATCHING machinery (the part
+  * with engine semantics) behind a transport function so tests can run it
+  * against an in-memory transport. Spark's kafka sink is at-least-once;
+  * the reference's EXACTLY_ONCE txn producer maps to idempotent-by-docId
+  * upserts downstream (SURVEY §7.4(3)) — which is what the ES sink does.
+  */
+object Sinks {
+
+  /** K1: console sink (reference print(), HelloWorldFlinkTest.java:46). */
+  def console[T](ds: Dataset[T]): DataStreamWriter[T] =
+    ds.writeStream.format("console").outputMode("append")
+
+  /** K2: Kafka producer config — key = waybillCode bytes, value = JSON of
+    * the full row (reference: main/HelloWorldFlink.java:143-162). */
+  def kafkaJson(df: DataFrame, brokers: String, topic: String,
+                keyCol: String, checkpoint: String): DataStreamWriter[Row] =
+    df.select(
+        col(keyCol).cast("string").as("key"),
+        to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** One ES-style upsert action (docAsUpsert keyed by id,
+    * reference: main/HelloWorldFlink.java:212-222). */
+  final case class Upsert(index: String, id: String, docJson: String)
+
+  /** K3/K6: bulk-upsert sink core. Groups a micro-batch into bulks of
+    * ≤ `bulkActions` (reference flush: 100 actions / 5 MB / 30 s,
+    * main/HelloWorldFlink.java:227-234) and hands each bulk to
+    * `transport` (the HTTP _bulk call in production; an in-memory list in
+    * tests). Retry-on-conflict/backoff live behind `transport` too.
+    * Used via foreachBatch → effectively-once by idempotent docId. */
+  final class EsBulkSink(index: String, idCol: String, bulkActions: Int,
+                         transport: Seq[Upsert] => Unit) extends Serializable {
+    def write(batch: DataFrame): Unit = {
+      val idx = index
+      val actions = batch
+        .select(col(idCol).cast("string").as("id"),
+          to_json(struct(batch.columns.map(col): _*)).as("doc"))
+        .collect() // per-micro-batch driver-side bulk build, as the
+                   // reference's per-sink-instance BulkProcessor does;
+                   // at scale use foreachPartition with a per-partition
+                   // transport (same grouping logic, executor-side)
+        .map(r => Upsert(idx, r.getString(0), r.getString(1)))
+      actions.grouped(bulkActions).foreach(g => transport(g.toSeq))
+    }
+
+    /** Executor-side variant: per-partition bulks (the 100 TB path). */
+    def writeDistributed(batch: DataFrame): Unit = {
+      val idx = index; val n = bulkActions; val t = transport
+      batch
+        .select(col(idCol).cast("string").as("id"),
+          to_json(struct(batch.columns.map(col): _*)).as("doc"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.map(r => Upsert(idx, r.getString(0), r.getString(1)))
+            .grouped(n).foreach(t)
+        }
+    }
+  }
+
+  /** K4: no-op lifecycle ForeachWriter (reference:
+    * main/HelloWorldFlink.java:236-248 RichSinkFunction demo). */
+  final class LifecycleWriter extends ForeachWriter[Row] {
+    override def open(partitionId: Long, epochId: Long): Boolean = true
+    override def process(value: Row): Unit = ()
+    override def close(errorOrNull: Throwable): Unit = ()
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Batch-operator assertions on the sf0.001 testdata — small, fast,
+  * hand-checkable invariants complementing the DuckDB oracle gate. */
+class OpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("word_count: counts sum to total non-empty tokens") {
+    val s = spark
+    import s.implicits._
+    val wc = Relational.wordCount(s, dir).cache()
+    val total = wc.agg(org.apache.spark.sql.functions.sum("cnt")).as[Long].head()
+    val direct = graft.Tables.documents(s, dir)
+      .selectExpr("size(filter(split(lower(text), ' '), w -> w <> '')) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    assert(total == direct)
+    assert(wc.filter("word = ''").count() == 0)
+  }
+
+  test("rolling_sum: last running value equals the per-key total") {
+    val s = spark
+    import s.implicits._
+    val rs = Rolling.rollingSum(s, dir)
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("event_id").as("event_id"))
+      .join(Rolling.rollingSum(s, dir), Seq("user_id", "event_id"))
+      .select($"user_id", $"running_sum")
+    val totals = Rolling.maxMin(s, dir).select($"user_id", $"n")
+    val joined = rs.join(
+      graft.Tables.events(s, dir).groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.sum(
+          Prims.dec2(org.apache.spark.sql.functions.col("value"))).cast("double").as("total")),
+      "user_id")
+    assert(joined.filter("abs(running_sum - total) > 1e-9").count() == 0)
+    assert(totals.count() == joined.count())
+  }
+
+  test("count_window_keyed: every fired window has exactly 3 members") {
+    val cw = CountWindows.countWindowKeyed(spark, dir)
+    assert(cw.count() > 0)
+    assert(cw.filter("size(split(ids, ',')) <> 3").count() == 0)
+  }
+
+  test("enrich_wide_row: row count = orders count; coalesce leaves no nulls") {
+    val e = EnrichJoin.enrichWideRow(spark, dir).cache()
+    assert(e.count() == graft.Tables.orders(spark, dir).count())
+    val nullable = e.columns.map(c => s"$c IS NULL").mkString(" OR ")
+    assert(e.filter(nullable).count() == 0)
+  }
+
+  test("dedup_near_minhash candidates cover all high-jaccard pairs (LSH recall)") {
+    val s = spark
+    import s.implicits._
+    val cand = Dedup.dedupNearMinhash(s, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val truth = Dedup.ngramJaccard(s, dir)
+      .filter("jaccard >= 0.9")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain real near-dups")
+    assert(truth.subsetOf(cand),
+      s"LSH missed ${(truth -- cand).size} of ${truth.size} true near-dup pairs")
+  }
+
+  test("ann_topk: ranks are 1..5 per query and dots are non-increasing") {
+    val s = spark
+    import s.implicits._
+    val top = Similarity.annTopK(s, dir)
+      .select($"query_id", $"rank", $"dot").as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(top.size == 10)
+    top.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    }
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val s = spark
+    import s.implicits._
+    val fp = Dedup.simhashDedup(s, dir)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    val pairs = Dedup.ngramJaccard(s, dir).filter("jaccard >= 0.95")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // 16-bit simhash with unweighted ±1 votes: near-dup docs flip only a
+    // few low-margin bits (empirically ≤3 at sf0.01; ≤5 is the guard)
+    pairs.foreach { case (a, b) =>
+      val ham = java.lang.Long.bitCount(fp(a) ^ fp(b))
+      assert(ham <= 5, s"docs $a,$b jaccard>=0.95 but hamming $ham")
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties for the semantic cores (SURVEY.md §5 plan:
+  * last-non-null-wins merge and window-assignment arithmetic). */
+class PropsSpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property and fail the suite if it doesn't hold
+    * (scalatestplus bridge isn't on the offline classpath). */
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** A5 null-coalescing merge (reference: test/StateTest.java:683-698):
+    * merging partials in arrival order must equal "last non-null wins". */
+  test("property: null-coalescing reduce == last-non-null-wins") {
+    val partial = Gen.listOfN(3, Gen.option(Gen.choose(-100, 100)))
+    val stream = Gen.nonEmptyListOf(partial)
+    check(Prop.forAll(stream) { rows =>
+      def merge(acc: List[Option[Int]], next: List[Option[Int]]) =
+        acc.zip(next).map { case (a, n) => n.orElse(a) }
+      val folded = rows.reduceLeft(merge)
+      val expected = (0 until 3).map(i =>
+        rows.flatMap(r => r(i)).lastOption).toList
+      folded == expected
+    })
+  }
+
+  /** The merge is associative (so partial/map-side merging is safe). */
+  test("property: null-coalescing merge is associative") {
+    val partial = Gen.listOfN(3, Gen.option(Gen.choose(-100, 100)))
+    check(Prop.forAll(partial, partial, partial) { (a, b, c) =>
+      def m(x: List[Option[Int]], y: List[Option[Int]]) =
+        x.zip(y).map { case (p, q) => q.orElse(p) }
+      m(m(a, b), c) == m(a, m(b, c))
+    })
+  }
+
+  /** Tumbling window assignment: every ts lands in exactly the bucket
+    * containing it (reference fire/drop arithmetic,
+    * test/EventTimeTest.java:166-178). */
+  test("property: tumbling assignment start <= ts < start + size") {
+    val gen = for {
+      ts <- Gen.choose(0L, 1000000L)
+      size <- Gen.choose(1L, 10000L)
+    } yield (ts, size)
+    check(Prop.forAll(gen) { case (ts, size) =>
+      val start = ts - Math.floorMod(ts, size)
+      start <= ts && ts < start + size && start % size == 0
+    })
+  }
+
+  /** Sliding windows: ts belongs to exactly ceil(size/slide) windows when
+    * size is a multiple of slide (reference: test/WindowTest.java:152-203). */
+  test("property: sliding assignment yields size/slide windows") {
+    val gen = for {
+      ts <- Gen.choose(0L, 1000000L)
+      slide <- Gen.choose(1L, 1000L)
+      mult <- Gen.choose(1, 8)
+    } yield (ts, slide, slide * mult)
+    check(Prop.forAll(gen) { case (ts, slide, size) =>
+      val starts = (0L until size / slide)
+        .map(i => (ts / slide - i) * slide)
+        .filter(st => st <= ts && ts < st + size)
+      starts.size == size / slide
+    })
+  }
+
+  /** FlinkWindows engine: fired counts + late count == input count for
+    * any random trace (conservation — nothing lost, nothing duplicated
+    * when no re-fires happen, i.e. lateness 0). */
+  test("property: tumbling engine conserves elements (lateness 0)") {
+    import graft.streaming.FlinkWindows._
+    val ev = for {
+      ts <- Gen.choose(0L, 20000L)
+      v <- Gen.choose(1, 100)
+      wm <- Gen.oneOf(Gen.const(-1L), Gen.choose(0L, 20000L))
+    } yield Event("k", v, ts, wm)
+    check(Prop.forAll(Gen.nonEmptyListOf(ev)) { events =>
+      val r = tumbling(events, sizeMs = 3000L)
+      r.fired.map(_.count).sum + r.late.size == events.size
+    })
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import FlinkWindows._
+
+/** The reference's hand-traced golden tables, asserted (the reference
+  * itself never asserts — SURVEY.md §5). Each trace cites the comment
+  * block it was transcribed from. */
+class FlinkWindowsSpec extends AnyFunSuite {
+
+  /** reference: test/EventTimeTest.java:60-83 — tumbling 2 s, manual
+    * watermarks, late e3 dropped. */
+  test("tumbling 2s: late element dropped after watermark passes (EventTimeTest:60-83)") {
+    val events = Seq(
+      Event("a", 20, 500L, -1L),
+      Event("a", 30, 1800L, 2100L),
+      Event("a", 11, 1900L, -1L), // wm 2100 > window-end 1999 → dropped
+      Event("a", 22, 3000L, -1L))
+    val r = tumbling(events, sizeMs = 2000L)
+    assert(r.fired == Vector(
+      Fired("a", 0L, 2000L, 50, 2),
+      Fired("a", 2000L, 4000L, 22, 1)))
+    assert(r.late.map(_.value) == Vector(11))
+  }
+
+  /** reference: test/EventTimeTest.java:186-210 — tumbling 3 s, 13 tuples,
+    * four fires (55, 65, 17, 28), four drops. */
+  test("tumbling 3s: 13-tuple fire/drop trace (EventTimeTest:186-210)") {
+    val events = Seq(
+      Event("a", 35, 1000L, -1L), Event("a", 20, 1500L, 3000L),
+      Event("a", 11, 100L, -1L), Event("a", 23, 1700L, -1L),
+      Event("a", 60, 3100L, -1L), Event("a", 5, 4000L, 7000L),
+      Event("a", 3, 2300L, -1L), Event("a", 3, 1500L, 5000L),
+      Event("a", 12, 6500L, -1L), Event("a", 5, 7100L, 10000L),
+      Event("a", 27, 8900L, -1L), Event("a", 12, 9100L, -1L),
+      Event("a", 16, 9300L, 13000L))
+    val r = tumbling(events, sizeMs = 3000L)
+    assert(r.fired.map(_.sum) == Vector(55, 65, 17, 28))
+    assert(r.late.map(_.value) == Vector(11, 23, 3, 3, 27))
+  }
+
+  /** reference: test/EventTimeTest.java:246-327 — tumbling 3 s +
+    * allowedLateness 2 s: allowed-late arrivals re-fire their window. */
+  test("tumbling 3s + allowedLateness 2s: re-fire trace (EventTimeTest:246-327)") {
+    val events = Seq(
+      Event("a", 35, 1000L, -1L), Event("a", 11, 100L, -1L),
+      Event("a", 13, 2800L, 6100L),
+      Event("a", 2, 1500L, -1L),  // 2999+2000 <= 6100 → drop
+      Event("a", 19, 2500L, -1L), // drop
+      Event("a", 22, 3100L, -1L), // allowed late for [3000,6000) → fire 22
+      Event("a", 18, 4700L, -1L), // → re-fire 40
+      Event("a", 17, 5900L, -1L), // → re-fire 57
+      Event("a", 29, 6000L, -1L), Event("a", 16, 8000L, -1L),
+      Event("a", 77, 9100L, -1L), Event("a", 65, 9500L, -1L),
+      Event("a", 14, 11000L, 13000L), // wm 13000: fire [6000,9000)=45, [9000,12000)=156
+      Event("a", 89, 100L, -1L),   // drop
+      Event("a", 72, 5500L, -1L),  // drop
+      Event("a", 32, 7900L, -1L),  // drop
+      Event("a", 10, 11500L, -1L)) // allowed late → re-fire 166
+    val r = tumbling(events, sizeMs = 3000L, allowedLatenessMs = 2000L)
+    assert(r.fired.map(_.sum) == Vector(59, 22, 40, 57, 45, 156, 166))
+    assert(r.late.map(_.value) == Vector(2, 19, 89, 72, 32))
+  }
+
+  /** reference: test/WindowTest.java:222-242 — session gap 2 s with
+    * window merging, two keys. */
+  test("session windows gap 2s: merge trace (WindowTest:222-242)") {
+    val events = Seq(
+      Event("a", 21, 1000L, -1L), Event("a", 32, 1500L, -1L),
+      Event("a", 13, 3600L, 5500L), // fires merged [1000,3500)=53
+      Event("b", 3, 5600L, -1L), Event("b", 9, 6000L, -1L),
+      Event("b", 22, 7500L, -1L),
+      Event("b", 50, 10000L, -1L),
+      Event("b", 12, 11000L, 9500L), // fires a:[3600,5600)=13, b:[5600,9500)=34
+      Event("b", 5, 15000L, 13500L)) // fires b:[10000,13000)=62
+    val r = session(events, gapMs = 2000L)
+    assert(r.fired == Vector(
+      Fired("a", 1000L, 3500L, 53, 2),
+      Fired("a", 3600L, 5600L, 13, 1),
+      Fired("b", 5600L, 9500L, 34, 3),
+      Fired("b", 10000L, 13000L, 62, 2),
+      Fired("b", 15000L, 17000L, 5, 1)))
+    assert(r.late.isEmpty)
+  }
+}
