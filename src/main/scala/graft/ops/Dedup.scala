@@ -60,10 +60,18 @@ object Dedup {
   private def aCoef(j: Int): Long = 2L * j + 3
   private def bCoef(j: Int): Long = 7919L * j + 31
 
-  /** Per-doc 16-component MinHash signature (columns mh0..mh15). */
+  /** Per-doc 16-component MinHash signature (columns mh0..mh15).
+    * The md5-based hash is computed once per DISTINCT shingle (a
+    * dictionary, joined back), not once per (doc, shingle) instance —
+    * shingles repeat across documents, and at 100 TB recomputing a
+    * cryptographic hash per instance is the dominant cost. The join
+    * shuffles on the shingle key; AQE broadcasts the dictionary when
+    * it is small. */
   private def minhashSig(docs: DataFrame): DataFrame = {
-    val hs = shingles(docs)
-      .select(col("doc_id"), pmod(hash60(col("s")), lit(P31)).as("hm"))
+    val sh = shingles(docs)
+    val dict = sh.select("s").distinct()
+      .select(col("s"), pmod(hash60(col("s")), lit(P31)).as("hm"))
+    val hs = sh.join(dict, "s").select("doc_id", "hm")
     val aggs = (0 until NumHashes).map(j =>
       min(pmod(lit(aCoef(j)) * col("hm") + lit(bCoef(j)), lit(P31))).as(s"mh$j"))
     hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -128,12 +136,18 @@ object Dedup {
     * dup group. Token hash sign-votes per bit; one explode + one groupBy
     * (map-side combinable), then a tiny self-aggregation on fingerprint. */
   def simhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    // token multiplicities first (map-side combinable), then ONE hash per
+    // distinct word via a dictionary join; votes weighted by count —
+    // identical totals, ~avg-multiplicity× fewer md5 evaluations
+    val counts = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(expr("filter(split(lower(text), ' '), w -> w <> '')")).as("w"))
-      .select(col("doc_id"), pmod(hash60(col("w")), lit(65536L)).as("h"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val dict = counts.select("w").distinct()
+      .select(col("w"), pmod(hash60(col("w")), lit(65536L)).as("h"))
+    val toks = counts.join(dict, "w")
     val bitSums = (0 until SimBits).map(b =>
-      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
+      sum(col("cnt") * (shiftright(col("h"), b) % 2 * 2 - 1)).as(s"s$b"))
     val fp = (0 until SimBits).map(b =>
       when(col(s"s$b") >= 0, 1L << b).otherwise(0L)).reduce(_ + _)
     val withFp = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)

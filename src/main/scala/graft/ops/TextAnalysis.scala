@@ -141,9 +141,12 @@ object TextAnalysis {
     * doc's fingerprint-collision group — a cheap near-dup prefilter. */
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val hs = Tables.documents(s, dir)
+    val toks = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(expr(wordsExpr)).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"), pmod(hash60(col("w")), lit(P31)).as("h"))
+    // hash once per distinct word (dictionary join), not per position
+    val dict = toks.select("w").distinct()
+      .select(col("w"), pmod(hash60(col("w")), lit(P31)).as("h"))
+    val hs = toks.join(dict, "w").select("doc_id", "pos", "h")
     val rolled = hs
       .withColumn("h1", lead("h", 1).over(w))
       .withColumn("h2", lead("h", 2).over(w))
