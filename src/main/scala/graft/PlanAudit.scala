@@ -12,6 +12,7 @@ object PlanAudit {
       else Seq("filter", "group_agg", "enrich_wide_row", "window_join",
                "dedup_near_minhash", "ann_topk", "word_count")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

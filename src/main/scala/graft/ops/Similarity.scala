@@ -46,7 +46,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("dot"))
+        graft.functions.QDot(col("qv"), col("cv")).as("dot"))
     import org.apache.spark.sql.expressions.Window
     scored
       .withColumn("rank", row_number().over(
@@ -99,7 +99,7 @@ object Similarity {
       .select(col("vec_id").as("vec_b"), col("bucket").as("bucket_b"), col("qv").as("qb"))
     wa.join(wb, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
       .select(col("bucket"), col("vec_a"), col("vec_b"),
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("dot"))
+        graft.functions.QDot(col("qa"), col("qb")).as("dot"))
       .orderBy("vec_a", "vec_b")
   }
 

@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native qdot expression: interpreted + codegen paths, SQL registration
+  * via GraftExtensions, equivalence with the zip_with/aggregate form. */
+class QDotSpec extends SparkSpec {
+
+  test("qdot == aggregate(zip_with) on the embeddings table") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.Tables.embeddings(s, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+      .limit(50).cache()
+    val a = emb.toDF("ida", "qa")
+    val b = emb.toDF("idb", "qb")
+    val both = a.crossJoin(b)
+      .select(
+        QDot(col("qa"), col("qb")).as("native"),
+        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("lambda"))
+    assert(both.filter("native <> lambda").count() == 0)
+    assert(both.count() == 2500)
+  }
+
+  test("qdot null/edge semantics") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 5L, 6L))),  // 4+10+18 = 32
+      (Some(Seq(1L, 2L)), Some(Seq(3L))),              // shorter wins: 3
+      (None, Some(Seq(1L))),                           // null
+      (Some(Seq.empty[Long]), Some(Seq.empty[Long]))). // 0
+      toDF("a", "b")
+    val out = df.select(QDot(col("a"), col("b")).as("d")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.toSeq == Seq(Some(32L), Some(3L), None, Some(0L)))
+  }
+
+  test("qdot registered in SQL via GraftExtensions") {
+    // SparkSpec's session is built withExtensions(new GraftExtensions)
+    val res = spark.sql("SELECT qdot(array(1L, 2L), array(10L, 20L)) AS d")
+      .collect().head.getLong(0)
+    assert(res == 50L)
+    // wrong arity → analysis error naming the function
+    val err = intercept[Exception](
+      spark.sql("SELECT qdot(array(1L))").collect())
+    assert(err.getMessage.toLowerCase.contains("qdot"))
+  }
+}
