@@ -63,6 +63,9 @@ object SparkEntry {
     "token_count"       -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"   -> (TextAnalysis.docFingerprint _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    // E3 flagship: full six-source enrichment DAG through four
+    // flatMapGroupsWithState stages (graft.streaming.EnrichDag)
+    "enrich_dag"        -> (graft.streaming.EnrichDag.enrichDag _),
   )
 
   /** DuckDB-dialect oracle for each query (same tables, same column names,
@@ -281,5 +284,6 @@ object SparkEntry {
         |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
         |LEFT JOIN li ON o.o_orderkey = li.l_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
-  ) ++ Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles
+  ) ++ Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
+    Multimodal.oracles ++ Map("enrich_dag" -> graft.streaming.EnrichDag.enrichDagSql)
 }
