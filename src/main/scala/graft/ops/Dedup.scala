@@ -33,7 +33,7 @@ object Dedup {
   // ---- shared shingling ----------------------------------------------
 
   /** Distinct 3-word shingles per doc (docs with <3 words have none). */
-  private[ops] def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), w -> w <> '')").as("ws"))
@@ -46,7 +46,7 @@ object Dedup {
       .distinct()
 
   /** DuckDB twin of `shingles` as a WITH-clause body over `documents`. */
-  private[ops] val shinglesSql: String =
+  private[graft] val shinglesSql: String =
     """w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
       |      FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
