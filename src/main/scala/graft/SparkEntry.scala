@@ -53,6 +53,7 @@ object SparkEntry {
     "enrich_wide_row"   -> (EnrichJoin.enrichWideRow _),
     // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
     "dedup_exact"       -> (Dedup.dedupExact _),
+    "dedup_clusters"    -> (Dedup.dedupClusters _),
     "dedup_near_minhash"-> (Dedup.dedupNearMinhash _),
     "simhash_dedup"     -> (Dedup.simhashDedup _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),

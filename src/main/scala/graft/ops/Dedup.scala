@@ -220,7 +220,76 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- near-dup clusters (connected components) -----------------------
+
+  /** Resolve near-dup candidate pairs into CLUSTERS with a canonical
+    * (minimum) doc id — the step that turns pair detection into actual
+    * deduplication. Undirected connected components via min-label
+    * propagation: each round every node adopts the smallest label among
+    * itself and its neighbors; converges in O(graph diameter) rounds
+    * (near-dup clusters are tiny, so 2–3). Each round is one shuffle-join
+    * — the standard large-graph CC shape (no driver-side graph). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select("doc_a", "doc_b").cache()
+    // undirected edge list incl. self-loops so singletons keep their label
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+    var changed = true
+    var guard = 0
+    while (changed && guard < 20) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = updated.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = updated
+      guard += 1
+    }
+    labels.groupBy("label").agg(
+        count(lit(1)).as("cluster_size"),
+        joinedSortedLongs(collect_list(col("doc_id"))).as("members"))
+      .select(col("label").as("cluster_id"), col("cluster_size"), col("members"))
+      .orderBy("cluster_id")
+  }
+
+  /** DuckDB oracle: transitive closure via WITH RECURSIVE, then the
+    * minimum reachable id as the cluster label. */
+  def dedupClustersSql: String =
+    s"""WITH RECURSIVE $shinglesSql,
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf),
+       |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS label
+       |  FROM reach GROUP BY src)
+       |SELECT label AS cluster_id, count(*) AS cluster_size,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+       |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
