@@ -31,6 +31,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warm-up (not recorded)
+        spark.catalog.clearCache() // operator-internal caches must not
+                                   // leak across queries (memory pressure
+                                   // skews later timings)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         name -> (System.nanoTime() - t0) / 1e9
@@ -38,7 +41,7 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           name -> -1.0
-      }
+      } finally spark.catalog.clearCache()
     }
     val qs = results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)

@@ -59,6 +59,7 @@ object SparkEntry {
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "ann_topk"          -> (Similarity.annTopK _),
     "ann_lsh_pairs"     -> (Similarity.annLshPairs _),
+    "cosine_near_dup"   -> (Similarity.cosineNearDup _),
     "lang_id"           -> (TextAnalysis.langId _),
     "quality_score"     -> (TextAnalysis.qualityScore _),
     "token_count"       -> (TextAnalysis.tokenCount _),

@@ -183,9 +183,11 @@ object Dedup {
     * everything generates O(n²) pairs and carries no signal. */
   private val MaxShingleDf = 100
 
-  /** Exact 3-gram Jaccard for candidate pairs from an inverted shingle
-    * index (pairs sharing ≥1 rare shingle), reported at >= 0.5. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Unsorted Jaccard-pair core shared by the query form (adds the
+    * deterministic ORDER BY) and the cluster resolver (doesn't need
+    * order — a global sort would force the whole pipeline to run twice
+    * via the range-partitioner sampling pass). */
+  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(Tables.documents(s, dir))
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
@@ -203,8 +205,12 @@ object Dedup {
         (col("na") + col("nb") - col("inter")).as("union_n"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Exact 3-gram Jaccard for candidate pairs from an inverted shingle
+    * index (pairs sharing ≥1 rare shingle), reported at >= 0.5. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(s, dir).orderBy("doc_a", "doc_b")
 
   def ngramJaccardSql: String =
     s"""WITH $shinglesSql,
@@ -230,13 +236,20 @@ object Dedup {
     * (near-dup clusters are tiny, so 2–3). Each round is one shuffle-join
     * — the standard large-graph CC shape (no driver-side graph). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select("doc_a", "doc_b").cache()
-    // undirected edge list incl. self-loops so singletons keep their label
+    // the pair graph is orders of magnitude smaller than the corpus:
+    // materialize it ONCE (localCheckpoint truncates the expensive
+    // pair-generation lineage) and shrink to a few partitions so each
+    // propagation round is a handful of tasks, not a corpus-width
+    // shuffle. repartition, NOT coalesce — coalesce would throttle the
+    // upstream pair join itself.
+    val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+      .repartition(4).localCheckpoint(true)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
     var changed = true
     var guard = 0
     while (changed && guard < 20) {
@@ -247,7 +260,7 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint(true) // one materialization per round, no lineage growth
       changed = updated.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).limit(1).count() > 0
       labels = updated

@@ -120,8 +120,56 @@ object Similarity {
        |JOIN e ea ON a.vec_id = ea.vec_id JOIN e eb ON b.vec_id = eb.vec_id
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Embedding-cosine scoring of LSH-bucketed candidate pairs — the
+    * near-dup decision is `cosine >= t` applied by the caller (this
+    * fixture contains no true embedding near-dups, so the operator
+    * emits the score for every candidate so the oracle value-checks
+    * the computation). Cosine = dot / sqrt(na)·sqrt(nb): numerator and
+    * norms are exact int64 from the quantized vectors; the final
+    * division is one deterministic double expression shared with the
+    * oracle. Same no-all-pairs shape as annLshPairs. */
+
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quantExpr).as("qv"))
+    val normSq = graft.functions.QDot(col("qv"), col("qv"))
+    val pairs = annLshPairs(s, dir) // bucket, vec_a, vec_b, dot
+    val na = emb.select(col("vec_id").as("vec_a"), normSq.as("na"))
+    val nb = emb.select(col("vec_id").as("vec_b"), normSq.as("nb"))
+    pairs.join(na, "vec_a").join(nb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def cosineNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+       |pl AS (SELECT pj, pi,
+       |    ${hash60Sql("'p' || CAST(pj AS VARCHAR) || '_' || CAST(pi AS VARCHAR)")} % 2001 - 1000 AS coef
+       |  FROM (SELECT unnest(range(0, $NumPlanes)) AS pj),
+       |       (SELECT unnest(range(0, $Dim)) AS pi)),
+       |proj AS (SELECT vec_id, pj, sum(qv[pi + 1] * coef) AS proj
+       |  FROM e, pl GROUP BY vec_id, pj),
+       |sigs AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << pj) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |norms AS (SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(1, $Dim + 1), i -> qv[i] * qv[i])) AS BIGINT) AS n2
+       |  FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST(list_sum(list_transform(range(1, $Dim + 1), i -> ea.qv[i] * eb.qv[i])) AS BIGINT) AS dot
+       |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  JOIN e ea ON a.vec_id = ea.vec_id JOIN e eb ON b.vec_id = eb.vec_id)
+       |SELECT vec_a, vec_b,
+       |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+       |FROM pairs JOIN norms na ON vec_a = na.vec_id JOIN norms nb ON vec_b = nb.vec_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopKSql,
     "ann_lsh_pairs" -> annLshPairsSql,
+    "cosine_near_dup" -> cosineNearDupSql,
   )
 }
