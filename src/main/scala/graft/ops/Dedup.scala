@@ -208,9 +208,13 @@ object Dedup {
   }
 
   /** Exact 3-gram Jaccard for candidate pairs from an inverted shingle
-    * index (pairs sharing ≥1 rare shingle), reported at >= 0.5. */
+    * index (pairs sharing ≥1 rare shingle), reported at >= 0.5.
+    * The tiny survivor set is materialized before the deterministic
+    * ORDER BY so the range-partitioner's sampling pass doesn't re-run
+    * the expensive inverted-index join. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(s, dir).orderBy("doc_a", "doc_b")
+    ngramJaccardPairs(s, dir).repartition(4).localCheckpoint(true)
+      .orderBy("doc_a", "doc_b")
 
   def ngramJaccardSql: String =
     s"""WITH $shinglesSql,
