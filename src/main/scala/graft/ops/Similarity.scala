@@ -167,9 +167,99 @@ object Similarity {
        |FROM pairs JOIN norms na ON vec_a = na.vec_id JOIN norms nb ON vec_b = nb.vec_id
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---- IVF (inverted-file) ANN — the production scale path -----------
+
+  private val NumCentroids = 16
+  private val NProbe = 4
+  private val IvfTopK = 3
+
+  /** IVF top-k: vectors are partitioned into inverted lists by nearest
+    * centroid; a query probes only the `NProbe` closest lists, so the
+    * scan touches ~NProbe/NumCentroids of the corpus instead of all of
+    * it. Centroids here are a fixed deterministic subset (vec_id <
+    * NumCentroids) standing in for an externally-trained codebook —
+    * the assignment/probe machinery is the real IVF shape. All distance
+    * arithmetic is exact int64 (L2² = |v|² - 2·v·c + |c|² via qdot), so
+    * ties break deterministically on centroid/vec id. */
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QDot
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quantExpr).as("qv"))
+    val cents = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
+    // assignment: nearest centroid by exact L2² (16 candidates, broadcast)
+    val dists = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("cent_id"),
+        (QDot(col("qv"), col("qv")) - lit(2) * QDot(col("qv"), col("cv"))
+          + QDot(col("cv"), col("cv"))).as("d2"))
+    val assigned = dists
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cent_id"), col("qv")), struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("list_id"), col("m.qv").as("qv"))
+    // probe: each query visits its NProbe nearest centroid lists
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("query_v"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("query_v"), col("cent_id"),
+        (QDot(col("query_v"), col("query_v")) - lit(2) * QDot(col("query_v"), col("cv"))
+          + QDot(col("cv"), col("cv"))).as("d2"))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d2"), col("cent_id"))))
+      .filter(col("pr") <= NProbe)
+      .select(col("query_id"), col("query_v"), col("cent_id").as("list_id"))
+    // search only the probed lists
+    val scored = probes.join(assigned, "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        QDot(col("query_v"), col("qv")).as("dot"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dot").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= IvfTopK)
+      .select("query_id", "neighbor_id", "dot", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  def annIvfTopKSql: String = {
+    val dotQ = s"CAST(list_sum(list_transform(range(1, $Dim + 1), i -> a[i] * b[i])) AS BIGINT)"
+    def d2(a: String, b: String) =
+      dotQ.replace("a[i] * b[i]", s"$a[i] * $a[i]") +
+        s" - 2 * ${dotQ.replace("a[i] * b[i]", s"$a[i] * $b[i]")}" +
+        s" + ${dotQ.replace("a[i] * b[i]", s"$b[i] * $b[i]")}"
+    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, qv AS cv FROM e WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS list_id FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("qv", "cv")}, cent_id) AS rn
+       |    FROM e, cents) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, qv AS query_v FROM e WHERE vec_id < $NumQueries),
+       |probes AS (
+       |  SELECT query_id, query_v, cent_id AS list_id FROM (
+       |    SELECT query_id, query_v, cent_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ${d2("query_v", "cv")}, cent_id) AS pr
+       |    FROM q, cents) WHERE pr <= $NProbe),
+       |scored AS (
+       |  SELECT query_id,
+       |    e.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, $Dim + 1), i -> query_v[i] * e.qv[i])) AS BIGINT) AS dot
+       |  FROM probes JOIN assigned ON probes.list_id = assigned.list_id
+       |  JOIN e ON assigned.vec_id = e.vec_id
+       |  WHERE e.vec_id <> query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= $IvfTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopKSql,
     "ann_lsh_pairs" -> annLshPairsSql,
     "cosine_near_dup" -> cosineNearDupSql,
+    "ann_ivf_topk" -> annIvfTopKSql,
   )
 }

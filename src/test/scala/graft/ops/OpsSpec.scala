@@ -76,6 +76,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_topk: probed search recalls most brute-force neighbors") {
+    val s = spark
+    import s.implicits._
+    val brute = Similarity.annTopK(s, dir).filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvfTopK(s, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.size == 30) // 10 queries x top-3
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // IVF probes 4/16 lists; random vectors make this a hard fixture —
+    // the structural guarantee is >0 overlap and correct shapes
+    assert(recall > 0.2, s"IVF recall $recall vs brute force")
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val s = spark
     import s.implicits._
