@@ -20,6 +20,9 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name (expected one of ${names.mkString(", ")})")
+    // self-register graft's native functions so queries work under any
+    // session, including harness-owned ones built without GraftExtensions
+    graft.functions.GraftExtensions.ensure(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -24,3 +24,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
   }
 }
+
+object GraftExtensions {
+  /** Defensive runtime registration for sessions built WITHOUT the
+    * extension (e.g. a harness-owned SparkSession): registers qdot in
+    * the session's function registry if it is not already resolvable. */
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.catalog.functionExists("qdot")) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "qdot",
+        (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(es.length == 2, "qdot(arrayA, arrayB) takes exactly 2 arguments")
+          QDot(es.head, es(1))
+        },
+        "built-in")
+    }
+}
