@@ -65,6 +65,7 @@ object SparkEntry {
     "quality_score"     -> (TextAnalysis.qualityScore _),
     "token_count"       -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"   -> (TextAnalysis.docFingerprint _),
+    "pipeline_clean"    -> (TextAnalysis.pipelineClean _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     // E3 flagship: full six-source enrichment DAG through four
     // flatMapGroupsWithState stages (graft.streaming.EnrichDag)

@@ -177,7 +177,50 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The composed training-data cleaning pipeline a real user runs:
+    * quality-filter → exact-dedup (keep lowest doc_id per content hash)
+    * → per-survivor token statistics. One narrow filter stage, one
+    * hash-groupBy, one join — the whole clean at any scale is two
+    * shuffles. */
+  def pipelineClean(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScore(s, dir).select("doc_id", "score")
+    val docs = Tables.documents(s, dir)
+      .join(scored, "doc_id")
+      .filter(col("score") >= 0.5)
+    val keep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, "doc_id")
+      .select(col("doc_id"), col("lang"), col("score"),
+        expr(s"size($wordsExpr)").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def pipelineCleanSql: String = {
+    val enStops = StopWords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, lang, $wordsSql AS ws FROM documents),
+       |m AS (SELECT doc_id, text, lang,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_wlen,
+       |    CAST(len(list_filter(ws, w -> w IN ($enStops))) AS BIGINT) AS stop_hits,
+       |    CAST(len(ws) AS BIGINT) AS n_tokens
+       |  FROM t),
+       |scored AS (SELECT doc_id, text, lang, n_tokens,
+       |    0.3 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0) +
+       |    0.3 * (CAST(n_distinct AS DOUBLE) / n_words) +
+       |    0.2 * least((CAST(sum_wlen AS DOUBLE) / n_words) / 8.0, 1.0) +
+       |    0.2 * least((CAST(stop_hits AS DOUBLE) / n_words) * 5.0, 1.0) AS score
+       |  FROM m),
+       |good AS (SELECT * FROM scored WHERE score >= 0.5),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text))
+       |SELECT g.doc_id, g.lang, g.score AS score, g.n_tokens
+       |FROM good g JOIN keep ON g.doc_id = keep.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipeline_clean" -> pipelineCleanSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
     "token_count" -> tokenCountSql,
