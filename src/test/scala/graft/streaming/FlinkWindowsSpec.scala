@@ -62,6 +62,30 @@ class FlinkWindowsSpec extends AnyFunSuite {
     assert(r.late.map(_.value) == Vector(2, 19, 89, 72, 32))
   }
 
+  /** reference: test/EventTimeTest.java:329-428 — tumbling 5 s +
+    * allowedLateness 2 s + late side output, 20 tuples. */
+  test("tumbling 5s + lateness 2s + late side output: 20-tuple trace (EventTimeTest:329-428)") {
+    val events = Seq(
+      Event("a", 1, 1100L, -1L), Event("a", 2, 300L, -1L),
+      Event("a", 3, 5100L, -1L), Event("a", 4, 4600L, -1L),
+      Event("a", 5, 2900L, -1L), Event("a", 6, 13000L, -1L),
+      Event("a", 7, 9100L, 11000L), // fires [0,5000)=12, [5000,10000)=10
+      Event("a", 8, 3000L, -1L),    // 4999+2000 <= 11000 → late output
+      Event("a", 9, 6700L, -1L),    // allowed late → re-fire 19
+      Event("a", 10, 9900L, 18000L),// re-fire 29, then wm fires [10000,15000)=6
+      Event("a", 11, 13000L, -1L),  // late output
+      Event("a", 12, 8888L, -1L),   // late output
+      Event("a", 13, 12000L, -1L),  // late output
+      Event("a", 14, 15300L, -1L), Event("a", 15, 17200L, -1L),
+      Event("a", 16, 1300L, -1L),   // late output
+      Event("a", 17, 21000L, -1L), Event("a", 18, 23000L, -1L),
+      Event("a", 19, 5000L, 26000L),// late output; wm fires [15000,20000)=29, [20000,25000)=35
+      Event("a", 20, 19000L, -1L))  // late output
+    val r = tumbling(events, sizeMs = 5000L, allowedLatenessMs = 2000L)
+    assert(r.fired.map(_.sum) == Vector(12, 10, 19, 29, 6, 29, 35))
+    assert(r.late.map(_.value) == Vector(8, 11, 12, 13, 16, 19, 20))
+  }
+
   /** reference: test/WindowTest.java:222-242 — session gap 2 s with
     * window merging, two keys. */
   test("session windows gap 2s: merge trace (WindowTest:222-242)") {
