@@ -35,6 +35,8 @@ object ScaleProbe {
       df.drop("copy").write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     // shift keys so cardinalities scale with volume (10x users, docs, orders)
+    val skipGen = new java.io.File(s"$out/events.parquet").exists()
+    if (!skipGen) {
     replicate("events", Map("event_id" -> 10000000L, "user_id" -> 1000L))
     replicate("documents", Map("doc_id" -> 1000000L))
     replicate("embeddings", Map("vec_id" -> 1000000L))
@@ -42,11 +44,13 @@ object ScaleProbe {
     replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
     for (t <- Seq("customer", "supplier", "part", "nation", "region"))
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     println("replicated 10x into " + out)
 
-    val probeQueries = Seq("group_agg", "rolling_sum", "session_window",
-      "sliding_window", "word_count", "enrich_wide_row", "ann_topk",
-      "simhash_dedup", "doc_fingerprint", "dedup_exact", "last_nonnull_merge")
+    val probeQueries = if (args.nonEmpty) args.toSeq
+      else Seq("group_agg", "rolling_sum", "session_window",
+        "sliding_window", "word_count", "enrich_wide_row", "ann_topk",
+        "simhash_dedup", "doc_fingerprint", "dedup_exact", "last_nonnull_merge")
     def timeAll(dir: String): Map[String, Double] = probeQueries.map { n =>
       val fn = SparkEntry.queries(n)
       fn(spark, dir).count() // warm
