@@ -149,6 +149,35 @@ object EnrichDag {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(finalHandle)
   }
 
+  // ---- streaming deployment: stages chained through file handoff -----
+  //
+  // Spark disallows chaining flatMapGroupsWithState stages inside ONE
+  // streaming query, so a streaming deployment runs each stage as its
+  // own query, handing records to the next stage through a parquet
+  // directory (the bronze/silver layered pattern): stage N appends
+  // files + checkpoint, stage N+1 readStream-tails the directory. Each
+  // stage recovers independently from its checkpoint.
+
+  /** Stage A as a standalone query: merged CEMs appended to `outDir`. */
+  def stageAToFiles(parts: Dataset[PartIn], outDir: String, ckpt: String) =
+    mergeCem(parts).writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Stage B input from stage A's files + a live link stream. */
+  def stageBFromFiles(s: SparkSession, cemDir: String,
+                      links: Dataset[BIn], cemSeq: Long = 1000000L): Dataset[CemRouteLink] = {
+    implicit val eBIn = Encoders.product[BIn]
+    val cems = s.readStream.schema(Encoders.product[Cem].schema).parquet(cemDir)
+      .select(col("waybillCode"), lit(cemSeq).as("seq"),
+        struct(col("*")).as("cem"),
+        lit(null).cast(Encoders.product[RouteLink].schema.sql).as("link"))
+      .as[BIn]
+    EnrichState(cems.unionByName(links))
+  }
+
   // ---- the full DAG as a batch query with a DuckDB oracle ------------
 
   private val N = 200L
