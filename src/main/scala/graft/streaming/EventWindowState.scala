@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Flink-faithful event-time tumbling windows WITH allowedLateness and
+  * late side output, as a real Structured Streaming operator — the
+  * streaming deployment of the FlinkWindows semantics (W7/W9/W10;
+  * fire/drop rules per reference test/EventTimeTest.java:166-178).
+  *
+  * Spark's native `window()` aggregation cannot re-fire for allowed-late
+  * rows or route dropped-late rows; this operator can, because it holds
+  * the window buffers itself in GroupState and reads the query's
+  * event-time watermark via `state.getCurrentWatermarkMs()` (the input
+  * must carry `withWatermark` upstream). An EventTimeTimeout is armed at
+  * the earliest pending window end so windows fire when the watermark
+  * passes even if the key receives no further data.
+  *
+  * Output rows are tagged: kind='fire' (window result, possibly re-fired
+  * with updated contents — Flink's allowedLateness re-fire) or
+  * kind='late' (beyond watermark + lateness — the side output). State per
+  * key is bounded by windows inside the lateness horizon.
+  *
+  * Late-side-output delta (W10): in STREAMING runs Spark's engine drops
+  * beyond-watermark rows before they reach this operator, so set the
+  * upstream watermark delay to outOfOrderBound + allowedLateness (the
+  * SURVEY §7.4 fold) — then the engine's drop boundary coincides with
+  * Flink's, dropped-late rows are observable via the
+  * numRowsDroppedByWatermark metric, and this operator handles
+  * fire/re-fire inside the lateness horizon. In BATCH runs (no engine
+  * filter) the kind='late' path emits the side output exactly like the
+  * FlinkWindows trace engine.
+  */
+object EventWindowState {
+
+  /** `ts` stays TimestampType end-to-end — the watermark tag follows the
+    * event-time column, so projecting it to a long would strip the
+    * watermark and break EventTimeTimeout. */
+  final case class Ev(key: String, value: Long, ts: java.sql.Timestamp)
+  final case class WinOut(key: String, kind: String, windowStart: Long,
+                          sum: Long, count: Long, tsMs: Long)
+  /** per-window-start: (sum, count, pendingSinceLastFire) */
+  final case class Buf(windows: Map[Long, (Long, Long, Boolean)])
+
+  def tumbling(ds: Dataset[Ev], sizeMs: Long, allowedLatenessMs: Long = 0L): Dataset[WinOut] = {
+    implicit val o = Encoders.product[WinOut]
+    implicit val b = Encoders.product[Buf]
+    implicit val k = Encoders.STRING
+
+    def handle(key: String, events: Iterator[Ev], state: GroupState[Buf]): Iterator[WinOut] = {
+      // batch runs have no watermark (the getter throws): everything is
+      // on-time and nothing fires until an explicit watermark exists
+      val wm = try state.getCurrentWatermarkMs()
+        catch { case _: UnsupportedOperationException => Long.MinValue }
+      var buf = state.getOption.getOrElse(Buf(Map.empty))
+      val out = Vector.newBuilder[WinOut]
+      def maxTs(start: Long) = start + sizeMs - 1
+
+      events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+        val tsMs = e.ts.getTime
+        val start = tsMs - Math.floorMod(tsMs, sizeMs)
+        if (maxTs(start) + allowedLatenessMs <= wm) {
+          out += WinOut(key, "late", start, e.value, 1L, tsMs) // side output
+        } else {
+          val (s0, c0, _) = buf.windows.getOrElse(start, (0L, 0L, true))
+          val merged = (s0 + e.value, c0 + 1, true)
+          buf = Buf(buf.windows + (start -> merged))
+          if (maxTs(start) <= wm) { // allowed-late arrival → immediate re-fire
+            out += WinOut(key, "fire", start, merged._1, merged._2, maxTs(start))
+            buf = Buf(buf.windows + (start -> (merged._1, merged._2, false)))
+          }
+        }
+      }
+      // fire everything the watermark has passed, purge beyond lateness
+      buf.windows.toSeq.sortBy(_._1).foreach { case (start, (s0, c0, pending)) =>
+        if (maxTs(start) <= wm && pending) {
+          out += WinOut(key, "fire", start, s0, c0, maxTs(start))
+          buf = Buf(buf.windows + (start -> (s0, c0, false)))
+        }
+      }
+      buf = Buf(buf.windows.filter { case (start, _) => maxTs(start) + allowedLatenessMs > wm })
+      if (buf.windows.isEmpty) state.remove()
+      else {
+        state.update(buf)
+        // arm a timer at the earliest un-purged window's cleanup time so
+        // fires/purges happen without new data for this key
+        val nextFire = buf.windows.keys.map(st => maxTs(st) + allowedLatenessMs + 1).min
+        state.setTimeoutTimestamp(math.max(nextFire, wm + 1))
+      }
+      out.result().iterator
+    }
+
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(handle)
+  }
+}
