@@ -68,6 +68,50 @@ object Aggregators {
     override def outputEncoder: Encoder[SumDetailBuf] = Encoders.product[SumDetailBuf]
   }
 
+  /** Bounded top-k: keeps only the k largest values per group — per-key
+    * top-N without a global sort, O(k) state, map-side mergeable (the
+    * shape Spark's own collect_top_k uses internally). */
+  final case class TopKBuf(k: Int, values: Seq[Long])
+  final class TopK(k: Int) extends Aggregator[Long, TopKBuf, Seq[Long]] {
+    private def trim(vs: Seq[Long]): Seq[Long] = vs.sorted(Ordering[Long].reverse).take(k)
+    override def zero: TopKBuf = TopKBuf(k, Vector.empty)
+    override def reduce(b: TopKBuf, a: Long): TopKBuf = b.copy(values = trim(b.values :+ a))
+    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = x.copy(values = trim(x.values ++ y.values))
+    override def finish(b: TopKBuf): Seq[Long] = trim(b.values)
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[Long]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Misra–Gries heavy hitters: frequent items in O(capacity) state with
+    * the classic undercount bound (≤ n/capacity); mergeable, so it runs
+    * with map-side partial aggregation — the bounded-memory answer to
+    * "most common tokens" over an unbounded corpus. */
+  final case class MgBuf(capacity: Int, counters: Map[String, Long])
+  final class HeavyHitters(capacity: Int) extends Aggregator[String, MgBuf, Map[String, Long]] {
+    private def decrement(c: Map[String, Long], by: Long): Map[String, Long] =
+      c.flatMap { case (k, v) => if (v > by) Some(k -> (v - by)) else None }
+    private def add(b: MgBuf, item: String, n: Long): MgBuf =
+      b.counters.get(item) match {
+        case Some(v) => b.copy(counters = b.counters + (item -> (v + n)))
+        case None if b.counters.size < capacity =>
+          b.copy(counters = b.counters + (item -> n))
+        case None =>
+          val minV = b.counters.values.min
+          val dec = math.min(minV, n)
+          val after = decrement(b.counters, dec)
+          if (n > dec) add(b.copy(counters = after), item, n - dec)
+          else b.copy(counters = after)
+      }
+    override def zero: MgBuf = MgBuf(capacity, Map.empty)
+    override def reduce(b: MgBuf, a: String): MgBuf = add(b, a, 1L)
+    override def merge(x: MgBuf, y: MgBuf): MgBuf =
+      y.counters.foldLeft(x) { case (b, (item, n)) => add(b, item, n) }
+    override def finish(b: MgBuf): Map[String, Long] = b.counters
+    override def bufferEncoder: Encoder[MgBuf] = Encoders.kryo[MgBuf]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** W12/T8: exact-decimal revenue accumulator — Flink's AggregatingState
     * with java BigDecimal multiply/add (reference:
     * test/StateTest.java:602-621). IN = (income, sale) as decimals. */

@@ -32,6 +32,33 @@ class AggregatorsSpec extends SparkSpec {
     assert(out("B") == SumDetailBuf(7L, Seq(7L)))
   }
 
+  test("TopK keeps the k largest per group across partitions") {
+    val s = spark
+    import s.implicits._
+    val out = s.range(1000).map(i => (s"g${i % 3}", i))
+      .groupByKey(_._1).mapValues(_._2: Long)
+      .agg(new TopK(4).toColumn)
+      .collect().toMap
+    assert(out("g0") == Seq(999L, 996L, 993L, 990L))
+    assert(out("g1") == Seq(997L, 994L, 991L, 988L))
+  }
+
+  test("HeavyHitters finds the dominant items within the Misra-Gries bound") {
+    val s = spark
+    import s.implicits._
+    // 600x 'hot', 300x 'warm', 100 singletons
+    val items = (Seq.fill(600)("hot") ++ Seq.fill(300)("warm") ++
+      (0 until 100).map(i => s"rare$i"))
+    val out = items.toDS().repartition(8)
+      .groupByKey(_ => "all").mapValues(identity)
+      .agg(new HeavyHitters(8).toColumn)
+      .collect().head._2
+    assert(out.contains("hot") && out.contains("warm"))
+    // undercount bound: estimate >= true - n/capacity = 600 - 125
+    assert(out("hot") >= 600 - 1000 / 8)
+    assert(out("hot") <= 600)
+  }
+
   test("RevenueDecimal: exact BigDecimal income x sale (StateTest:602-621)") {
     val s = spark
     import s.implicits._
