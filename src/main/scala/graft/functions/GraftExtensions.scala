@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => QDotRewrite)
     ext.injectFunction((
       new FunctionIdentifier("qdot"),
       new ExpressionInfo(classOf[QDot].getName, "qdot"),

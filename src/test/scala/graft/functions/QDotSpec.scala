@@ -38,6 +38,25 @@ class QDotSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(32L), Some(3L), None, Some(0L)))
   }
 
+  test("QDotRewrite: lambda dot-product idiom optimizes to native qdot") {
+    val s = spark
+    import s.implicits._
+    // parquet-backed input (a LocalRelation would be constant-folded
+    // away before user-provided optimizer rules run)
+    val q = graft.Tables.embeddings(s, "/root/testdata/sf0.001")
+      .selectExpr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS a")
+      .selectExpr("aggregate(zip_with(a, a, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS d")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("qdot"), s"rewrite did not fire:\n$optimized")
+    assert(!optimized.contains("zip_with"))
+    assert(q.count() == 500)
+    // guard: a non-matching shape (zero = 1L) must NOT be rewritten
+    val other = graft.Tables.embeddings(s, "/root/testdata/sf0.001")
+      .selectExpr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS a")
+      .selectExpr("aggregate(zip_with(a, a, (x, y) -> x * y), 1L, (acc, v) -> acc + v) AS d")
+    assert(!other.queryExecution.optimizedPlan.toString.contains("qdot"))
+  }
+
   test("qdot registered in SQL via GraftExtensions") {
     // SparkSpec's session is built withExtensions(new GraftExtensions)
     val res = spark.sql("SELECT qdot(array(1L, 2L), array(10L, 20L)) AS d")
