@@ -69,6 +69,27 @@ class PropsSpec extends AnyFunSuite {
     })
   }
 
+  /** Cross-form consistency: with only a final watermark (no mid-stream
+    * fires or drops), the FlinkWindows engine must produce exactly the
+    * same per-window sums as a plain bucket-arithmetic aggregation —
+    * the property that ties the streaming engine to the batch
+    * `tumbling_window` oracle form. */
+  test("property: engine tumbling == batch bucket aggregation (no watermarks)") {
+    import graft.streaming.FlinkWindows._
+    val ev = for {
+      ts <- Gen.choose(0L, 30000L)
+      v <- Gen.choose(1, 100)
+    } yield Event("k", v, ts, -1L) // no watermark → everything fires at end
+    check(Prop.forAll(Gen.nonEmptyListOf(ev)) { events =>
+      val size = 3000L
+      val engine = tumbling(events, sizeMs = size).fired
+        .map(f => (f.windowStart, f.sum)).toMap
+      val batch = events.groupBy(e => e.ts - Math.floorMod(e.ts, size))
+        .map { case (start, es) => (start, es.map(_.value).sum) }
+      engine == batch
+    })
+  }
+
   /** FlinkWindows engine: fired counts + late count == input count for
     * any random trace (conservation — nothing lost, nothing duplicated
     * when no re-fires happen, i.e. lateness 0). */
