@@ -53,7 +53,7 @@ object Windows {
     * with a timestamp more than `delay` ahead of it already arrived on the
     * same key (reference: test/EventTimeTest.java:329-428,
     * sideOutputLateData + getSideOutput). The streaming form is
-    * graft.streaming.LateData. */
+    * graft.streaming.EventWindowState. */
   def lateSplit(s: SparkSession, dir: String): DataFrame = {
     val arrival = W.partitionBy("user_id").orderBy("event_id")
       .rowsBetween(W.unboundedPreceding, -1)
