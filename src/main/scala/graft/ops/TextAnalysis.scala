@@ -134,7 +134,6 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   private val FpB = 131L
-  private val FpWindow = 4
 
   /** Document fingerprint: minimum of a rolling polynomial hash over
     * 4-word windows (Rabin-Karp / winnowing style), plus the size of the
