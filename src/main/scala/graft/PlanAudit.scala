@@ -10,7 +10,8 @@ object PlanAudit {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("filter", "group_agg", "enrich_wide_row", "window_join",
-               "dedup_near_minhash", "ann_topk", "word_count")
+               "dedup_near_minhash", "ann_topk", "ann_ivf_topk", "word_count",
+               "session_window", "ngram_jaccard", "pipeline_clean")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
