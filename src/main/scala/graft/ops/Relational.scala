@@ -121,13 +121,17 @@ object Relational {
     * action, not a `collect`).
     */
   def iterateUntil(s: SparkSession, dir: String): DataFrame = {
+    // iteration discipline: materialize the (shrinking) feedback set each
+    // pass so the loop never re-runs accumulated lineage — the same
+    // localCheckpoint pattern Dedup.dedupClusters uses
     val start = Tables.events(s, dir)
       .select(col("event_id"), pmod(col("event_id"), lit(10)).cast("int").as("x"))
+      .localCheckpoint(true)
     var done     = start.filter(col("x") > 5)
-    var feedback = start.filter(col("x") <= 5)
+    var feedback = start.filter(col("x") <= 5).localCheckpoint(true)
     var guard    = 0
     while (!feedback.isEmpty && guard < 12) {
-      val stepped = feedback.withColumn("x", col("x") + 1)
+      val stepped = feedback.withColumn("x", col("x") + 1).localCheckpoint(true)
       done = done.unionByName(stepped.filter(col("x") > 5))
       feedback = stepped.filter(col("x") <= 5)
       guard += 1
