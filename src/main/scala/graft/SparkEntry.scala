@@ -66,6 +66,7 @@ object SparkEntry {
     "token_count"       -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"   -> (TextAnalysis.docFingerprint _),
     "pipeline_clean"    -> (TextAnalysis.pipelineClean _),
+    "doc_chunking"      -> (TextAnalysis.docChunking _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     // E3 flagship: full six-source enrichment DAG through four
     // flatMapGroupsWithState stages (graft.streaming.EnrichDag)

@@ -218,7 +218,41 @@ object TextAnalysis {
        |ORDER BY g.doc_id""".stripMargin
   }
 
+  private val ChunkSize = 50
+  private val ChunkStride = 40 // 10-word overlap
+
+  /** Document chunking: token-bounded windows with overlap — the
+    * standard pre-tokenization step of a training pipeline. Pure
+    * array arithmetic (sequence + slice), one narrow map stage; chunk
+    * starts at word offsets 0, 40, 80, … so consecutive chunks share a
+    * 10-word overlap, and the tail chunk may be short but never empty. */
+  def docChunking(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST(greatest(ceil((size(ws) - $ChunkSize) / $ChunkStride.0), 0) AS INT)),
+             |  i -> array_join(slice(ws, i * $ChunkStride + 1, $ChunkSize), ' '))""".stripMargin))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk"),
+        expr("size(split(chunk, ' '))").cast("long").as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+
+  def docChunkingSql: String =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |n AS (SELECT doc_id, ws,
+       |    CAST(greatest(ceil((len(ws) - $ChunkSize) / $ChunkStride.0), 0) AS BIGINT) AS last_chunk
+       |  FROM t WHERE len(ws) > 0)
+       |SELECT doc_id, i AS chunk_id,
+       |  array_to_string(list_slice(ws, i * $ChunkStride + 1, i * $ChunkStride + $ChunkSize), ' ') AS chunk,
+       |  CAST(len(string_split(array_to_string(list_slice(ws, i * $ChunkStride + 1, i * $ChunkStride + $ChunkSize), ' '), ' ')) AS BIGINT) AS chunk_tokens
+       |FROM n, unnest(range(0, last_chunk + 1)) AS u(i)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "doc_chunking" -> docChunkingSql,
     "pipeline_clean" -> pipelineCleanSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
