@@ -51,6 +51,7 @@ object SparkEntry {
     "coprocess_merge"   -> (EnrichJoin.coProcessMerge _),
     "state_kinds"       -> (EnrichJoin.stateKinds _),
     "enrich_wide_row"   -> (EnrichJoin.enrichWideRow _),
+    "funnel"            -> (EnrichJoin.funnel _),
     // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
     "dedup_exact"       -> (Dedup.dedupExact _),
     "dedup_clusters"    -> (Dedup.dedupClusters _),
@@ -290,5 +291,7 @@ object SparkEntry {
         |LEFT JOIN li ON o.o_orderkey = li.l_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
   ) ++ Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-    Multimodal.oracles ++ Map("enrich_dag" -> graft.streaming.EnrichDag.enrichDagSql)
+    Multimodal.oracles ++ Map(
+      "enrich_dag" -> graft.streaming.EnrichDag.enrichDagSql,
+      "funnel" -> EnrichJoin.funnelSql)
 }

@@ -78,6 +78,48 @@ object EnrichJoin {
       .orderBy("user_id")
   }
 
+  /** Ordered funnel: per user, did signup → view → click → purchase
+    * happen in timestamp order? One aggregation pass (min event time per
+    * stage via conditional min), then pure epoch comparisons — the
+    * sessionization-adjacent analytic the reference's keyed-state demos
+    * build towards. funnel_depth = number of stages completed in order. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, epochUs(col("ts")))).as(s"t_$t")
+    ev.groupBy("user_id")
+      .agg(firstOf("signup"), firstOf("view"), firstOf("click"), firstOf("purchase"))
+      .select(col("user_id"),
+        (col("t_signup").isNotNull).as("s1"),
+        (col("t_signup").isNotNull && col("t_view").isNotNull &&
+          col("t_signup") <= col("t_view")).as("s2"),
+        (col("t_signup").isNotNull && col("t_view").isNotNull && col("t_click").isNotNull &&
+          col("t_signup") <= col("t_view") && col("t_view") <= col("t_click")).as("s3"),
+        (col("t_signup").isNotNull && col("t_view").isNotNull && col("t_click").isNotNull &&
+          col("t_purchase").isNotNull && col("t_signup") <= col("t_view") &&
+          col("t_view") <= col("t_click") && col("t_click") <= col("t_purchase")).as("s4"))
+      .select(col("user_id"),
+        (col("s1").cast("long") + col("s2").cast("long") +
+          col("s3").cast("long") + col("s4").cast("long")).as("funnel_depth"))
+      .orderBy("user_id")
+  }
+
+  def funnelSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_signup,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(t_signup IS NOT NULL AS BIGINT) +
+      |  CAST(coalesce(t_signup <= t_view, FALSE) AS BIGINT) +
+      |  CAST(coalesce(t_signup <= t_view AND t_view <= t_click, FALSE) AS BIGINT) +
+      |  CAST(coalesce(t_signup <= t_view AND t_view <= t_click AND t_click <= t_purchase, FALSE) AS BIGINT)
+      |  AS funnel_depth
+      |FROM f ORDER BY user_id""".stripMargin
+
   /** E3/J2/J3 flagship: the six-source progressive enrichment into one wide
     * row (reference: test/StateTest.java:638-873 → BdWaybillOrder), mapped
     * onto the star schema: orders progressively widened with customer,
