@@ -35,7 +35,7 @@ object ScaleProbe {
       df.drop("copy").write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     // shift keys so cardinalities scale with volume (10x users, docs, orders)
-    val skipGen = new java.io.File(s"$out/events.parquet").exists()
+    val skipGen = new java.io.File(s"$out/region.parquet").exists() // region is written LAST: a partial earlier run regenerates
     if (!skipGen) {
     replicate("events", Map("event_id" -> 10000000L, "user_id" -> 1000L))
     replicate("documents", Map("doc_id" -> 1000000L))

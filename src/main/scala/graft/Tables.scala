@@ -43,6 +43,10 @@ object Tables {
     * DuckDB's `epoch_us(CAST(ts AS TIMESTAMP))` used by the oracles.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // NOTE: this flips a session-wide legacy conf and leaves it set (the
+    // flag is consulted lazily at scan time, so a set/restore around the
+    // read would race with execution). Side effect: other TIMESTAMP(NANOS)
+    // parquet reads in the session also come back as BIGINT nanos.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

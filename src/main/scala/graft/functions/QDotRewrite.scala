@@ -18,8 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   */
 object QDotRewrite extends Rule[LogicalPlan] {
 
+  /** Only non-nullable elements: with a nullable element the lambda
+    * idiom can yield NULL (null product poisons the sum) where qdot
+    * reads the slot as 0 — rewriting would change results. Mismatched
+    * LENGTHS are safe either way: zip_with's null padding makes the
+    * idiom null, and qdot nulls on mismatch by definition. */
   private def isLongArray(e: Expression) = e.dataType match {
-    case ArrayType(LongType, _) => true
+    case ArrayType(LongType, containsNull) => !containsNull
     case _ => false
   }
 

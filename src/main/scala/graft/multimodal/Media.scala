@@ -48,10 +48,10 @@ object Media {
     implicit val enc = Encoders.product[MediaFeatures]
     ds.mapPartitions { rows =>
       val dec = decoderFactory()
-      new Iterator[MediaFeatures] {
-        def hasNext: Boolean = { val h = rows.hasNext; if (!h) dec.close(); h }
-        def next(): MediaFeatures = dec.decode(rows.next())
-      }
+      // close exactly once at task completion (covers partial consumption)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+      rows.map(dec.decode)
     }
   }
 }

@@ -81,6 +81,10 @@ object Dedup {
     * bucket, with the minhash-estimated Jaccard. The only join is on
     * (band, band-signature) — bucket-local, never all-pairs. */
   def dedupNearMinhash(s: SparkSession, dir: String): DataFrame = {
+    // caching contract: operator-internal caches live until the session
+    // (or caller) clears them — long-lived sessions issuing many ad-hoc
+    // calls should spark.catalog.clearCache() between queries, as the
+    // Bench/Verify harnesses do
     val sig = minhashSig(Tables.documents(s, dir)).cache()
     val bands = (0 until NumBands).map { k =>
       sig.select(col("doc_id"), lit(k).as("band"),
@@ -270,6 +274,9 @@ object Dedup {
       labels = updated
       guard += 1
     }
+    require(!changed,
+      s"dedupClusters: label propagation did not converge in $guard rounds " +
+        "(component diameter exceeds the guard) - raise the round cap")
     labels.groupBy("label").agg(
         count(lit(1)).as("cluster_size"),
         joinedSortedLongs(collect_list(col("doc_id"))).as("members"))

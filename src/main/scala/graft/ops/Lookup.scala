@@ -28,14 +28,11 @@ object Lookup {
       key: T => String)(combine: (T, Option[V]) => R): Dataset[R] =
     ds.mapPartitions { rows =>
       val client = clientFactory()
-      // iterator wrapper so the client closes when the partition drains
-      new Iterator[R] {
-        def hasNext: Boolean = {
-          val h = rows.hasNext
-          if (!h) client.close()
-          h
-        }
-        def next(): R = { val t = rows.next(); combine(t, client.get(key(t))) }
-      }
+      // close exactly once when the TASK completes — also covers partial
+      // consumption (limit/early exit/failure), which a close-on-drain
+      // iterator would leak
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => client.close()))
+      rows.map(t => combine(t, client.get(key(t))))
     }
 }

@@ -35,7 +35,7 @@ object Multimodal {
         expr("element_at(array('image', 'audio', 'video'), CAST(substring(source, 4, 10) AS INT) % 3 + 1)")
           .as("modality"),
         length(col("payload")).cast("long").as("byte_len"),
-        hex(expr("substring(payload, 1, 8)")).as("header_hex"),
+        hex(encode(expr("substring(text, 1, 8)"), "utf-8")).as("header_hex"), // 8 CHARS, matching the oracle's substr
         // STUB decode: real decoders need codec libs absent from this
         // container; deterministic fakes keep the pipeline testable.
         (length(col("payload")) % 640).cast("long").as("fake_width"),

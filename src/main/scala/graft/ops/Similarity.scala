@@ -103,7 +103,9 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  def annLshPairsSql: String =
+  /** Shared hyperplane-bucketing CTE block (e/pl/proj/sigs) used by both
+    * LSH oracle queries — single source of truth for the bucketing SQL. */
+  private def lshCtes: String =
     s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
        |pl AS (SELECT pj, pi,
        |    ${hash60Sql("'p' || CAST(pj AS VARCHAR) || '_' || CAST(pi AS VARCHAR)")} % 2001 - 1000 AS coef
@@ -113,7 +115,10 @@ object Similarity {
        |  FROM e, pl GROUP BY vec_id, pj),
        |sigs AS (SELECT vec_id,
        |    CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << pj) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM proj GROUP BY vec_id)
+       |  FROM proj GROUP BY vec_id)""".stripMargin
+
+  def annLshPairsSql: String =
+    s"""${lshCtes}
        |SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  CAST(list_sum(list_transform(range(1, $Dim + 1), i -> ea.qv[i] * eb.qv[i])) AS BIGINT) AS dot
        |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -144,16 +149,7 @@ object Similarity {
   }
 
   def cosineNearDupSql: String =
-    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
-       |pl AS (SELECT pj, pi,
-       |    ${hash60Sql("'p' || CAST(pj AS VARCHAR) || '_' || CAST(pi AS VARCHAR)")} % 2001 - 1000 AS coef
-       |  FROM (SELECT unnest(range(0, $NumPlanes)) AS pj),
-       |       (SELECT unnest(range(0, $Dim)) AS pi)),
-       |proj AS (SELECT vec_id, pj, sum(qv[pi + 1] * coef) AS proj
-       |  FROM e, pl GROUP BY vec_id, pj),
-       |sigs AS (SELECT vec_id,
-       |    CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << pj) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM proj GROUP BY vec_id),
+    s"""${lshCtes},
        |norms AS (SELECT vec_id,
        |    CAST(list_sum(list_transform(range(1, $Dim + 1), i -> qv[i] * qv[i])) AS BIGINT) AS n2
        |  FROM e),

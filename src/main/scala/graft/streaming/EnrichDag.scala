@@ -250,7 +250,8 @@ object EnrichDag {
     val cemLinks = EnrichState(cemIns.unionByName(linkIns))  // stage B
     val orderInfo = linkOrders(orderIns)             // stage C
     val finalIns = cemLinks
-      .select(col("waybillCode"), col("staticDeliveryTs").as("seq"),
+      .select(col("waybillCode"),
+        coalesce(col("staticDeliveryTs"), lit(999999L)).as("seq"), // bare-CEM rows carry no link ts
         struct(col("*")).as("link"),
         lit(null).cast(Encoders.product[OrderInfo].schema.sql).as("order"))
       .unionByName(orderInfo.select(col("waybillCode"), lit(1000000L).as("seq"),

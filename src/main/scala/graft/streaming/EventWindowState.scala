@@ -82,10 +82,13 @@ object EventWindowState {
       if (buf.windows.isEmpty) state.remove()
       else {
         state.update(buf)
-        // arm a timer at the earliest un-purged window's cleanup time so
-        // fires/purges happen without new data for this key
-        val nextFire = buf.windows.keys.map(st => maxTs(st) + allowedLatenessMs + 1).min
-        state.setTimeoutTimestamp(math.max(nextFire, wm + 1))
+        // arm a timer at the earliest ACTIONABLE moment: un-fired windows
+        // fire at window end (maxTs + 1), already-fired ones only need
+        // their cleanup tick — so quiet keys fire on time, not lateness-late
+        val nextAction = buf.windows.map { case (st, (_, _, pending)) =>
+          if (pending) maxTs(st) + 1 else maxTs(st) + allowedLatenessMs + 1
+        }.min
+        state.setTimeoutTimestamp(math.max(nextAction, wm + 1))
       }
       out.result().iterator
     }

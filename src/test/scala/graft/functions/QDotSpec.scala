@@ -29,32 +29,40 @@ class QDotSpec extends SparkSpec {
     import s.implicits._
     val df = Seq(
       (Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 5L, 6L))),  // 4+10+18 = 32
-      (Some(Seq(1L, 2L)), Some(Seq(3L))),              // shorter wins: 3
-      (None, Some(Seq(1L))),                           // null
+      (Some(Seq(1L, 2L)), Some(Seq(3L))),              // length mismatch -> null
+      (None, Some(Seq(1L))),                           // null input -> null
       (Some(Seq.empty[Long]), Some(Seq.empty[Long]))). // 0
       toDF("a", "b")
     val out = df.select(QDot(col("a"), col("b")).as("d")).collect().map(r =>
       if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    assert(out.toSeq == Seq(Some(32L), Some(3L), None, Some(0L)))
+    // mismatch is null, matching the zip_with idiom's null padding
+    assert(out.toSeq == Seq(Some(32L), None, None, Some(0L)))
   }
 
   test("QDotRewrite: lambda dot-product idiom optimizes to native qdot") {
     val s = spark
     import s.implicits._
     // parquet-backed input (a LocalRelation would be constant-folded
-    // away before user-provided optimizer rules run)
+    // away before user-provided optimizer rules run); containsNull=false
+    // elements (the rewrite refuses nullable elements, where the lambda
+    // idiom's null semantics differ from qdot's)
+    val nonNullArr = "transform(sequence(1, 64), i -> i * (coalesce(vec_id, 0) + 1)) AS a"
     val q = graft.Tables.embeddings(s, "/root/testdata/sf0.001")
-      .selectExpr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS a")
+      .selectExpr(nonNullArr)
       .selectExpr("aggregate(zip_with(a, a, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS d")
     val optimized = q.queryExecution.optimizedPlan.toString
     assert(optimized.contains("qdot"), s"rewrite did not fire:\n$optimized")
     assert(!optimized.contains("zip_with"))
     assert(q.count() == 500)
-    // guard: a non-matching shape (zero = 1L) must NOT be rewritten
-    val other = graft.Tables.embeddings(s, "/root/testdata/sf0.001")
-      .selectExpr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS a")
+    // guards that must NOT rewrite: wrong zero, and nullable elements
+    val wrongZero = graft.Tables.embeddings(s, "/root/testdata/sf0.001")
+      .selectExpr(nonNullArr)
       .selectExpr("aggregate(zip_with(a, a, (x, y) -> x * y), 1L, (acc, v) -> acc + v) AS d")
-    assert(!other.queryExecution.optimizedPlan.toString.contains("qdot"))
+    assert(!wrongZero.queryExecution.optimizedPlan.toString.contains("qdot"))
+    val nullable = graft.Tables.embeddings(s, "/root/testdata/sf0.001")
+      .selectExpr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS a")
+      .selectExpr("aggregate(zip_with(a, a, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS d")
+    assert(!nullable.queryExecution.optimizedPlan.toString.contains("qdot"))
   }
 
   test("qdot registered in SQL via GraftExtensions") {
