@@ -236,14 +236,33 @@ object Dedup {
 
   // ---- near-dup clusters (connected components) -----------------------
 
+  /** Edge-count threshold below which the materialized pair graph is
+    * resolved by a single executor task (union-find) instead of the
+    * distributed propagation loop. 4M edges ≈ 64 MB of (long, long) —
+    * comfortably one task. The pair graph is orders of magnitude smaller
+    * than the corpus (only near-dup survivors), so even multi-TB corpora
+    * often land under this; the distributed loop is the path beyond it. */
+  private val SmallGraphMaxEdges = 4L * 1024 * 1024
+
   /** Resolve near-dup candidate pairs into CLUSTERS with a canonical
     * (minimum) doc id — the step that turns pair detection into actual
-    * deduplication. Undirected connected components via min-label
-    * propagation: each round every node adopts the smallest label among
-    * itself and its neighbors; converges in O(graph diameter) rounds
-    * (near-dup clusters are tiny, so 2–3). Each round is one shuffle-join
-    * — the standard large-graph CC shape (no driver-side graph). */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    * deduplication. Two size-gated strategies over the ONE materialized
+    * pair graph:
+    *   - small graph (≤ [[SmallGraphMaxEdges]], known exactly from the
+    *     checkpoint): union-find inside a single executor task — one job,
+    *     no per-round shuffles;
+    *   - large graph: undirected connected components via min-label
+    *     propagation. Each round every node adopts the smallest label among
+    *     itself and its neighbors — ONE Spark job per round (the convergence
+    *     signature rides on the same action that materializes the round),
+    *     two shuffles (message join + groupBy-min), converging in
+    *     O(graph diameter) rounds (near-dup clusters are tiny, so 2–3).
+    * Both paths produce identical labels (DedupSpec asserts it). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersImpl(s, dir, SmallGraphMaxEdges)
+
+  private[graft] def dedupClustersImpl(
+      s: SparkSession, dir: String, smallGraphMaxEdges: Long): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus:
     // materialize it ONCE (localCheckpoint truncates the expensive
     // pair-generation lineage) and shrink to a few partitions so each
@@ -252,36 +271,81 @@ object Dedup {
     // upstream pair join itself.
     val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
       .repartition(4).localCheckpoint(true)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
-    var changed = true
-    var guard = 0
-    while (changed && guard < 20) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min("label").as("nlabel"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true) // one materialization per round, no lineage growth
-      changed = updated.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels = updated
-      guard += 1
-    }
-    require(!changed,
-      s"dedupClusters: label propagation did not converge in $guard rounds " +
-        "(component diameter exceeds the guard) - raise the round cap")
+    val labels =
+      if (pairs.count() <= smallGraphMaxEdges) unionFindLabels(s, pairs)
+      else propagateLabels(pairs)
     labels.groupBy("label").agg(
         count(lit(1)).as("cluster_size"),
         joinedSortedLongs(collect_list(col("doc_id"))).as("members"))
       .select(col("label").as("cluster_id"), col("cluster_size"), col("members"))
       .orderBy("cluster_id")
+  }
+
+  /** Small-graph path: classic union-find with path compression in ONE
+    * executor task (not the driver). Output: (doc_id, label=min of its
+    * component). */
+  private def unionFindLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    pairs.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        else { parent.getOrElseUpdate(ra, ra); () }
+      }
+      val nodes = parent.keySet ++ parent.values
+      val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+      nodes.foreach { n =>
+        val r = find(n)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), n)
+      }
+      nodes.iterator.map(n => (n, minOfRoot(find(n))))
+    }.toDF("doc_id", "label")
+  }
+
+  /** Large-graph path: min-label propagation, one job per round. The
+    * convergence check is a monotonicity argument — labels only ever
+    * decrease, so the (sum, count) signature is unchanged iff NO label
+    * changed — computed by the same action that materializes the round. */
+  private def propagateLabels(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .persist()
+    var prevSig: (String, Long) = null
+    var converged = false
+    var guard = 0
+    while (!converged && guard < 20) {
+      val msgs = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("label"))
+        .unionByName(labels.select("doc_id", "label"))
+      val updated = msgs.groupBy("doc_id").agg(min("label").as("label")).persist()
+      val row = updated.agg( // this ONE action materializes the round's cache
+        sum(col("label").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("c")).head()
+      val sig = (Option(row.getDecimal(0)).fold("0")(_.toString), row.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+      labels.unpersist()
+      labels = updated
+      guard += 1
+    }
+    require(converged,
+      s"dedupClusters: label propagation did not converge in $guard rounds " +
+        "(component diameter exceeds the guard) - raise the round cap")
+    edges.unpersist()
+    labels
   }
 
   /** DuckDB oracle: transitive closure via WITH RECURSIVE, then the

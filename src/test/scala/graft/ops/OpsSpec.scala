@@ -90,6 +90,19 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.2, s"IVF recall $recall vs brute force")
   }
 
+  test("dedup_clusters: distributed propagation path equals union-find fast path") {
+    val s = spark
+    import s.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cluster_id", $"cluster_size", $"members")
+        .as[(Long, Long, String)].collect().toSeq
+    // threshold -1 forces the large-graph min-label-propagation branch
+    val distributed = rows(Dedup.dedupClustersImpl(s, dir, -1L))
+    val fastPath = rows(Dedup.dedupClustersImpl(s, dir, Long.MaxValue))
+    assert(distributed.nonEmpty, "fixture should contain near-dup clusters")
+    assert(distributed == fastPath)
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val s = spark
     import s.implicits._
