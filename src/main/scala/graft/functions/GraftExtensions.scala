@@ -19,10 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("qdot"),
       new ExpressionInfo(classOf[QDot].getName, "qdot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 2, "qdot(arrayA, arrayB) takes exactly 2 arguments")
-        QDot(children.head, children(1))
-      }))
+      QDot.builder))
   }
 }
 
@@ -33,11 +30,6 @@ object GraftExtensions {
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit =
     if (!spark.catalog.functionExists("qdot")) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "qdot",
-        (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-          require(es.length == 2, "qdot(arrayA, arrayB) takes exactly 2 arguments")
-          QDot(es.head, es(1))
-        },
-        "built-in")
+        "qdot", QDot.builder, "built-in")
     }
 }

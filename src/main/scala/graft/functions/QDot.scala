@@ -15,10 +15,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * ArrayData (no lambda-function call overhead per element, no
   * intermediate zipped array allocation), which is the preference order
   * the engine contract sets: native Expression > composed lambdas > UDF.
+  *
   * Null semantics: null if either side is null (standard binary
-  * expression), error-free on length mismatch (stops at the shorter).
+  * expression), and null on LENGTH MISMATCH — matching the
+  * zip_with+aggregate lambda idiom, whose null padding poisons the sum
+  * (QDotRewrite's safety argument relies on this equivalence).
+  *
+  * Overflow semantics follow `failOnError` (the session's ANSI flag at
+  * construction): wrapping int64 arithmetic when false (legacy mode),
+  * Spark's ARITHMETIC_OVERFLOW error when true — so the expression is
+  * interchangeable with the ANSI-mode lambda idiom too.
   */
-case class QDot(left: Expression, right: Expression)
+case class QDot(left: Expression, right: Expression, failOnError: Boolean = false)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -44,9 +52,18 @@ case class QDot(left: Expression, right: Expression)
       val n = a.numElements()
       var acc = 0L
       var i = 0
-      while (i < n) {
-        acc += a.getLong(i) * b.getLong(i)
-        i += 1
+      if (failOnError) {
+        while (i < n) {
+          acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(acc,
+            org.apache.spark.sql.catalyst.util.MathUtils.multiplyExact(
+              a.getLong(i), b.getLong(i)))
+          i += 1
+        }
+      } else {
+        while (i < n) {
+          acc += a.getLong(i) * b.getLong(i)
+          i += 1
+        }
       }
       acc
     }
@@ -57,6 +74,12 @@ case class QDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val mu = "org.apache.spark.sql.catalyst.util.MathUtils"
+      val step =
+        if (failOnError)
+          s"$acc = $mu.addExact($acc, $mu.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else
+          s"$acc += $a.getLong($i) * $b.getLong($i);"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -64,7 +87,7 @@ case class QDot(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |    $step
          |  }
          |  ${ev.value} = $acc;
          |}
@@ -83,4 +106,13 @@ object QDot {
     * GraftExtensions (Column↔Expression bridges are private[sql] in
     * Spark 4, so the public path is the function registry). */
   def apply(a: Column, b: Column): Column = call_function("qdot", a, b)
+
+  /** Registry builder shared by GraftExtensions and ensure(): overflow
+    * behavior follows the session's ANSI setting at analysis time. */
+  private[functions] val builder:
+      Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "qdot(arrayA, arrayB) takes exactly 2 arguments")
+    QDot(children.head, children(1),
+      failOnError = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+  }
 }

@@ -28,23 +28,34 @@ object QDotRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** (x, y) -> x * y over exactly the lambda's own variables. */
-  private def isMulLambda(f: Expression): Boolean = f match {
-    case LambdaFunction(Multiply(l: NamedExpression, r: NamedExpression, _),
-                        Seq(x: NamedExpression, y: NamedExpression), _) =>
-      (l.exprId == x.exprId && r.exprId == y.exprId) ||
-        (l.exprId == y.exprId && r.exprId == x.exprId)
-    case _ => false
+  /** (x, y) -> x * y over exactly the lambda's own variables; yields the
+    * multiply's eval mode so the rewrite can preserve it. */
+  private def mulMode(f: Expression): Option[EvalMode.Value] = f match {
+    case LambdaFunction(Multiply(l: NamedExpression, r: NamedExpression, mode),
+                        Seq(x: NamedExpression, y: NamedExpression), _)
+        if (l.exprId == x.exprId && r.exprId == y.exprId) ||
+          (l.exprId == y.exprId && r.exprId == x.exprId) => Some(mode.evalMode)
+    case _ => None
   }
 
   /** (acc, v) -> acc + v over exactly the lambda's own variables. */
-  private def isAddLambda(f: Expression): Boolean = f match {
-    case LambdaFunction(Add(l: NamedExpression, r: NamedExpression, _),
-                        Seq(acc: NamedExpression, v: NamedExpression), _) =>
-      (l.exprId == acc.exprId && r.exprId == v.exprId) ||
-        (l.exprId == v.exprId && r.exprId == acc.exprId)
-    case _ => false
+  private def addMode(f: Expression): Option[EvalMode.Value] = f match {
+    case LambdaFunction(Add(l: NamedExpression, r: NamedExpression, mode),
+                        Seq(acc: NamedExpression, v: NamedExpression), _)
+        if (l.exprId == acc.exprId && r.exprId == v.exprId) ||
+          (l.exprId == v.exprId && r.exprId == acc.exprId) => Some(mode.evalMode)
+    case _ => None
   }
+
+  /** Mode under which the rewrite is semantics-preserving: multiply and
+    * add agree, and it is LEGACY (QDot wraps) or ANSI (QDot raises
+    * ARITHMETIC_OVERFLOW via failOnError). TRY — where overflow yields
+    * NULL — is left to the lambda form rather than silently changed. */
+  private def rewriteMode(mergeFn: Expression, aggFn: Expression): Option[EvalMode.Value] =
+    (mulMode(mergeFn), addMode(aggFn)) match {
+      case (Some(m1), Some(m2)) if m1 == m2 && m1 != EvalMode.TRY => Some(m1)
+      case _ => None
+    }
 
   private def isZeroL(e: Expression): Boolean = e match {
     case Literal(0L, LongType) => true
@@ -61,8 +72,8 @@ object QDotRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(ZipWith(a, b, mergeFn), zero, aggFn, finishFn)
-          if isLongArray(a) && isLongArray(b) && isMulLambda(mergeFn) &&
-            isZeroL(zero) && isAddLambda(aggFn) && isIdentity(finishFn) =>
-        QDot(a, b)
+          if isLongArray(a) && isLongArray(b) && isZeroL(zero) &&
+            isIdentity(finishFn) && rewriteMode(mergeFn, aggFn).isDefined =>
+        QDot(a, b, failOnError = rewriteMode(mergeFn, aggFn).contains(EvalMode.ANSI))
     }
 }

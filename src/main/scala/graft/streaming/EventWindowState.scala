@@ -82,11 +82,14 @@ object EventWindowState {
       if (buf.windows.isEmpty) state.remove()
       else {
         state.update(buf)
-        // arm a timer at the earliest ACTIONABLE moment: un-fired windows
-        // fire at window end (maxTs + 1), already-fired ones only need
-        // their cleanup tick — so quiet keys fire on time, not lateness-late
+        // arm a timer at the earliest ACTIONABLE moment. Spark fires an
+        // EventTimeTimeout only when the watermark STRICTLY exceeds the
+        // armed timestamp, and the fire/purge conditions are
+        // maxTs <= wm / maxTs + lateness <= wm — so arm one ms BELOW the
+        // Flink action point: the timeout then fires at exactly the first
+        // watermark that satisfies the condition, not one step later.
         val nextAction = buf.windows.map { case (st, (_, _, pending)) =>
-          if (pending) maxTs(st) + 1 else maxTs(st) + allowedLatenessMs + 1
+          if (pending) maxTs(st) - 1 else maxTs(st) + allowedLatenessMs - 1
         }.min
         state.setTimeoutTimestamp(math.max(nextAction, wm + 1))
       }

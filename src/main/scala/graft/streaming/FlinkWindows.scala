@@ -105,12 +105,17 @@ object FlinkWindows {
     }
 
     events.foreach { e =>
-      if (e.ts + gapMs - 1 <= watermark) late += e
+      val ss = sessions.getOrElseUpdate(e.key, mutable.ArrayBuffer[Sess]())
+      val s = Sess(e.ts, e.ts + gapMs, mutable.ArrayBuffer(e.value))
+      // merge every overlapping session (TimeWindow.intersects semantics)
+      val overlapping = ss.filter(o => s.start <= o.end && o.start <= s.end)
+      // Flink applies the lateness test to the POST-merge window
+      // (WindowOperator: mergeWindows first, then isWindowLate on the
+      // actual window): an event whose own gap window has passed the
+      // watermark is KEPT when it merges into a still-open session.
+      val mergedEnd = (s.end +: overlapping.map(_.end).toSeq).max
+      if (mergedEnd - 1 <= watermark) late += e
       else {
-        val ss = sessions.getOrElseUpdate(e.key, mutable.ArrayBuffer[Sess]())
-        val s = Sess(e.ts, e.ts + gapMs, mutable.ArrayBuffer(e.value))
-        // merge every overlapping session (TimeWindow.intersects semantics)
-        val overlapping = ss.filter(o => s.start <= o.end && o.start <= s.end)
         overlapping.foreach { o =>
           s.start = Math.min(s.start, o.start)
           s.end = Math.max(s.end, o.end)

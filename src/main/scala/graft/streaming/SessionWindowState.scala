@@ -54,7 +54,10 @@ object SessionWindowState {
       if (sessions.isEmpty) state.remove()
       else {
         state.update(Buf(sessions))
-        state.setTimeoutTimestamp(math.max(sessions.map(_._2).min, wm + 1))
+        // fire condition is end - 1 <= wm and Spark's timeout fires only
+        // when wm STRICTLY exceeds the armed timestamp → arm at end - 2
+        // so quiet keys fire at exactly wm = end - 1 (the Flink point)
+        state.setTimeoutTimestamp(math.max(sessions.map(_._2).min - 2, wm + 1))
       }
       out.result().iterator
     }

@@ -65,6 +65,29 @@ class QDotSpec extends SparkSpec {
     assert(!nullable.queryExecution.optimizedPlan.toString.contains("qdot"))
   }
 
+  test("qdot overflow: ANSI raises, legacy wraps, TRY is never rewritten") {
+    val s = spark
+    // Spark 4 defaults ANSI on; the registry builder captures the session
+    // flag at analysis time, so the SQL form must raise on long overflow
+    assert(s.conf.get("spark.sql.ansi.enabled") == "true")
+    val err = intercept[Exception](
+      s.sql(s"SELECT qdot(array(${Long.MaxValue}L), array(2L))").collect())
+    assert(err.getMessage.toUpperCase.contains("ARITHMETIC_OVERFLOW") ||
+      err.getMessage.toLowerCase.contains("overflow"), err.getMessage)
+    try {
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val wrapped = s.sql(s"SELECT qdot(array(${Long.MaxValue}L), array(2L)) AS d")
+        .collect().head.getLong(0)
+      assert(wrapped == Long.MaxValue * 2L) // wraps to -2
+    } finally s.conf.set("spark.sql.ansi.enabled", "true")
+    // TRY-mode lambdas (overflow -> NULL) have no qdot equivalent: the
+    // optimizer rewrite must leave them alone
+    val tryQ = graft.Tables.embeddings(s, "/root/testdata/sf0.001")
+      .selectExpr("transform(sequence(1, 8), i -> i * (coalesce(vec_id, 0) + 1)) AS a")
+      .selectExpr("aggregate(zip_with(a, a, (x, y) -> try_multiply(x, y)), 0L, (acc, v) -> try_add(acc, v)) AS d")
+    assert(!tryQ.queryExecution.optimizedPlan.toString.contains("qdot"))
+  }
+
   test("qdot registered in SQL via GraftExtensions") {
     // SparkSpec's session is built withExtensions(new GraftExtensions)
     val res = spark.sql("SELECT qdot(array(1L, 2L), array(10L, 20L)) AS d")

@@ -53,6 +53,39 @@ class EventWindowStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quiet key fires when the watermark reaches window end (timer one below fire point)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(String, Long, Long)] // key, value, epochSec
+    val evs = input.toDS()
+      .select(col("_1").as("key"), col("_2").as("value"),
+        timestamp_seconds(col("_3")).as("ts"))
+      .withWatermark("ts", "2 seconds")
+      .as[Ev]
+    val q = EventWindowState.tumbling(evs, sizeMs = 3000L)
+      .writeStream.format("memory").queryName("ews_quiet")
+      .outputMode("append").start()
+    try {
+      // "q" fills [0,3000) (maxTs 2999) and then goes QUIET — only its
+      // armed EventTimeTimeout can fire it
+      input.addData(("q", 1L, 1L), ("q", 2L, 2L))
+      q.processAllAvailable()
+      // event at t=5s sets wm to exactly 3000 ms (5s - 2s delay) at batch
+      // end; the next batch runs with wm == window end. Spark fires a
+      // timeout only when wm STRICTLY exceeds the armed ts, so arming at
+      // maxTs (2999) fires here; arming at maxTs+1 would fire a step late.
+      input.addData(("w", 9L, 5L))
+      q.processAllAvailable()
+      input.addData(("w", 8L, 5L)) // same ts: wm stays 3000
+      q.processAllAvailable()
+      val fired = s.table("ews_quiet").as[WinOut].collect().toVector
+        .filter(w => w.kind == "fire" && w.key == "q")
+      assert(fired.exists(w => w.windowStart == 0L && w.sum == 3L && w.count == 2L),
+        s"quiet key did not fire at wm == window end: $fired")
+    } finally q.stop()
+  }
+
   test("batch mode: the late path emits tagged side-output rows") {
     val s = spark
     import s.implicits._

@@ -106,4 +106,25 @@ class FlinkWindowsSpec extends AnyFunSuite {
       Fired("b", 15000L, 17000L, 5, 1)))
     assert(r.late.isEmpty)
   }
+
+  /** Flink's WindowOperator merges FIRST, then applies isWindowLate to the
+    * post-merge window: an out-of-order event whose own gap window has
+    * passed the watermark is KEPT when it overlaps a still-open session,
+    * and only dropped when no open session absorbs it. */
+  test("session lateness is judged post-merge, not on the event's own window") {
+    val events = Seq(
+      Event("a", 1, 1000L, -1L),   // session [1000,3000)
+      Event("a", 2, 6000L, 2500L), // wm 2500; [1000,3000) still open (2999 > 2500)
+      Event("a", 3, 400L, -1L),    // own window [400,2400) end-1=2399 <= wm,
+                                   // but merges into open [1000,3000) → KEPT
+      Event("a", 9, 300L, -1L),    // chains onto the merged [400,3000) → KEPT
+      Event("b", 5, 100L, -1L),    // own window late, no open session → late output
+      Event("a", 4, 10000L, 6000L)) // wm 6000 fires merged [300,3000)=13
+    val r = session(events, gapMs = 2000L)
+    assert(r.fired == Vector(
+      Fired("a", 300L, 3000L, 13, 3),
+      Fired("a", 6000L, 8000L, 2, 1),
+      Fired("a", 10000L, 12000L, 4, 1)))
+    assert(r.late.map(_.value) == Vector(5))
+  }
 }
