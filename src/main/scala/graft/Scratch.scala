@@ -2,9 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 /** Throwaway environment probe (kept minimal between uses).
   * Usage: runMain graft.Scratch <sfDir> <query>... — times each named
-  * SparkEntry query with the same warm-up + clearCache protocol as Bench. */
+  * SparkEntry query with the same warm-up + clearCache protocol as Bench.
+  * Or:    runMain graft.Scratch dump <sfDir> <outDir> <query>... — Verify
+  * for a subset: writes each named query's parquet + a filtered
+  * oracle_sql.json so tools/oracle_check.py checks just those queries. */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dump")) return dump(args.drop(1))
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
@@ -24,6 +28,34 @@ object Scratch {
       println(f"TIMING $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$rows")
       spark.catalog.clearCache()
     }
+    spark.stop()
+  }
+
+  private def dump(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, names @ _*) = args
+    val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+      spark.catalog.clearCache()
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.view.filterKeys(names.contains)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

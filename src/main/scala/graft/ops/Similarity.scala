@@ -168,21 +168,86 @@ object Similarity {
   private val NumCentroids = 16
   private val NProbe = 4
   private val IvfTopK = 3
+  private val LloydIters = 3
+
+  /** Lloyd-trained codebook: `LloydIters` deterministic k-means passes
+    * over the quantized vectors.
+    *
+    *   - Init: the `NumCentroids` vectors ranked first by
+    *     hash60('seed_'||vec_id) — a deterministic pseudo-random sample
+    *     (k-means++-style seeding would need sequential dependent draws;
+    *     a hash-ranked sample is order-free so both engines agree).
+    *   - Update: element-wise floor(mean) in exact int64. Floor division
+    *     is spelled `(sm - pmod(sm, cnt)) div cnt` so the numerator is
+    *     exactly divisible — truncating and flooring division coincide
+    *     and Spark/DuckDB agree bit-for-bit, negatives included.
+    *   - Empty clusters keep their previous coordinates.
+    *
+    * The codebook is metadata-sized (NumCentroids×Dim int64 ≈ 8 KB), so
+    * each pass collects it to the driver and re-broadcasts — the same
+    * discipline as MLlib's distributed k-means; the per-pass assignment
+    * over the corpus stays fully distributed (broadcast cross of 16
+    * centroids, map-side-combinable aggregation). At 100 TB you'd train
+    * on a sample; the pass structure is unchanged.
+    */
+  private def trainedCentroids(s: SparkSession, emb: DataFrame): Seq[(Long, Seq[Long])] = {
+    import s.implicits._
+    import graft.functions.QDot
+    val seeds = emb
+      .select(col("vec_id"), col("qv"),
+        hash60(concat(lit("seed_"), col("vec_id"))).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(NumCentroids)
+      .collect() // TakeOrderedAndProject: distributed top-k, NumCentroids rows
+    var cents: Seq[(Long, Seq[Long])] =
+      seeds.zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1).toSeq) }.toSeq
+    for (_ <- 1 to LloydIters) {
+      val cdf = broadcast(cents.toDF("cent_id", "cv"))
+      val assigned = emb.crossJoin(cdf)
+        .select(col("vec_id"), col("qv"), col("cent_id"),
+          (QDot(col("qv"), col("qv")) - lit(2) * QDot(col("qv"), col("cv"))
+            + QDot(col("cv"), col("cv"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cent_id"), col("qv")), struct(col("d2"), col("cent_id"))).as("m"))
+        .select(col("m.cent_id").as("list_id"), col("m.qv").as("qv"))
+      val stats = assigned
+        .select(col("list_id"), posexplode(col("qv")).as(Seq("pi", "v")))
+        .groupBy("list_id", "pi")
+        .agg(sum("v").as("sm"), count(lit(1)).as("cnt"))
+        .select(col("list_id"), col("pi"),
+          expr("(sm - pmod(sm, cnt)) div cnt").as("cf"))
+        .collect() // ≤ NumCentroids×Dim rows — codebook-sized metadata
+      val byList = stats.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, prev) =>
+        byList.get(cid) match {
+          case Some(rows) => (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+          case None       => (cid, prev)
+        }
+      }
+    }
+    cents
+  }
 
   /** IVF top-k: vectors are partitioned into inverted lists by nearest
     * centroid; a query probes only the `NProbe` closest lists, so the
     * scan touches ~NProbe/NumCentroids of the corpus instead of all of
-    * it. Centroids here are a fixed deterministic subset (vec_id <
-    * NumCentroids) standing in for an externally-trained codebook —
-    * the assignment/probe machinery is the real IVF shape. All distance
-    * arithmetic is exact int64 (L2² = |v|² - 2·v·c + |c|² via qdot), so
-    * ties break deterministically on centroid/vec id. */
+    * it. The codebook is Lloyd-trained (see [[trainedCentroids]]) with
+    * deterministic seeding and exact-int64 updates so the DuckDB oracle
+    * reproduces it bit-for-bit. All distance arithmetic is exact int64
+    * (L2² = |v|² - 2·v·c + |c|² via qdot), so ties break
+    * deterministically on centroid/vec id. */
   def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     import graft.functions.QDot
+    val embT = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quantExpr).as("qv")).persist()
+    val centRows =
+      try trainedCentroids(s, embT)
+      finally embT.unpersist(false) // training collects are done; no cache outlives the call
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(quantExpr).as("qv"))
-    val cents = emb.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
+    val cents = broadcast(centRows.toDF("cent_id", "cv")
+      .select(col("cent_id"), col("cv")))
     // assignment: nearest centroid by exact L2² (16 candidates, broadcast)
     val dists = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("cent_id"),
@@ -224,8 +289,37 @@ object Similarity {
       dotQ.replace("a[i] * b[i]", s"$a[i] * $a[i]") +
         s" - 2 * ${dotQ.replace("a[i] * b[i]", s"$a[i] * $b[i]")}" +
         s" + ${dotQ.replace("a[i] * b[i]", s"$b[i] * $b[i]")}"
+    // Lloyd training unrolled: c0 = hash-ranked seed sample; each pass k
+    // assigns (a_k), sums per (list, dim) (s_k), and rebuilds the codebook
+    // (c_k) with exact-int64 floor-division means and empty-cluster
+    // carryover — the SQL twin of trainedCentroids above.
+    val seedH = graft.ops.Prims.hash60Sql("'seed_' || CAST(vec_id AS VARCHAR)")
+    val lloyd = (1 to LloydIters).map { k =>
+      s"""a$k AS (
+         |  SELECT vec_id, cent_id AS list_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${d2("e.qv", "c.cv")}, c.cent_id) AS rn
+         |    FROM e, c${k - 1} c) WHERE rn = 1),
+         |s$k AS (
+         |  SELECT a$k.list_id, p.pi, sum(e.qv[p.pi]) AS sm, count(*) AS cnt
+         |  FROM a$k, e, (SELECT unnest(range(1, ${Dim + 1})) AS pi) p
+         |  WHERE a$k.vec_id = e.vec_id
+         |  GROUP BY a$k.list_id, p.pi),
+         |c$k AS (
+         |  SELECT p.cent_id, coalesce(n.cv, p.cv) AS cv
+         |  FROM c${k - 1} p LEFT JOIN (
+         |    SELECT list_id AS cent_id,
+         |      list((sm - ((sm % cnt) + cnt) % cnt) // cnt ORDER BY pi) AS cv
+         |    FROM s$k GROUP BY list_id) n USING (cent_id))""".stripMargin
+    }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
-       |cents AS (SELECT vec_id AS cent_id, qv AS cv FROM e WHERE vec_id < $NumCentroids),
+       |c0 AS (
+       |  SELECT CAST(rn - 1 AS BIGINT) AS cent_id, qv AS cv FROM (
+       |    SELECT qv, row_number() OVER (ORDER BY $seedH, vec_id) AS rn FROM e)
+       |  WHERE rn <= $NumCentroids),
+       |$lloyd,
+       |cents AS (SELECT cent_id, cv FROM c$LloydIters),
        |assigned AS (
        |  SELECT vec_id, cent_id AS list_id FROM (
        |    SELECT e.vec_id, cent_id,
