@@ -11,7 +11,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * `writeStream.format("kafka")` configuration the reference's producer
   * used, and the ES sink isolates the BULK BATCHING machinery (the part
   * with engine semantics) behind a transport function so tests can run it
-  * against an in-memory transport. Spark's kafka sink is at-least-once;
+  * against an in-memory transport. Index administration (K6 — the
+  * reference's exists/delete/create + mapping template,
+  * main/HelloWorldFlink.java:62-117) is catalog DDL, not an operator:
+  * docs/K6-es-index-admin.md gives the mapping ≈ schema translation.
+  * Spark's kafka sink is at-least-once;
   * the reference's EXACTLY_ONCE txn producer maps to idempotent-by-docId
   * upserts downstream (SURVEY §7.4(3)) — which is what the ES sink does.
   */
@@ -45,21 +49,13 @@ object Sinks {
     * Used via foreachBatch → effectively-once by idempotent docId. */
   final class EsBulkSink(index: String, idCol: String, bulkActions: Int,
                          transport: Seq[Upsert] => Unit) extends Serializable {
+    /** Default path: executor-side per-partition bulks — each partition
+      * builds and ships its own ≤ `bulkActions` bulks where the data
+      * lives (the 100 TB shape: no driver collect, per-partition
+      * BulkProcessor just like the reference's per-sink-instance one).
+      * `transport` runs on executors, so it must be serializable and
+      * must not capture driver-only state. */
     def write(batch: DataFrame): Unit = {
-      val idx = index
-      val actions = batch
-        .select(col(idCol).cast("string").as("id"),
-          to_json(struct(batch.columns.map(col): _*)).as("doc"))
-        .collect() // per-micro-batch driver-side bulk build, as the
-                   // reference's per-sink-instance BulkProcessor does;
-                   // at scale use foreachPartition with a per-partition
-                   // transport (same grouping logic, executor-side)
-        .map(r => Upsert(idx, r.getString(0), r.getString(1)))
-      actions.grouped(bulkActions).foreach(g => transport(g.toSeq))
-    }
-
-    /** Executor-side variant: per-partition bulks (the 100 TB path). */
-    def writeDistributed(batch: DataFrame): Unit = {
       val idx = index; val n = bulkActions; val t = transport
       batch
         .select(col(idCol).cast("string").as("id"),
@@ -68,6 +64,19 @@ object Sinks {
           rows.map(r => Upsert(idx, r.getString(0), r.getString(1)))
             .grouped(n).foreach(t)
         }
+    }
+
+    /** Driver-side helper for METADATA-SIZED batches only (debug dumps,
+      * tiny dimension flushes): collects the micro-batch to the driver,
+      * so it must never sit on the scale path — use [[write]] there. */
+    def writeSmallBatchOnDriver(batch: DataFrame): Unit = {
+      val idx = index
+      val actions = batch
+        .select(col(idCol).cast("string").as("id"),
+          to_json(struct(batch.columns.map(col): _*)).as("doc"))
+        .collect()
+        .map(r => Upsert(idx, r.getString(0), r.getString(1)))
+      actions.grouped(bulkActions).foreach(g => transport(g.toSeq))
     }
   }
 

@@ -62,6 +62,59 @@ object Synth {
       concat(lit("Order"), lpad(col("value").cast("string"), 10, "0")).as("orderId"),
       waybillCode(col("value")).as("waybillCode"))
 
+  /** seeded variant of [[pseudo]] so two fields of one row don't correlate. */
+  private def pseudoS(c: org.apache.spark.sql.Column, seed: String, lo: Int, hi: Int) =
+    (pmod(abs(hash(c, lit(seed))), lit(hi - lo + 1)) + lo)
+
+  /** product name = "类别" + one of A..G (reference: ProductSource.java:21,
+    * ProductSaleSource.java:17 — RandomStringUtils.random(1, "ABCDEFG")). */
+  private def productName(c: org.apache.spark.sql.Column, seed: String) =
+    concat(lit("类别"),
+      element_at(split(lit("A,B,C,D,E,F,G"), ","),
+        (pseudoS(c, seed, 0, 6) + 1).cast("int")))
+
+  /** S4: WaybillM — pickup/delivery dates relative to the counter's tick
+    * timestamp (reference: WaybillMSource.java:21-31 — now + 1..9 days
+    * pickup, now + 1..4 days delivery). */
+  def waybillM(counter: DataFrame): DataFrame =
+    counter.select(
+      waybillCode(col("value")).as("waybillCode"),
+      timestamp_seconds(unix_seconds(col("timestamp"))
+        + pseudoS(col("value"), "pickup", 1, 9) * 86400L).as("pickupDate"),
+      timestamp_seconds(unix_seconds(col("timestamp"))
+        + pseudoS(col("value"), "delivery", 1, 4) * 86400L).as("deliveryDate"))
+
+  /** S4: Order — "Order" + lpad(n) at the tick time (reference:
+    * OrderSource.java:14-22). */
+  def orderSrc(counter: DataFrame): DataFrame =
+    counter.select(
+      concat(lit("Order"), lpad(col("value").cast("string"), 10, "0")).as("orderCode"),
+      col("timestamp").as("createTime"))
+
+  /** S4: ProductIncome — category name + income in [100, 2999]
+    * (reference: ProductSource.java:19-24; summary/detail stay unset at
+    * the source — they're filled by downstream aggregation). */
+  def productIncome(counter: DataFrame): DataFrame =
+    counter.select(
+      productName(col("value"), "pname_i").as("productName"),
+      pseudoS(col("value"), "income", 100, 2999).cast("int").as("income"))
+
+  /** S4: ProductSale — category name + sale rate in [0.5, 1) with 1e-4
+    * resolution (reference: ProductSaleSource.java:16-26 —
+    * RandomUtils.nextDouble(0.5, 1)). Reference interval is 5 s vs the
+    * 1 s base tick: feed `every(counter, 5)` to model that. */
+  def productSale(counter: DataFrame): DataFrame =
+    counter.select(
+      productName(col("value"), "pname_s").as("productName"),
+      (lit(0.5) + pseudoS(col("value"), "sale", 0, 4999).cast("double") / 10000.0)
+        .as("sale"))
+
+  /** Interval thinning: a generator whose reference interval is n× the
+    * base tick (e.g. ProductSaleSource's 5 s vs 1 s) keeps every n-th
+    * counter value — a narrow filter, works on batch and rate streams. */
+  def every(counter: DataFrame, n: Int): DataFrame =
+    counter.filter(pmod(col("value"), lit(n)) === 0)
+
   /** S3/S5 streaming counter: rate source, `rowsPerSecond` = 1/interval,
     * `numPartitions` = the reference's setParallelism. */
   def rateCounter(spark: SparkSession, rowsPerSecond: Int, numPartitions: Int): DataFrame =

@@ -25,6 +25,40 @@ class IoSpec extends SparkSpec {
     assert(rl.groupBy("waybillCode").count().filter("count <> 5").count() == 0)
   }
 
+  test("S4 generator tail: waybillM / order / productIncome / productSale rules") {
+    val s = spark
+    import s.implicits._
+    val c = Synth.batchCounter(spark, 20)
+    // waybillM: pickup +1..9 days, delivery +1..4 days from the tick
+    // (WaybillMSource.java:21-31); recover the tick from the code's counter
+    val wm = Synth.waybillM(c)
+      .withColumn("n", expr("CAST(substr(waybillCode, 3) AS BIGINT)"))
+      .withColumn("base", timestamp_millis(col("n") * 1000))
+      .select(
+        col("waybillCode"),
+        datediff(to_date(col("pickupDate")), to_date(col("base"))).as("pd"),
+        datediff(to_date(col("deliveryDate")), to_date(col("base"))).as("dd"))
+      .collect()
+    assert(wm.length == 20 && wm.forall(_.getString(0).matches("JD\\d{10}")))
+    assert(wm.forall(r => (1 to 9).contains(r.getInt(1)) && (1 to 4).contains(r.getInt(2))))
+    // order: "Order" + lpad(n, 10, '0'), createTime = tick (OrderSource.java:14-22)
+    val ord = Synth.orderSrc(c).collect()
+    assert(ord.forall(_.getString(0).matches("Order\\d{10}")))
+    assert(ord.forall(r => r.getTimestamp(1) != null))
+    // productIncome: 类别[A-G], income ∈ [100, 2999] (ProductSource.java:19-24)
+    val pi1 = Synth.productIncome(c).as[(String, Int)].collect()
+    val pi2 = Synth.productIncome(c).as[(String, Int)].collect()
+    assert(pi1.toSeq == pi2.toSeq) // hash-derived, reproducible
+    assert(pi1.forall(_._1.matches("类别[A-G]")))
+    assert(pi1.forall(p => p._2 >= 100 && p._2 <= 2999))
+    // productSale: 类别[A-G], sale ∈ [0.5, 1); 5 s interval = every 5th tick
+    // (ProductSaleSource.java:16-26)
+    val ps = Synth.productSale(Synth.every(c, 5)).as[(String, Double)].collect()
+    assert(ps.length == 4) // ticks 0, 5, 10, 15
+    assert(ps.forall(_._1.matches("类别[A-G]")))
+    assert(ps.forall(p => p._2 >= 0.5 && p._2 < 1.0))
+  }
+
   test("kafka JSON decode: permissive from_json round-trips the producer format") {
     val s = spark
     import s.implicits._
@@ -48,18 +82,64 @@ class IoSpec extends SparkSpec {
     assert(badRows.length == 1 && badRows.head.isNullAt(1))
   }
 
-  test("ES bulk sink groups a batch into <=N-action bulks keyed by id") {
+  test("ES bulk sink default path builds executor-side per-partition bulks") {
+    val s = spark
+    import s.implicits._
+    IoSpec.esBulks.synchronized { IoSpec.esBulks.clear() }
+    // transport references the companion statically — nothing driver-only
+    // is captured, exactly the contract write() documents
+    val sink = new Sinks.EsBulkSink("bd_waybill", "waybillCode", 100,
+      b => IoSpec.esBulks.synchronized { IoSpec.esBulks += b })
+    val batch = (1 to 250).map(i => (s"JD$i", s"site_$i"))
+      .toDF("waybillCode", "siteName").repartition(4)
+    sink.write(batch)
+    val bulks = IoSpec.esBulks.synchronized { IoSpec.esBulks.toVector }
+    assert(bulks.forall(_.size <= 100)) // per-partition flush cap
+    assert(bulks.size >= 4)             // at least one bulk per partition
+    val all = bulks.flatten
+    assert(all.map(_.id).toSet.size == 250) // idempotent docAsUpsert keying
+    assert(all.forall(_.index == "bd_waybill"))
+    assert(all.head.docJson.contains("\"waybillCode\""))
+  }
+
+  test("ES small-batch driver helper groups into <=N-action bulks") {
     val s = spark
     import s.implicits._
     val bulks = mutable.ArrayBuffer[Seq[Sinks.Upsert]]()
     val sink = new Sinks.EsBulkSink("bd_waybill", "waybillCode", 100,
       b => bulks.synchronized { bulks += b })
     val batch = (1 to 250).map(i => (s"JD$i", s"site_$i")).toDF("waybillCode", "siteName")
-    sink.write(batch)
+    sink.writeSmallBatchOnDriver(batch)
     assert(bulks.map(_.size).sorted.toSeq == Seq(50, 100, 100))
-    val all = bulks.flatten
-    assert(all.map(_.id).toSet.size == 250) // idempotent docAsUpsert keying
-    assert(all.forall(_.index == "bd_waybill"))
-    assert(all.head.docJson.contains("\"waybillCode\""))
   }
+
+  test("S8 offset-control builders render the exact Spark reader options") {
+    import KafkaJson.TopicPartition
+    val tps = Seq(TopicPartition("hello-world", 2), TopicPartition("hello-world", 0),
+      TopicPartition("waybill-c", 1))
+    // assign: canonical sorted {"t":[p,...]} (KafKaTest.java:78)
+    assert(KafkaJson.assignOptions("b:9092", tps) == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "assign" -> """{"hello-world":[0,2],"waybill-c":[1]}"""))
+    // seek: explicit offsets, -1 = latest for that partition (KafKaTest.java:479)
+    val seek = KafkaJson.seekOptions("b:9092", Map(
+      TopicPartition("hello-world", 2) -> 42L, TopicPartition("hello-world", 0) -> -1L))
+    assert(seek("assign") == """{"hello-world":[0,2]}""")
+    assert(seek("startingOffsets") == """{"hello-world":{"0":-1,"2":42}}""")
+    // seekToBeginning / seekToEnd (KafKaTest.java:653-657)
+    assert(KafkaJson.seekToBeginningOptions("b:9092", tps)("startingOffsets") == "earliest")
+    assert(KafkaJson.seekToEndOptions("b:9092", tps)("startingOffsets") == "latest")
+    // offsetsForTimes + seek (KafKaTest.java:721-725)
+    val byTime = KafkaJson.offsetsForTimesOptions("b:9092",
+      Map(TopicPartition("hello-world", 2) -> 1700000000000L))
+    assert(byTime("startingOffsetsByTimestamp") == """{"hello-world":{"2":1700000000000}}""")
+    assert(byTime("assign") == """{"hello-world":[2]}""")
+  }
+}
+
+object IoSpec {
+  /** Static collector for the executor-side sink test: in local mode the
+    * task closure is serialized, so a captured buffer would mutate a
+    * copy — a companion field is resolved statically on the worker. */
+  val esBulks: mutable.ArrayBuffer[Seq[Sinks.Upsert]] = mutable.ArrayBuffer()
 }
