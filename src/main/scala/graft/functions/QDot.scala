@@ -19,7 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Null semantics: null if either side is null (standard binary
   * expression), and null on LENGTH MISMATCH — matching the
   * zip_with+aggregate lambda idiom, whose null padding poisons the sum
-  * (QDotRewrite's safety argument relies on this equivalence).
+  * (QDotRewrite's safety argument relies on this equivalence). The
+  * common-prefix arithmetic runs BEFORE the mismatch null is returned:
+  * zip_with materializes every real-pair product first, so in ANSI mode
+  * a prefix overflow raises even when the lengths differ — evaluating
+  * the prefix keeps that order, making the rewrite exact in that corner
+  * too (legacy wrap mode can't raise, so the order is unobservable
+  * there).
   *
   * Overflow semantics follow `failOnError` (the session's ANSI flag at
   * construction): wrapping int64 arithmetic when false (legacy mode),
@@ -47,26 +53,25 @@ case class QDot(left: Expression, right: Expression, failOnError: Boolean = fals
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    if (a.numElements() != b.numElements()) null
-    else {
-      val n = a.numElements()
-      var acc = 0L
-      var i = 0
-      if (failOnError) {
-        while (i < n) {
-          acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(acc,
-            org.apache.spark.sql.catalyst.util.MathUtils.multiplyExact(
-              a.getLong(i), b.getLong(i)))
-          i += 1
-        }
-      } else {
-        while (i < n) {
-          acc += a.getLong(i) * b.getLong(i)
-          i += 1
-        }
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.min(na, nb)
+    var acc = 0L
+    var i = 0
+    if (failOnError) {
+      while (i < n) {
+        acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(acc,
+          org.apache.spark.sql.catalyst.util.MathUtils.multiplyExact(
+            a.getLong(i), b.getLong(i)))
+        i += 1
       }
-      acc
+    } else {
+      while (i < n) {
+        acc += a.getLong(i) * b.getLong(i)
+        i += 1
+      }
     }
+    if (na != nb) null else acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -80,15 +85,19 @@ case class QDot(left: Expression, right: Expression, failOnError: Boolean = fals
           s"$acc = $mu.addExact($acc, $mu.multiplyExact($a.getLong($i), $b.getLong($i)));"
         else
           s"$acc += $a.getLong($i) * $b.getLong($i);"
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $n = $na < $nb ? $na : $nb;
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $step
+         |}
+         |if ($na != $nb) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $n = $a.numElements();
-         |  long $acc = 0L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $step
-         |  }
          |  ${ev.value} = $acc;
          |}
        """.stripMargin

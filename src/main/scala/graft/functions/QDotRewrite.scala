@@ -21,8 +21,11 @@ object QDotRewrite extends Rule[LogicalPlan] {
   /** Only non-nullable elements: with a nullable element the lambda
     * idiom can yield NULL (null product poisons the sum) where qdot
     * reads the slot as 0 — rewriting would change results. Mismatched
-    * LENGTHS are safe either way: zip_with's null padding makes the
-    * idiom null, and qdot nulls on mismatch by definition. */
+    * LENGTHS are safe in every eval mode: zip_with's null padding makes
+    * the idiom null, qdot nulls on mismatch, and qdot evaluates the
+    * common-prefix arithmetic BEFORE returning that null, so an ANSI
+    * prefix overflow raises in both forms (zip_with multiplies the real
+    * pairs when materializing the zipped array). */
   private def isLongArray(e: Expression) = e.dataType match {
     case ArrayType(LongType, containsNull) => !containsNull
     case _ => false

@@ -28,7 +28,12 @@ object CountWindows {
       .select(col("event_id"), col("value"))
       .repartitionByRange(col("event_id"))
       .withColumn("pid", spark_partition_id())
-      .persist() // counts pass and ranking pass must see identical partitions
+      // counts pass and ranking pass must see identical partitions
+      // (repartitionByRange samples boundaries, so a recompute could
+      // re-draw them); eager localCheckpoint pins the partitioning AND
+      // frees itself with the RDD — unlike persist(), no cache entry
+      // outlives this call
+      .localCheckpoint(true)
     val counts = ranged.groupBy("pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nParts = if (counts.isEmpty) 0 else counts.keys.max + 1

@@ -345,7 +345,12 @@ object Dedup {
       s"dedupClusters: label propagation did not converge in $guard rounds " +
         "(component diameter exceeds the guard) - raise the round cap")
     edges.unpersist()
-    labels
+    // hand back a lineage-truncated copy and drop the round cache — the
+    // cache entry must not outlive the call (materializes from the still-
+    // cached labels, so this is a cheap copy, not a recompute)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** DuckDB oracle: transitive closure via WITH RECURSIVE, then the

@@ -91,6 +91,12 @@ object EventWindowState {
         val nextAction = buf.windows.map { case (st, (_, _, pending)) =>
           if (pending) maxTs(st) - 1 else maxTs(st) + allowedLatenessMs - 1
         }.min
+        // Residual of Spark's contract (timeout timestamp must be > current
+        // watermark): when wm == maxTs - 1 the clamp arms at maxTs, and the
+        // strict-exceed rule then fires at wm == maxTs + 1 — one step past
+        // the Flink point for a key that sees no further events. The -1
+        // arming above is exact in every other case; do not assume it is
+        // exact here. (Same pattern in SessionWindowState.)
         state.setTimeoutTimestamp(math.max(nextAction, wm + 1))
       }
       out.result().iterator

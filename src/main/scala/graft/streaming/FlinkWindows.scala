@@ -105,17 +105,23 @@ object FlinkWindows {
     }
 
     events.foreach { e =>
-      val ss = sessions.getOrElseUpdate(e.key, mutable.ArrayBuffer[Sess]())
+      // read-only lookup for the overlap test: a key whose events are all
+      // late must NOT acquire a permanent empty entry (unbounded state
+      // growth for late-only keys); the entry is created in the keep
+      // branch below only
+      val existing = sessions.get(e.key)
       val s = Sess(e.ts, e.ts + gapMs, mutable.ArrayBuffer(e.value))
       // merge every overlapping session (TimeWindow.intersects semantics)
-      val overlapping = ss.filter(o => s.start <= o.end && o.start <= s.end)
+      val overlapping = existing.fold(Seq.empty[Sess])(
+        _.filter(o => s.start <= o.end && o.start <= s.end).toSeq)
       // Flink applies the lateness test to the POST-merge window
       // (WindowOperator: mergeWindows first, then isWindowLate on the
       // actual window): an event whose own gap window has passed the
       // watermark is KEPT when it merges into a still-open session.
-      val mergedEnd = (s.end +: overlapping.map(_.end).toSeq).max
+      val mergedEnd = (s.end +: overlapping.map(_.end)).max
       if (mergedEnd - 1 <= watermark) late += e
       else {
+        val ss = sessions.getOrElseUpdate(e.key, mutable.ArrayBuffer[Sess]())
         overlapping.foreach { o =>
           s.start = Math.min(s.start, o.start)
           s.end = Math.max(s.end, o.end)

@@ -88,6 +88,22 @@ class QDotSpec extends SparkSpec {
     assert(!tryQ.queryExecution.optimizedPlan.toString.contains("qdot"))
   }
 
+  test("qdot ANSI corner: mismatched lengths with overflowing prefix raises like the lambda") {
+    val s = spark
+    assert(s.conf.get("spark.sql.ansi.enabled") == "true")
+    // zip_with multiplies the real prefix pairs before null-padding, so
+    // the lambda idiom raises here; qdot must evaluate the prefix before
+    // returning the mismatch null to match (this was a rewrite-soundness
+    // corner: error → null would be a semantics change)
+    val err = intercept[Exception](
+      s.sql(s"SELECT qdot(array(${Long.MaxValue}L, 1L), array(2L))").collect())
+    assert(err.getMessage.toUpperCase.contains("ARITHMETIC_OVERFLOW") ||
+      err.getMessage.toLowerCase.contains("overflow"), err.getMessage)
+    // and with a non-overflowing prefix, mismatch is still null in ANSI
+    val r = s.sql("SELECT qdot(array(1L, 2L), array(3L)) AS d").collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("qdot registered in SQL via GraftExtensions") {
     // SparkSpec's session is built withExtensions(new GraftExtensions)
     val res = spark.sql("SELECT qdot(array(1L, 2L), array(10L, 20L)) AS d")
