@@ -81,11 +81,10 @@ object Dedup {
     * bucket, with the minhash-estimated Jaccard. The only join is on
     * (band, band-signature) — bucket-local, never all-pairs. */
   def dedupNearMinhash(s: SparkSession, dir: String): DataFrame = {
-    // caching contract: operator-internal caches live until the session
-    // (or caller) clears them — long-lived sessions issuing many ad-hoc
-    // calls should spark.catalog.clearCache() between queries, as the
-    // Bench/Verify harnesses do
-    val sig = minhashSig(Tables.documents(s, dir)).cache()
+    // the signature table is referenced three times (banding + both join
+    // sides); eager localCheckpoint materializes it once and frees with
+    // the RDD — no cache entry outlives the call (OpsSpec leak guard)
+    val sig = minhashSig(Tables.documents(s, dir)).localCheckpoint(true)
     val bands = (0 until NumBands).map { k =>
       sig.select(col("doc_id"), lit(k).as("band"),
         concat_ws(",", (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*).as("bsig"))
@@ -196,7 +195,9 @@ object Dedup {
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
       .select("s")
-    val shr = sh.join(rare, "s").cache()
+    // referenced three times (sizes + both sides of the index self-join):
+    // localCheckpoint, not cache — see the leak note in dedupNearMinhash
+    val shr = sh.join(rare, "s").localCheckpoint(true)
     val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shr.as("a").join(shr.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -269,8 +269,11 @@ object Similarity {
           .orderBy(col("d2"), col("cent_id"))))
       .filter(col("pr") <= NProbe)
       .select(col("query_id"), col("query_v"), col("cent_id").as("list_id"))
-    // search only the probed lists
-    val scored = probes.join(assigned, "list_id")
+    // search only the probed lists. The probe table is queries×NProbe
+    // rows — broadcast it so the corpus-sized `assigned` side never
+    // shuffles (without the hint this planned as a sort-merge join
+    // exchanging the full corpus on list_id: the 100 TB killer here)
+    val scored = assigned.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         QDot(col("query_v"), col("qv")).as("dot"))

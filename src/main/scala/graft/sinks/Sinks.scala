@@ -25,17 +25,31 @@ object Sinks {
   def console[T](ds: Dataset[T]): DataStreamWriter[T] =
     ds.writeStream.format("console").outputMode("append")
 
-  /** K2: Kafka producer config — key = waybillCode bytes, value = JSON of
-    * the full row (reference: main/HelloWorldFlink.java:143-162). */
+  /** K2 wire projection: key = keyCol string, value = JSON of the full
+    * row — the exact (key, value) pair the reference's producer ships
+    * (reference: main/HelloWorldFlink.java:143-162). Split out from the
+    * writer so the producer format is testable broker-free: this is the
+    * inverse of KafkaJson.decode, and the spec round-trips the two. */
+  def kafkaPayload(df: DataFrame, keyCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** K2 writer options as a canonical map (mirrors the S8 reader
+    * builders). Progress rides the checkpoint; delivery is
+    * at-least-once — the exactly-once delta vs the reference's txn
+    * producer is closed downstream by idempotent upserts (K3). */
+  def kafkaOptions(brokers: String, topic: String,
+                   checkpoint: String): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> brokers, "topic" -> topic,
+      "checkpointLocation" -> checkpoint)
+
+  /** K2: Kafka producer sink = wire projection + options. */
   def kafkaJson(df: DataFrame, brokers: String, topic: String,
                 keyCol: String, checkpoint: String): DataStreamWriter[Row] =
-    df.select(
-        col(keyCol).cast("string").as("key"),
-        to_json(struct(df.columns.map(col): _*)).as("value"))
+    kafkaPayload(df, keyCol)
       .writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+      .options(kafkaOptions(brokers, topic, checkpoint))
 
   /** One ES-style upsert action (docAsUpsert keyed by id,
     * reference: main/HelloWorldFlink.java:212-222). */

@@ -82,6 +82,28 @@ class IoSpec extends SparkSpec {
     assert(badRows.length == 1 && badRows.head.isNullAt(1))
   }
 
+  test("K2 producer wire format round-trips through the S6 consumer decode") {
+    val s = spark
+    import s.implicits._
+    // producer side (K2): the reference ships key = waybillCode, value =
+    // full-row JSON; consumer side (S6) decodes the same pair — composing
+    // the two must be the identity on the row, broker-free
+    val src = Synth.waybillC(Synth.batchCounter(s, 5))
+    val wire = Sinks.kafkaPayload(src, "waybillCode")
+      .select(col("key").cast("binary").as("key"), col("value").cast("binary").as("value"))
+    val schema = StructType(Seq(
+      StructField("waybillCode", StringType), StructField("waybillSign", StringType),
+      StructField("siteCode", StringType), StructField("siteName", StringType),
+      StructField("timeStamp", LongType)))
+    val back = KafkaJson.decode(wire, schema)
+      .select(src.columns.map(col): _*).orderBy("waybillCode")
+    assert(back.collect().toSeq == src.orderBy("waybillCode").collect().toSeq)
+    // writer options: canonical map, checkpoint-tracked progress
+    assert(Sinks.kafkaOptions("b:9092", "waybill-c", "/tmp/ck") == Map(
+      "kafka.bootstrap.servers" -> "b:9092", "topic" -> "waybill-c",
+      "checkpointLocation" -> "/tmp/ck"))
+  }
+
   test("ES bulk sink default path builds executor-side per-partition bulks") {
     val s = spark
     import s.implicits._

@@ -103,6 +103,22 @@ class OpsSpec extends SparkSpec {
     assert(distributed == fastPath)
   }
 
+  test("no query leaves cache entries behind (session-lifetime leak guard)") {
+    val s = spark
+    // the operators that pin intermediate results (two-phase row-number,
+    // label propagation, IVF training) must release them before
+    // returning: a long-lived session running them repeatedly must not
+    // accumulate cache entries
+    s.catalog.clearCache()
+    CountWindows.countWindowAll(s, dir).count()
+    Dedup.dedupClustersImpl(s, dir, -1L).count() // propagation branch
+    Dedup.dedupNearMinhash(s, dir).count()
+    Dedup.ngramJaccard(s, dir).count()
+    Similarity.annIvfTopK(s, dir).count()
+    assert(s.sharedState.cacheManager.isEmpty,
+      "a query left a persisted DataFrame in the cache manager")
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val s = spark
     import s.implicits._
