@@ -69,6 +69,9 @@ object SparkEntry {
     "pipeline_clean"    -> (TextAnalysis.pipelineClean _),
     "doc_chunking"      -> (TextAnalysis.docChunking _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "train_val_split"   -> (PipelineOps.trainValSplit _),
+    "decontaminate"     -> (PipelineOps.decontaminate _),
+    "domain_mix"        -> (PipelineOps.domainMix _),
     // E3 flagship: full six-source enrichment DAG through four
     // flatMapGroupsWithState stages (graft.streaming.EnrichDag)
     "enrich_dag"        -> (graft.streaming.EnrichDag.enrichDag _),
@@ -291,7 +294,7 @@ object SparkEntry {
         |LEFT JOIN li ON o.o_orderkey = li.l_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
   ) ++ Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-    Multimodal.oracles ++ Map(
+    Multimodal.oracles ++ PipelineOps.oracles ++ Map(
       "enrich_dag" -> graft.streaming.EnrichDag.enrichDagSql,
       "funnel" -> EnrichJoin.funnelSql)
 }

@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Prims._
+
+/** Corpus-assembly operators a large-scale training-data pipeline needs
+  * beyond the reference's own surface (north-star extensions, like
+  * Dedup/Similarity/TextAnalysis): deterministic train/val splitting,
+  * benchmark decontamination, and per-source quota sampling (domain
+  * mixing).
+  *
+  * Scale posture:
+  *   - Split assignment is a pure hash of the doc id — stable under
+  *     corpus growth, reshuffling, and backfills (a row-position split
+  *     would re-assign docs whenever upstream order changed). One narrow
+  *     map + one tiny aggregation.
+  *   - Decontamination joins the corpus's n-grams against the BENCHMARK
+  *     set's n-grams. Benchmark suites are KBs against a 100 TB corpus,
+  *     so the held-out gram set broadcasts and the corpus never
+  *     shuffles: narrow gram explode → broadcast semi-join → anti-join.
+  *   - Quota sampling is a per-source top-K by hash order:
+  *     WindowGroupLimit pushes the K cap into the shuffle (partial
+  *     top-K per map task), so no source's full document list ever
+  *     materializes on one node.
+  */
+object PipelineOps {
+
+  private val ValPct = 10L         // 90/10 split
+  private val ContamGram = 8       // verbatim 8-gram overlap = contaminated
+  private val HeldoutMax = 10L     // doc_id < 10 stands in for the benchmark set
+  private val QuotaPerSource = 10  // domain-mix cap per source
+
+  /** train_val_split: hash-stable 90/10 assignment + per-split doc and
+    * token counts. The hash is salted ('split_') so the split is
+    * independent of every other hash-derived decision in the pipeline. */
+  def trainValSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        when(pmod(hash60(concat(lit("split_"), col("doc_id"))), lit(100L)) < 100L - ValPct,
+          "train").otherwise("val").as("split"),
+        expr("size(filter(split(lower(text), ' '), w -> w <> ''))")
+          .cast("long").as("toks"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .orderBy("split")
+
+  def trainValSplitSql: String = {
+    val h = hash60Sql("'split_' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT CASE WHEN $h % 100 < ${100 - ValPct} THEN 'train' ELSE 'val' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
+  /** Distinct word `n`-grams per doc (docs with < n words have none) —
+    * the verbatim-overlap unit used for decontamination. */
+  private def wordGrams(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> w <> '')").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"))
+        .as("g"))
+      .distinct()
+
+  /** decontaminate: drop every corpus doc sharing any verbatim
+    * `ContamGram`-gram with the held-out benchmark set (doc_id <
+    * HeldoutMax). Emits the surviving doc ids. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = wordGrams(Tables.documents(s, dir), ContamGram)
+    val held = grams.filter(col("doc_id") < HeldoutMax)
+      .select("g").distinct()
+    val contaminated = grams.filter(col("doc_id") >= HeldoutMax)
+      .join(broadcast(held), "g")
+      .select("doc_id").distinct()
+    Tables.documents(s, dir)
+      .filter(col("doc_id") >= HeldoutMax)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  def decontaminateSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+${ContamGram - 1}], ' ') AS g
+       |  FROM w, unnest(range(1, len(ws) - ${ContamGram - 2})) AS t(i)
+       |  WHERE len(ws) >= $ContamGram),
+       |held AS (SELECT DISTINCT g FROM g WHERE doc_id < $HeldoutMax),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM g JOIN held USING (g)
+       |  WHERE doc_id >= $HeldoutMax)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id >= $HeldoutMax
+       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |ORDER BY doc_id""".stripMargin
+
+  /** domain_mix: keep at most `QuotaPerSource` docs per source, chosen
+    * by salted-hash order — a deterministic uniform sample per domain,
+    * the building block of proportion-controlled corpus mixing. */
+  def domainMix(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        hash60(concat(lit("mix_"), col("doc_id"))).as("h"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))).cast("long"))
+      .filter(col("pick") <= QuotaPerSource)
+      .select("source", "pick", "doc_id")
+      .orderBy("source", "pick")
+
+  def domainMixSql: String = {
+    val h = hash60Sql("'mix_' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT source, pick, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS pick
+       |  FROM documents)
+       |WHERE pick <= $QuotaPerSource
+       |ORDER BY source, pick""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "train_val_split" -> trainValSplitSql,
+    "decontaminate"   -> decontaminateSql,
+    "domain_mix"      -> domainMixSql,
+  )
+}
