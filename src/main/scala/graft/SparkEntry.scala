@@ -66,6 +66,7 @@ object SparkEntry {
     "quality_score"     -> (TextAnalysis.qualityScore _),
     "token_count"       -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"   -> (TextAnalysis.docFingerprint _),
+    "repetition_score"  -> (TextAnalysis.repetitionScore _),
     "pipeline_clean"    -> (TextAnalysis.pipelineClean _),
     "doc_chunking"      -> (TextAnalysis.docChunking _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),

@@ -251,7 +251,53 @@ object TextAnalysis {
        |FROM n, unnest(range(0, last_chunk + 1)) AS u(i)
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Repetition filtering (the Gopher-rules family): fraction of 2-gram
+    * instances taken by the single most frequent 2-gram, and fraction of
+    * 3-gram instances that are repeats — high values flag boilerplate /
+    * template spam. Two map-side-combinable aggregations keyed by
+    * (doc, gram) then doc; no joins wider than the doc id. Defined over
+    * docs with ≥ 3 words (same domain rule as shingling). */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    def gramCounts(n: Int) = docs
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val a2 = gramCounts(2).groupBy("doc_id")
+      .agg(max("c").as("top2"), sum("c").as("tot2"))
+    val a3 = gramCounts(3).groupBy("doc_id")
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
+           sum("c").as("tot3"))
+    a2.join(a3, "doc_id")
+      .select(col("doc_id"),
+        (col("top2").cast("double") / col("tot2")).as("top2_frac"),
+        (col("dup3").cast("double") / col("tot3")).as("dup3_frac"))
+      .withColumn("keep", col("top2_frac") <= 0.20 && col("dup3_frac") <= 0.30)
+      .orderBy("doc_id")
+  }
+
+  def repetitionScoreSql: String =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |d AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 3),
+       |c2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, count(*) AS c
+       |  FROM d, unnest(range(1, len(ws))) AS u(i) GROUP BY 1, 2),
+       |a2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS tot2 FROM c2 GROUP BY 1),
+       |c3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g, count(*) AS c
+       |  FROM d, unnest(range(1, len(ws) - 1)) AS u(i) GROUP BY 1, 2),
+       |a3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+       |  sum(c) AS tot3 FROM c3 GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(top2 AS DOUBLE) / tot2 AS top2_frac,
+       |  CAST(dup3 AS DOUBLE) / tot3 AS dup3_frac,
+       |  CAST(top2 AS DOUBLE) / tot2 <= 0.20 AND CAST(dup3 AS DOUBLE) / tot3 <= 0.30 AS keep
+       |FROM a2 JOIN a3 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "repetition_score" -> repetitionScoreSql,
     "doc_chunking" -> docChunkingSql,
     "pipeline_clean" -> pipelineCleanSql,
     "lang_id" -> langIdSql,
