@@ -55,8 +55,12 @@ object PipelineOps {
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
   }
 
-  /** Distinct word `n`-grams per doc (docs with < n words have none) —
-    * the verbatim-overlap unit used for decontamination. */
+  /** Word `n`-grams per doc, duplicates included (docs with < n words
+    * have none) — the verbatim-overlap unit used for decontamination.
+    * Deliberately NOT deduped: a distinct here would shuffle every
+    * corpus gram, and the overlap semi-join doesn't care about
+    * multiplicity — only the tiny held-out side gets deduped (for
+    * broadcast size). */
   private def wordGrams(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"),
@@ -65,7 +69,6 @@ object PipelineOps {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"))
         .as("g"))
-      .distinct()
 
   /** decontaminate: drop every corpus doc sharing any verbatim
     * `ContamGram`-gram with the held-out benchmark set (doc_id <
