@@ -73,6 +73,8 @@ object SparkEntry {
     "train_val_split"   -> (PipelineOps.trainValSplit _),
     "decontaminate"     -> (PipelineOps.decontaminate _),
     "domain_mix"        -> (PipelineOps.domainMix _),
+    "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
+    "corpus_stats"      -> (PipelineOps.corpusStats _),
     // E3 flagship: full six-source enrichment DAG through four
     // flatMapGroupsWithState stages (graft.streaming.EnrichDag)
     "enrich_dag"        -> (graft.streaming.EnrichDag.enrichDag _),

@@ -16,36 +16,14 @@ object CountWindows {
 
   /** W1: countWindowAll(5) + AllWindowFunction concat (reference:
     * test/HelloWorldFlinkTest.java:52-66). A GLOBAL count window needs a
-    * total order, but NOT a single-partition sort: this is the two-phase
-    * global row-number — range-partition by event_id, count rows per range
-    * partition (a numPartitions-sized metadata collect), turn the counts
-    * into per-partition offsets broadcast as a map literal, then window
-    * WITHIN partitions and add the offset. Same total order as an
-    * unpartitioned row_number (event_id is unique), no partition holds
-    * more than its range slice at any scale. */
-  def countWindowAll(s: SparkSession, dir: String): DataFrame = {
-    val ranged = Tables.events(s, dir)
-      .select(col("event_id"), col("value"))
-      .repartitionByRange(col("event_id"))
-      .withColumn("pid", spark_partition_id())
-      // counts pass and ranking pass must see identical partitions
-      // (repartitionByRange samples boundaries, so a recompute could
-      // re-draw them); eager localCheckpoint pins the partitioning AND
-      // frees itself with the RDD — unlike persist(), no cache entry
-      // outlives this call
-      .localCheckpoint(true)
-    val counts = ranged.groupBy("pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nParts = if (counts.isEmpty) 0 else counts.keys.max + 1
-    val offsets = (0 until nParts)
-      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).init
-    val offsetOf = // empty-input guard: map() with zero entries won't analyze
-      if (nParts == 0) map(lit(0), lit(0L))
-      else map((0 until nParts).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*)
-    ranged
-      .select(col("event_id"), col("value"),
-        (row_number().over(W.partitionBy("pid").orderBy("event_id"))
-          + element_at(offsetOf, col("pid"))).as("rn"))
+    * total order, but NOT a single-partition sort — it rides
+    * [[Prims.globalRowNumber]]'s two-phase ranking over the unique
+    * event_id, so no partition holds more than its range slice at any
+    * scale. */
+  def countWindowAll(s: SparkSession, dir: String): DataFrame =
+    Prims.globalRowNumber(
+        Tables.events(s, dir).select(col("event_id"), col("value")),
+        "rn", col("event_id"))
       .groupBy(((col("rn") - 1) / 5).cast("long").as("win_id"))
       .agg(count(lit(1)).as("n"),
            joinedSortedLongs(collect_list(col("event_id"))).as("ids"),
@@ -53,7 +31,6 @@ object CountWindows {
       .filter(col("n") === 5)
       .select("win_id", "ids", "sum_value")
       .orderBy("win_id")
-  }
 
   /** W2: keyed countWindow(3) + reduce (reference:
     * test/HelloWorldFlinkTest.java:98-104,120-123). Partitioned by key —

@@ -127,9 +127,59 @@ object PipelineOps {
        |ORDER BY source, pick""".stripMargin
   }
 
+  /** corpus_shuffle: a deterministic global training order — position =
+    * global row number under a salted-hash total order. Training wants
+    * example order decorrelated from ingest order; a hash order is
+    * reproducible across runs and engines, and the two-phase
+    * [[Prims.globalRowNumber]] assigns positions without a
+    * single-partition sort. */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    Prims.globalRowNumber(
+        Tables.documents(s, dir).select(col("doc_id"),
+          hash60(concat(lit("shuf_"), col("doc_id"))).as("h")),
+        "pos", col("h"), col("doc_id"))
+      .select(col("pos").cast("long").as("pos"), col("doc_id"))
+      .orderBy("pos")
+
+  def corpusShuffleSql: String = {
+    val h = hash60Sql("'shuf_' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT row_number() OVER (ORDER BY $h, doc_id) AS pos, doc_id
+       |FROM documents ORDER BY pos""".stripMargin
+  }
+
+  /** corpus_stats: per-language doc/token counts and token-length
+    * quantiles — the summary a mixing/curriculum decision reads. Exact
+    * interpolated percentiles (both engines define p·(n−1) linear
+    * interpolation identically, so the doubles match bit-for-bit). */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        expr("size(filter(split(lower(text), ' '), w -> w <> ''))")
+          .cast("long").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        (sum("toks").cast("double") / count(lit(1))).as("mean_toks"),
+        expr("percentile(toks, 0.5)").as("p50_toks"),
+        expr("percentile(toks, 0.95)").as("p95_toks"))
+      .orderBy("lang")
+
+  def corpusStatsSql: String =
+    s"""WITH t AS (SELECT lang,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS toks
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(toks) AS DOUBLE) / count(*) AS mean_toks,
+       |  quantile_cont(toks, 0.5) AS p50_toks,
+       |  quantile_cont(toks, 0.95) AS p95_toks
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "train_val_split" -> trainValSplitSql,
     "decontaminate"   -> decontaminateSql,
     "domain_mix"      -> domainMixSql,
+    "corpus_shuffle"  -> corpusShuffleSql,
+    "corpus_stats"    -> corpusStatsSql,
   )
 }

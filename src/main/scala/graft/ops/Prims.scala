@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -55,4 +55,36 @@ object Prims {
   /** DuckDB rendering of hash60 (for generated oracle SQL). */
   def hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Two-phase global row number over the total order given by
+    * `sortCols` (which must order rows uniquely): range-partition on the
+    * sort key, count rows per partition (a numPartitions-sized metadata
+    * collect), broadcast the cumulative offsets as a map literal, then
+    * rank WITHIN partitions and add the offset. Same result as an
+    * unpartitioned row_number, but no partition ever holds more than its
+    * range slice — the scalable form of a global total order
+    * (countWindowAll's W1 shape, shared with corpus shuffling). */
+  def globalRowNumber(df: DataFrame, rnCol: String, sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      // counts pass and ranking pass must see identical partitions
+      // (repartitionByRange samples boundaries, so a recompute could
+      // re-draw them); eager localCheckpoint pins the partitioning AND
+      // frees itself with the RDD — no cache entry outlives this call
+      .localCheckpoint(true)
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = if (counts.isEmpty) 0 else counts.keys.max + 1
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).init
+    val offsetOf = // empty-input guard: map() with zero entries won't analyze
+      if (nParts == 0) map(lit(0), lit(0L))
+      else map((0 until nParts).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*)
+    ranged
+      .withColumn(rnCol,
+        row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*))
+          + element_at(offsetOf, col("__pid")))
+      .drop("__pid")
+  }
 }
