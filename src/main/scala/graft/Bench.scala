@@ -20,20 +20,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = HarnessUtil.jsonQ(s)
 
     val errors = scala.collection.mutable.Map[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warm-up (not recorded)
-        spark.catalog.clearCache() // operator-internal caches must not
-                                   // leak across queries (memory pressure
-                                   // skews later timings)
+        HarnessUtil.releaseAll(spark) // cache entries AND checkpoint
+                                      // blocks must not leak across
+                                      // queries (memory pressure skews
+                                      // later timings)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         name -> (System.nanoTime() - t0) / 1e9
@@ -41,7 +37,7 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           name -> -1.0
-      } finally spark.catalog.clearCache()
+      } finally HarnessUtil.releaseAll(spark)
     }
     val qs = results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)

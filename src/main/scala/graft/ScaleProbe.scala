@@ -54,10 +54,10 @@ object ScaleProbe {
     def timeAll(dir: String): Map[String, Double] = probeQueries.map { n =>
       val fn = SparkEntry.queries(n)
       fn(spark, dir).count() // warm
-      spark.catalog.clearCache()
+      HarnessUtil.releaseAll(spark)
       val t0 = System.nanoTime()
       fn(spark, dir).count()
-      spark.catalog.clearCache()
+      HarnessUtil.releaseAll(spark)
       n -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val base = timeAll(src)

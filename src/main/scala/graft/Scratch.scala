@@ -22,11 +22,11 @@ object Scratch {
       val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
         if (n == "entry") (sp, _) => SparkEntry.entry(sp)
         else SparkEntry.queries(n)
-      fn(spark, sfDir).count(); spark.catalog.clearCache()
+      fn(spark, sfDir).count(); HarnessUtil.releaseAll(spark)
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()
       println(f"TIMING $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$rows")
-      spark.catalog.clearCache()
+      HarnessUtil.releaseAll(spark)
     }
     spark.stop()
   }
@@ -44,15 +44,9 @@ object Scratch {
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
-      spark.catalog.clearCache()
+      HarnessUtil.releaseAll(spark)
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = HarnessUtil.jsonQ(s)
     val json = SparkEntry.oracleSql.view.filterKeys(names.contains)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -55,23 +55,33 @@ case class QDot(left: Expression, right: Expression, failOnError: Boolean = fals
     val b = r.asInstanceOf[ArrayData]
     val na = a.numElements()
     val nb = b.numElements()
-    val n = math.min(na, nb)
-    var acc = 0L
-    var i = 0
     if (failOnError) {
+      // ANSI: evaluate the common prefix FIRST (may raise on overflow,
+      // matching zip_with's eager real-pair products), then null on
+      // mismatch
+      val n = math.min(na, nb)
+      var acc = 0L
+      var i = 0
       while (i < n) {
         acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(acc,
           org.apache.spark.sql.catalyst.util.MathUtils.multiplyExact(
             a.getLong(i), b.getLong(i)))
         i += 1
       }
+      if (na != nb) null else acc
+    } else if (na != nb) {
+      // legacy wrap mode can't raise, so the prefix is unobservable —
+      // keep the O(1) mismatch exit
+      null
     } else {
-      while (i < n) {
+      var acc = 0L
+      var i = 0
+      while (i < na) {
         acc += a.getLong(i) * b.getLong(i)
         i += 1
       }
+      acc
     }
-    if (na != nb) null else acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -87,20 +97,36 @@ case class QDot(left: Expression, right: Expression, failOnError: Boolean = fals
           s"$acc += $a.getLong($i) * $b.getLong($i);"
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
-      s"""
-         |int $na = $a.numElements();
-         |int $nb = $b.numElements();
-         |int $n = $na < $nb ? $na : $nb;
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $step
-         |}
-         |if ($na != $nb) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = $acc;
-         |}
-       """.stripMargin
+      if (failOnError)
+        // ANSI: prefix first (may raise), then the mismatch null
+        s"""
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |int $n = $na < $nb ? $na : $nb;
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $step
+           |}
+           |if ($na != $nb) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $acc;
+           |}
+         """.stripMargin
+      else
+        // legacy: O(1) mismatch exit (wrap mode can't raise)
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  long $acc = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $step
+           |  }
+           |  ${ev.value} = $acc;
+           |}
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

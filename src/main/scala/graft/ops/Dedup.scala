@@ -36,7 +36,7 @@ object Dedup {
   private[graft] def shingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), w -> w <> '')").as("ws"))
+        expr(wordsExpr).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws) - 2),
@@ -47,7 +47,7 @@ object Dedup {
 
   /** DuckDB twin of `shingles` as a WITH-clause body over `documents`. */
   private[graft] val shinglesSql: String =
-    """w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    s"""w AS (SELECT doc_id, $wordsSql AS ws
       |      FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |       FROM w, unnest(range(1, len(ws) - 1)) AS t(i))""".stripMargin
@@ -144,7 +144,7 @@ object Dedup {
     // identical totals, ~avg-multiplicity× fewer md5 evaluations
     val counts = Tables.documents(s, dir)
       .select(col("doc_id"),
-        explode(expr("filter(split(lower(text), ' '), w -> w <> '')")).as("w"))
+        explode(expr(wordsExpr)).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
     val dict = counts.select("w").distinct()
       .select(col("w"), pmod(hash60(col("w")), lit(65536L)).as("h"))
@@ -168,7 +168,7 @@ object Dedup {
       s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, ${hash60Sql("w")} % 65536 AS h FROM (
-       |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+       |    SELECT doc_id, unnest($wordsSql) AS w
        |    FROM documents) t),
        |sums AS (SELECT doc_id,
        |    $sums

@@ -41,8 +41,7 @@ object PipelineOps {
       .select(
         when(pmod(hash60(concat(lit("split_"), col("doc_id"))), lit(100L)) < 100L - ValPct,
           "train").otherwise("val").as("split"),
-        expr("size(filter(split(lower(text), ' '), w -> w <> ''))")
-          .cast("long").as("toks"))
+        expr(s"size($wordsExpr)").cast("long").as("toks"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
       .orderBy("split")
@@ -51,7 +50,7 @@ object PipelineOps {
     val h = hash60Sql("'split_' || CAST(doc_id AS VARCHAR)")
     s"""SELECT CASE WHEN $h % 100 < ${100 - ValPct} THEN 'train' ELSE 'val' END AS split,
        |  count(*) AS n_docs,
-       |  CAST(sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+       |  CAST(sum(len($wordsSql)) AS BIGINT) AS n_tokens
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
   }
 
@@ -64,7 +63,7 @@ object PipelineOps {
   private def wordGrams(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), w -> w <> '')").as("ws"))
+        expr(wordsExpr).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"))
@@ -89,7 +88,7 @@ object PipelineOps {
 
   def decontaminateSql: String =
     s"""WITH w AS (
-       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+       |  SELECT doc_id, $wordsSql AS ws
        |  FROM documents),
        |g AS (
        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+${ContamGram - 1}], ' ') AS g
@@ -148,32 +147,49 @@ object PipelineOps {
   }
 
   /** corpus_stats: per-language doc/token counts and token-length
-    * quantiles — the summary a mixing/curriculum decision reads. Exact
-    * interpolated percentiles (both engines define p·(n−1) linear
-    * interpolation identically, so the doubles match bit-for-bit). */
-  def corpusStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("lang"),
-        expr("size(filter(split(lower(text), ' '), w -> w <> ''))")
-          .cast("long").as("toks"))
+    * quantiles — the summary a mixing/curriculum decision reads.
+    * Quantiles are DISCRETE (the value at rank ceil(p·n), computed with
+    * pure integer arithmetic), not interpolated: engine-native
+    * interpolated percentiles (Spark `percentile`, DuckDB
+    * `quantile_cont`) use different interpolation arithmetic and can
+    * differ in the last ulp, which the bit-exact oracle gate would flag
+    * on unlucky data. Integer ranks + int64 token values cannot
+    * diverge. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("lang"), expr(s"size($wordsExpr)").cast("long").as("toks"))
+    val base = t.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("toks").as("n_tokens"))
+      .select(col("lang"), col("n"), col("n_tokens"),
+        expr("(50 * n + 99) div 100").as("r50"),
+        expr("(95 * n + 99) div 100").as("r95"))
+    val ranked = t.withColumn("rk",
+      row_number().over(Window.partitionBy("lang").orderBy("toks")).cast("long"))
+    val quants = ranked.join(base.select("lang", "r50", "r95"), "lang")
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("toks").as("n_tokens"),
-        (sum("toks").cast("double") / count(lit(1))).as("mean_toks"),
-        expr("percentile(toks, 0.5)").as("p50_toks"),
-        expr("percentile(toks, 0.95)").as("p95_toks"))
+      .agg(max(when(col("rk") === col("r50"), col("toks"))).as("p50_toks"),
+           max(when(col("rk") === col("r95"), col("toks"))).as("p95_toks"))
+    base.join(quants, "lang")
+      .select(col("lang"), col("n").as("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n")).as("mean_toks"),
+        col("p50_toks"), col("p95_toks"))
       .orderBy("lang")
+  }
 
   def corpusStatsSql: String =
-    s"""WITH t AS (SELECT lang,
-       |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS toks
-       |  FROM documents)
-       |SELECT lang, count(*) AS n_docs,
-       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
-       |  CAST(sum(toks) AS DOUBLE) / count(*) AS mean_toks,
-       |  quantile_cont(toks, 0.5) AS p50_toks,
-       |  quantile_cont(toks, 0.95) AS p95_toks
-       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+    s"""WITH t AS (SELECT lang, CAST(len($wordsSql) AS BIGINT) AS toks FROM documents),
+       |a AS (SELECT lang, count(*) AS n, CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |    (50 * count(*) + 99) // 100 AS r50, (95 * count(*) + 99) // 100 AS r95
+       |  FROM t GROUP BY lang),
+       |r AS (SELECT lang, toks,
+       |    row_number() OVER (PARTITION BY lang ORDER BY toks) AS rk FROM t),
+       |q AS (SELECT r.lang,
+       |    max(CASE WHEN rk = r50 THEN toks END) AS p50_toks,
+       |    max(CASE WHEN rk = r95 THEN toks END) AS p95_toks
+       |  FROM r JOIN a USING (lang) GROUP BY r.lang)
+       |SELECT a.lang AS lang, n AS n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / n AS mean_toks, p50_toks, p95_toks
+       |FROM a JOIN q ON a.lang = q.lang ORDER BY a.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "train_val_split" -> trainValSplitSql,

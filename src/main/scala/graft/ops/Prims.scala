@@ -56,6 +56,15 @@ object Prims {
   def hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** THE whitespace tokenizer (Spark SQL form) — single definition shared
+    * by every text operator (token_count, quality, repetition, split,
+    * decontamination, shingling) so a tokenizer change can never make
+    * two operators disagree about what a "word" is. */
+  val wordsExpr = "filter(split(lower(text), ' '), w -> w <> '')"
+
+  /** DuckDB twin of [[wordsExpr]] for generated oracle SQL. */
+  val wordsSql = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
   /** Two-phase global row number over the total order given by
     * `sortCols` (which must order rows uniquely): range-partition on the
     * sort key, count rows per partition (a numPartitions-sized metadata

@@ -235,7 +235,12 @@ object Similarity {
     * deterministic seeding and exact-int64 updates so the DuckDB oracle
     * reproduces it bit-for-bit. All distance arithmetic is exact int64
     * (L2² = |v|² - 2·v·c + |c|² via qdot), so ties break
-    * deterministically on centroid/vec id. */
+    * deterministically on centroid/vec id.
+    *
+    * NOTE: the codebook must be a LITERAL in the returned plan, so the
+    * Lloyd training jobs run eagerly at construction time — building
+    * this DataFrame (even just to explain() it) executes the training
+    * passes. Inherent to collect-and-broadcast k-means. */
   def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.QDot

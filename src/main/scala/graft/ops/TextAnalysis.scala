@@ -25,8 +25,6 @@ object TextAnalysis {
     "zh" -> Seq("de", "le", "he", "shi", "zai", "you", "wo"),
   )
 
-  private val wordsExpr = "filter(split(lower(text), ' '), w -> w <> '')"
-  private val wordsSql = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
   /** Language ID: score each language by stopword hits (token join against
     * a broadcast keyword table), argmax with deterministic tie-break

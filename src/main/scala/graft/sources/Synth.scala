@@ -25,15 +25,18 @@ object Synth {
   /** code = "JD" + lpad(n, 10, '0') (reference: WaybillCSource.java:26). */
   private def waybillCode(n: org.apache.spark.sql.Column) =
     concat(lit("JD"), lpad(n.cast("string"), 10, "0"))
-  /** hash-derived pseudo-random int in [lo, hi] (stand-in for Random). */
+  /** hash-derived pseudo-random int in [lo, hi] (stand-in for Random).
+    * pmod alone normalizes negatives — no abs(), which would raise
+    * ARITHMETIC_OVERFLOW under ANSI mode when hash() lands exactly on
+    * Int.MinValue (a certainty eventually on a long-running stream). */
   private def pseudo(c: org.apache.spark.sql.Column, lo: Int, hi: Int) =
-    (pmod(abs(hash(c)), lit(hi - lo + 1)) + lo)
+    (pmod(hash(c), lit(hi - lo + 1)) + lo)
 
   /** S4: WaybillC — site events. */
   def waybillC(counter: DataFrame): DataFrame =
     counter.select(
       waybillCode(col("value")).as("waybillCode"),
-      lpad(conv(abs(hash(col("value"), lit("sign"))).cast("string"), 10, 2), 30, "0").as("waybillSign"),
+      lpad(conv(abs(hash(col("value"), lit("sign")).cast("long")).cast("string"), 10, 2), 30, "0").as("waybillSign"),
       pseudo(col("value"), 1, 9).cast("string").as("siteCode"),
       concat(lit("site_"), pseudo(col("value"), 1, 9)).as("siteName"),
       col("value").as("timeStamp"))
@@ -44,7 +47,7 @@ object Synth {
       waybillCode(col("value")).as("waybillCode"),
       pseudo(col("value"), 1, 99).cast("string").as("busiNo"),
       concat(lit("merchant_"), pseudo(col("value"), 1, 99)).as("busiName"),
-      lpad(conv(abs(hash(col("value"), lit("pay"))).cast("string"), 10, 2), 50, "0").as("sendPay"))
+      lpad(conv(abs(hash(col("value"), lit("pay")).cast("long")).cast("string"), 10, 2), 50, "0").as("sendPay"))
 
   /** S4: WaybillRouteLink — fan-out 5 packages per waybill
     * (reference: WaybillRouteLinkSource.java:22-35). */
@@ -64,7 +67,7 @@ object Synth {
 
   /** seeded variant of [[pseudo]] so two fields of one row don't correlate. */
   private def pseudoS(c: org.apache.spark.sql.Column, seed: String, lo: Int, hi: Int) =
-    (pmod(abs(hash(c, lit(seed))), lit(hi - lo + 1)) + lo)
+    (pmod(hash(c, lit(seed)), lit(hi - lo + 1)) + lo)
 
   /** product name = "类别" + one of A..G (reference: ProductSource.java:21,
     * ProductSaleSource.java:17 — RandomStringUtils.random(1, "ABCDEFG")). */
