@@ -85,9 +85,12 @@ class OpsSpec extends SparkSpec {
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivf.size == 30) // 10 queries x top-3
     val recall = (brute intersect ivf).size.toDouble / brute.size
-    // IVF probes 4/16 lists; random vectors make this a hard fixture —
-    // the structural guarantee is >0 overlap and correct shapes
-    assert(recall > 0.2, s"IVF recall $recall vs brute force")
+    info(s"IVF recall@3 vs brute force: $recall")
+    // probing 4/16 lists of a Lloyd-trained codebook on random vectors
+    // (a hard fixture — no cluster structure) measures 0.77 here; the
+    // 0.5 bound leaves margin for testdata regeneration while still
+    // failing if the codebook ever regresses to an untrained stub
+    assert(recall > 0.5, s"IVF recall $recall vs brute force")
   }
 
   test("dedup_clusters: distributed propagation path equals union-find fast path") {
