@@ -11,7 +11,8 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("filter", "group_agg", "enrich_wide_row", "window_join",
                "dedup_near_minhash", "ann_topk", "ann_ivf_topk", "word_count",
-               "session_window", "ngram_jaccard", "pipeline_clean")
+               "session_window", "ngram_jaccard", "pipeline_clean",
+               "decontaminate", "domain_mix", "corpus_shuffle", "repetition_score")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")

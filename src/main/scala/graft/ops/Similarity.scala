@@ -31,7 +31,7 @@ object Similarity {
   private val NumPlanes = 16
 
   /** embedding → int64-quantized array (floor(v*1000)). */
-  private val quantExpr =
+  private[graft] val quantExpr =
     "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
   private val quantSql =
     "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
@@ -190,7 +190,7 @@ object Similarity {
     * centroids, map-side-combinable aggregation). At 100 TB you'd train
     * on a sample; the pass structure is unchanged.
     */
-  private def trainedCentroids(s: SparkSession, emb: DataFrame): Seq[(Long, Seq[Long])] = {
+  private[graft] def trainedCentroids(s: SparkSession, emb: DataFrame): Seq[(Long, Seq[Long])] = {
     import s.implicits._
     import graft.functions.QDot
     val seeds = emb

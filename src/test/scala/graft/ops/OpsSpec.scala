@@ -93,6 +93,33 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.5, s"IVF recall $recall vs brute force")
   }
 
+  test("IVF codebook: sample-trained centroids stay close to full-trained quality") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // the 100 TB path trains on a hash-sample of the corpus (annIvfTopK
+    // scaladoc); show the sample-trained codebook's quantization error
+    // over the FULL corpus is within a modest factor of full training
+    val emb = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(Similarity.quantExpr).as("qv"))
+    val half = emb.filter(pmod(Prims.hash60(concat(lit("ts_"), col("vec_id"))), lit(2L)) === 0)
+    val full = Similarity.trainedCentroids(s, emb)
+    val samp = Similarity.trainedCentroids(s, half)
+    val vecs = emb.select("qv").collect().map(_.getSeq[Long](0).toArray)
+    def qErr(cents: Seq[(Long, Seq[Long])]): Double = {
+      val cs = cents.map(_._2.toArray)
+      vecs.map { v =>
+        cs.map { c =>
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = (v(i) - c(i)).toDouble; d += t * t; i += 1 }
+          d
+        }.min
+      }.sum
+    }
+    val (ef, es) = (qErr(full), qErr(samp))
+    info(s"quantization error: full=$ef sample=$es ratio=${es / ef}")
+    assert(es <= ef * 1.5, s"sample-trained error $es vs full $ef")
+  }
+
   test("dedup_clusters: distributed propagation path equals union-find fast path") {
     val s = spark
     import s.implicits._
