@@ -67,36 +67,39 @@ object Similarity {
        |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Deterministic "random" hyperplanes: plane j, dim i has integer
-    * coefficient hash60('p<j>_<i>') % 2001 - 1000 ∈ [-1000, 1000]. */
-  private def planes(s: SparkSession): DataFrame = {
-    import s.implicits._
-    (0 until NumPlanes).flatMap(j => (0 until Dim).map(i => (j, i)))
-      .toDF("pj", "pi")
-      .select(col("pj"), col("pi"),
-        (pmod(hash60(concat(lit("p"), col("pj"), lit("_"), col("pi"))), lit(2001L)) - 1000L)
-          .as("coef"))
+  /** Deterministic "random" hyperplanes, computed DRIVER-SIDE with the
+    * same md5 arithmetic as Prims.hash60: plane j, dim i has integer
+    * coefficient hash60('p<j>_<i>') % 2001 - 1000 ∈ [-1000, 1000]. The
+    * planes are NumPlanes×Dim int64 ≈ 8 KB of plan literals, so the
+    * sign-bit signature becomes one narrow codegen'd projection (16
+    * qdot calls per row) instead of a 64×16 explode-join-aggregate —
+    * at corpus scale that stage was pure row churn. */
+  private lazy val planeCoefs: IndexedSeq[Seq[Long]] = {
+    def hash60Jvm(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    (0 until NumPlanes).map { j =>
+      (0 until Dim).map(i => hash60Jvm(s"p${j}_$i") % 2001L - 1000L)
+    }
   }
 
+  /** bucket = 16 hyperplane sign bits of qv, as a single long column. */
+  private def bucketCol: org.apache.spark.sql.Column =
+    (0 until NumPlanes).map { j =>
+      when(graft.functions.QDot(col("qv"), typedLit(planeCoefs(j))) >= 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** LSH-bucketed near-neighbor pairs: 16-bit signature of hyperplane
-    * sign bits; pairs only within a bucket, scored by quantized dot. */
+    * sign bits; pairs only within a bucket, scored by quantized dot.
+    * Signature assignment is a narrow map stage (literal planes, codegen
+    * qdot) — the only shuffle is the bucket self-join. */
   def annLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val sigs = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(quantExpr).as("qv"))
-    // sign bit per (vector, plane): dot(qv, plane_j) >= 0
-    val proj = emb
-      .select(col("vec_id"), posexplode(col("qv")).as(Seq("pi", "v")))
-      .join(broadcast(planes(s)), "pi")
-      .groupBy("vec_id", "pj")
-      .agg(sum(col("v") * col("coef")).as("proj"))
-    val sigs = proj
-      .groupBy("vec_id")
-      .agg(sum(expr("CASE WHEN proj >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(pj AS INT)) ELSE CAST(0 AS BIGINT) END"))
-        .as("bucket"))
-    val wa = sigs.join(emb, "vec_id")
-      .select(col("vec_id").as("vec_a"), col("bucket"), col("qv").as("qa"))
-    val wb = sigs.join(emb, "vec_id")
-      .select(col("vec_id").as("vec_b"), col("bucket").as("bucket_b"), col("qv").as("qb"))
+      .select(col("vec_id"), col("qv"), bucketCol.as("bucket"))
+    val wa = sigs.select(col("vec_id").as("vec_a"), col("bucket"), col("qv").as("qa"))
+    val wb = sigs.select(col("vec_id").as("vec_b"), col("bucket").as("bucket_b"), col("qv").as("qb"))
     wa.join(wb, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
       .select(col("bucket"), col("vec_a"), col("vec_b"),
         graft.functions.QDot(col("qa"), col("qb")).as("dot"))
