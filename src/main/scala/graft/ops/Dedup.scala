@@ -54,11 +54,11 @@ object Dedup {
 
   // ---- MinHash + LSH --------------------------------------------------
 
-  private val NumHashes = 16
-  private val BandRows = 4
-  private val NumBands = NumHashes / BandRows
-  private def aCoef(j: Int): Long = 2L * j + 3
-  private def bCoef(j: Int): Long = 7919L * j + 31
+  private[graft] val NumHashes = 16
+  private[graft] val BandRows = 4
+  private[graft] val NumBands = NumHashes / BandRows
+  private[graft] def aCoef(j: Int): Long = 2L * j + 3
+  private[graft] def bCoef(j: Int): Long = 7919L * j + 31
 
   /** Per-doc 16-component MinHash signature (columns mh0..mh15).
     * The md5-based hash is computed once per DISTINCT shingle (a
