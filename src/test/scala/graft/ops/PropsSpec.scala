@@ -90,6 +90,26 @@ class PropsSpec extends AnyFunSuite {
     })
   }
 
+  /** Session engine conservation over random multi-key traces with
+    * interleaved watermarks: every element either lands in exactly one
+    * fired session or is tagged late — regression cover for the
+    * late-only-key path (a key whose events all arrive late must tag
+    * them without creating session state). */
+  test("property: session engine conserves elements across keys") {
+    import graft.streaming.FlinkWindows._
+    val ev = for {
+      k <- Gen.oneOf("a", "b", "c")
+      ts <- Gen.choose(0L, 20000L)
+      v <- Gen.choose(1, 100)
+      wm <- Gen.oneOf(Gen.const(-1L), Gen.choose(0L, 20000L))
+    } yield Event(k, v, ts, wm)
+    check(Prop.forAll(Gen.nonEmptyListOf(ev)) { events =>
+      val r = session(events, gapMs = 2000L)
+      r.fired.map(_.count).sum + r.late.size == events.size &&
+        r.fired.map(_.sum).sum + r.late.map(_.value).sum == events.map(_.value).sum
+    })
+  }
+
   /** FlinkWindows engine: fired counts + late count == input count for
     * any random trace (conservation — nothing lost, nothing duplicated
     * when no re-fires happen, i.e. lateness 0). */
