@@ -33,7 +33,7 @@ object Sinks {
   def kafkaPayload(df: DataFrame, keyCol: String): DataFrame =
     df.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** K2 writer options as a canonical map (mirrors the S8 reader
     * builders). Progress rides the checkpoint; delivery is
@@ -73,7 +73,7 @@ object Sinks {
       val idx = index; val n = bulkActions; val t = transport
       batch
         .select(col(idCol).cast("string").as("id"),
-          to_json(struct(batch.columns.map(col): _*)).as("doc"))
+          to_json(struct(batch.columns.toIndexedSeq.map(col): _*)).as("doc"))
         .foreachPartition { (rows: Iterator[Row]) =>
           rows.map(r => Upsert(idx, r.getString(0), r.getString(1)))
             .grouped(n).foreach(t)
@@ -87,7 +87,7 @@ object Sinks {
       val idx = index
       val actions = batch
         .select(col(idCol).cast("string").as("id"),
-          to_json(struct(batch.columns.map(col): _*)).as("doc"))
+          to_json(struct(batch.columns.toIndexedSeq.map(col): _*)).as("doc"))
         .collect()
         .map(r => Upsert(idx, r.getString(0), r.getString(1)))
       actions.grouped(bulkActions).foreach(g => transport(g.toSeq))
