@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("qdot"),
       new ExpressionInfo(classOf[QDot].getName, "qdot"),
       QDot.builder))
+    ext.injectFunction((
+      new FunctionIdentifier("hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "hash60"),
+      Hash60.builder))
   }
 }
 
@@ -27,9 +31,14 @@ object GraftExtensions {
   /** Defensive runtime registration for sessions built WITHOUT the
     * extension (e.g. a harness-owned SparkSession): registers qdot in
     * the session's function registry if it is not already resolvable. */
-  def ensure(spark: org.apache.spark.sql.SparkSession): Unit =
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.catalog.functionExists("qdot")) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "qdot", QDot.builder, "built-in")
     }
+    if (!spark.catalog.functionExists("hash60")) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hash60", Hash60.builder, "built-in")
+    }
+  }
 }

@@ -44,12 +44,22 @@ object Prims {
   val P31 = 2147483647L
 
   /** Deterministic 60-bit hash both engines can compute identically:
-    * first 15 hex digits of md5, parsed as an integer.
-    * Spark: conv(substr(md5(x),1,15),16,10); DuckDB:
+    * first 15 hex digits of md5, parsed as an integer. DuckDB:
     * CAST('0x' || substr(md5(x),1,15) AS BIGINT). Engine-native hash
     * functions (murmur3 etc.) differ between Spark and DuckDB, so every
-    * sketch is built on this one. */
+    * sketch is built on this one.
+    *
+    * Spark side is the native graft.functions.Hash60 expression (digest
+    * bytes read directly — no hex-string round trip; this is the single
+    * hottest scalar in the sketch family). [[hash60Composed]] keeps the
+    * built-in-function spelling; Hash60Spec property-checks the two
+    * against each other. Registration rides GraftExtensions (ensured by
+    * Tables at first use, like qdot). */
   def hash60(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("hash60", c)
+
+  /** The composed-builtins form of [[hash60]] (Spark SQL only). */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** DuckDB rendering of hash60 (for generated oracle SQL). */

@@ -42,7 +42,7 @@ object StreamingNearDup {
       """array_distinct(transform(sequence(1, size(ws) - 2),
         |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))))"""
         .stripMargin
-    val hs = s"transform($shingles, s -> pmod(CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT), ${Prims.P31}L))"
+    val hs = s"transform($shingles, s -> pmod(hash60(s), ${Prims.P31}L))"
     def mh(j: Int) =
       s"array_min(transform(hs, h -> pmod(${Dedup.aCoef(j)}L * h + ${Dedup.bCoef(j)}L, ${Prims.P31}L)))"
     val bandStructs = (0 until Dedup.NumBands).map { k =>
