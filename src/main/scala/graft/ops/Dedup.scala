@@ -60,6 +60,16 @@ object Dedup {
   private[graft] def aCoef(j: Int): Long = 2L * j + 3
   private[graft] def bCoef(j: Int): Long = 7919L * j + 31
 
+  /** Max docs sharing one (band, band-signature) bucket before the bucket
+    * is dropped from candidate generation — the same df-style guard as
+    * [[MaxShingleDf]] (jaccard's inverted index) and
+    * `StreamingNearDup.MaxBucket` (the online twin). A degenerate bucket
+    * (boilerplate docs sharing a trivial signature) otherwise produces
+    * O(m²) pairs inside one bucket — the skew killer at 100 TB. Dropped
+    * buckets carry no signal: a band shared by hundreds of docs is the
+    * LSH analogue of a stopword. */
+  private[graft] val MaxBandBucket = 100
+
   /** Per-doc 16-component MinHash signature (columns mh0..mh15).
     * The md5-based hash is computed once per DISTINCT shingle (a
     * dictionary, joined back), not once per (doc, shingle) instance —
@@ -89,7 +99,16 @@ object Dedup {
       sig.select(col("doc_id"), lit(k).as("band"),
         concat_ws(",", (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*).as("bsig"))
     }.reduce(_ unionByName _)
-    val pairs = bands.as("x").join(bands.as("y"),
+    // hot-bucket guard: count bucket membership first and keep only
+    // buckets ≤ MaxBandBucket before the self-join (bands is narrow
+    // compute over the checkpointed sig, so the extra pass is cheap; the
+    // count is a map-side-combinable aggregation, never O(m²))
+    val kept = bands.join(
+      bands.groupBy("band", "bsig").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= MaxBandBucket)
+        .select("band", "bsig"),
+      Seq("band", "bsig"))
+    val pairs = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -123,8 +142,12 @@ object Dedup {
        |bands AS (
        |  $bandSelects
        |),
+       |keptb AS (SELECT band, bsig FROM bands
+       |  GROUP BY band, bsig HAVING count(*) <= $MaxBandBucket),
+       |bk AS (SELECT bands.doc_id, bands.band, bands.bsig
+       |  FROM bands JOIN keptb USING (band, bsig)),
        |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
+       |  FROM bk x JOIN bk y
        |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, CAST($eq AS DOUBLE) / $NumHashes AS est_jaccard
        |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id

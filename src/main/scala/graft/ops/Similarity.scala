@@ -30,6 +30,16 @@ object Similarity {
   private val TopK = 5
   private val NumPlanes = 16
 
+  /** Max vectors sharing one hyperplane-signature bucket before the
+    * bucket is dropped from candidate generation — the same df-style
+    * guard as `Dedup.MaxBandBucket` / `Dedup.MaxShingleDf` /
+    * `StreamingNearDup.MaxBucket`. Degenerate vectors (e.g. all-zero
+    * embeddings, which land on every hyperplane's positive side) would
+    * otherwise pile into one bucket and the self-join goes O(m²) inside
+    * it — the skew killer at 100 TB. A bucket shared by hundreds of
+    * vectors carries no neighborhood signal. */
+  private[graft] val MaxLshBucket = 100
+
   /** embedding → int64-quantized array (floor(v*1000)). */
   private[graft] val quantExpr =
     "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
@@ -95,9 +105,18 @@ object Similarity {
     * Signature assignment is a narrow map stage (literal planes, codegen
     * qdot) — the only shuffle is the bucket self-join. */
   def annLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.embeddings(s, dir)
+    val sigs0 = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(quantExpr).as("qv"))
       .select(col("vec_id"), col("qv"), bucketCol.as("bucket"))
+    // hot-bucket guard: drop buckets over MaxLshBucket members before the
+    // self-join. sigs0 is one narrow codegen projection over the scan, so
+    // recomputing it for the count beats checkpointing a corpus-sized
+    // signature table; the count itself is map-side combinable.
+    val sigs = sigs0.join(
+      sigs0.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= MaxLshBucket)
+        .select("bucket"),
+      "bucket")
     val wa = sigs.select(col("vec_id").as("vec_a"), col("bucket"), col("qv").as("qa"))
     val wb = sigs.select(col("vec_id").as("vec_b"), col("bucket").as("bucket_b"), col("qv").as("qb"))
     wa.join(wb, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
@@ -116,9 +135,12 @@ object Similarity {
        |       (SELECT unnest(range(0, $Dim)) AS pi)),
        |proj AS (SELECT vec_id, pj, sum(qv[pi + 1] * coef) AS proj
        |  FROM e, pl GROUP BY vec_id, pj),
-       |sigs AS (SELECT vec_id,
+       |sigs0 AS (SELECT vec_id,
        |    CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << pj) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM proj GROUP BY vec_id)""".stripMargin
+       |  FROM proj GROUP BY vec_id),
+       |keptb AS (SELECT bucket FROM sigs0
+       |  GROUP BY bucket HAVING count(*) <= $MaxLshBucket),
+       |sigs AS (SELECT sigs0.vec_id, sigs0.bucket FROM sigs0 JOIN keptb USING (bucket))""".stripMargin
 
   def annLshPairsSql: String =
     s"""${lshCtes}

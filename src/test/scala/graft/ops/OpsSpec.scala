@@ -149,6 +149,40 @@ class OpsSpec extends SparkSpec {
       "a query left a persisted DataFrame in the cache manager")
   }
 
+  test("hot-bucket guard: degenerate corpora produce bounded candidate pairs") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-degenerate").toString
+    // 120 byte-identical boilerplate docs: every LSH band bucket they form
+    // has 120 members (> MaxBandBucket) and must be dropped; without the
+    // guard this group alone emits 120*119/2 = 7140 pairs
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    val near = "completely different words entirely unlike anything else found in this corpus"
+    val docs = (0L until 120L).map(i => (i, boiler, "en", "web", boiler.length.toLong)) ++
+      Seq((200L, near, "en", "web", near.length.toLong),
+          (201L, near, "en", "web", near.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // 120 all-zero vectors: zero projects non-negatively onto every
+    // hyperplane, so they pile into ONE signature bucket (> MaxLshBucket)
+    val zero = Seq.fill(64)(0.0f)
+    val v = (0 until 64).map(i => (i % 7 - 3).toFloat)
+    val embs = (0L until 120L).map(i => (i, zero, 0)) ++
+      Seq((200L, v, 1), (201L, v, 1))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val mh = Dedup.dedupNearMinhash(s, tmp)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(mh == Set((200L, 201L)),
+      s"expected only the small-bucket pair to survive, got ${mh.size} pairs")
+
+    val lsh = Similarity.annLshPairs(s, tmp)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((200L, 201L)),
+      s"expected only the small-bucket pair to survive, got ${lsh.size} pairs")
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val s = spark
     import s.implicits._
