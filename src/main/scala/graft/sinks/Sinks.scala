@@ -55,11 +55,69 @@ object Sinks {
     * reference: main/HelloWorldFlink.java:212-222). */
   final case class Upsert(index: String, id: String, docJson: String)
 
+  /** Marker for a queue-full rejection from the sink backend — the
+    * engine-agnostic stand-in for EsRejectedExecutionException (the one
+    * failure the reference's RetryRejectedExecutionFailureHandler singles
+    * out, main/HelloWorldFlink.java:229). */
+  final class RejectedExecutionFailure(msg: String) extends RuntimeException(msg)
+
+  /** K3 failure policy: retrying decorator over a bulk transport
+    * (reference: main/HelloWorldFlink.java:227-234 — BulkProcessor
+    * backoff CONSTANT 3 s × 5 retries, plus
+    * RetryRejectedExecutionFailureHandler).
+    *
+    * Two failure classes, mirroring the reference:
+    *  - REJECTION (queue-full; [[isRejection]]): retried with constant
+    *    backoff WITHOUT consuming the retry budget — the reference
+    *    handler re-queues rejected actions unconditionally, so sustained
+    *    rejection backpressures the writing task rather than dropping
+    *    data. A batch caller blocks; that is the semantics, not a bug.
+    *  - any other failure: retried up to [[maxRetries]] times with the
+    *    same constant backoff, then the bulk and the last error are
+    *    routed to [[onGiveUp]] (default: rethrow, failing the task so
+    *    Spark's task retry takes over — at-least-once, made effectively
+    *    idempotent by docAsUpsert keying).
+    *
+    * Runs on executors (composed under [[EsBulkSink.write]]), so every
+    * field must be serializable; `sleeper` is injectable so specs assert
+    * the backoff schedule without real 3 s waits. */
+  final class RetryingTransport(
+      underlying: Seq[Upsert] => Unit,
+      maxRetries: Int = 5,
+      backoffMillis: Long = 3000L,
+      isRejection: Throwable => Boolean = RetryingTransport.defaultIsRejection,
+      onGiveUp: (Seq[Upsert], Throwable) => Unit = (_, e) => throw e,
+      sleeper: Long => Unit = Thread.sleep)
+    extends (Seq[Upsert] => Unit) with Serializable {
+    def apply(bulk: Seq[Upsert]): Unit = {
+      var failures = 0 // budget-consuming (non-rejection) failures so far
+      while (true) {
+        try { underlying(bulk); return }
+        catch {
+          case e: Throwable if isRejection(e) =>
+            sleeper(backoffMillis) // re-queue, budget untouched
+          case e: Throwable =>
+            failures += 1
+            if (failures > maxRetries) { onGiveUp(bulk, e); return }
+            sleeper(backoffMillis)
+        }
+      }
+    }
+  }
+
+  object RetryingTransport {
+    /** JDK RejectedExecutionException or the local marker. */
+    val defaultIsRejection: Throwable => Boolean = e =>
+      e.isInstanceOf[java.util.concurrent.RejectedExecutionException] ||
+        e.isInstanceOf[RejectedExecutionFailure]
+  }
+
   /** K3/K6: bulk-upsert sink core. Groups a micro-batch into bulks of
     * ≤ `bulkActions` (reference flush: 100 actions / 5 MB / 30 s,
     * main/HelloWorldFlink.java:227-234) and hands each bulk to
     * `transport` (the HTTP _bulk call in production; an in-memory list in
-    * tests). Retry-on-conflict/backoff live behind `transport` too.
+    * tests). The companion [[EsBulkSink.apply]] composes the reference's
+    * retry/backoff policy ([[RetryingTransport]]) in by default.
     * Used via foreachBatch → effectively-once by idempotent docId. */
   final class EsBulkSink(index: String, idCol: String, bulkActions: Int,
                          transport: Seq[Upsert] => Unit) extends Serializable {
@@ -92,6 +150,18 @@ object Sinks {
         .map(r => Upsert(idx, r.getString(0), r.getString(1)))
       actions.grouped(bulkActions).foreach(g => transport(g.toSeq))
     }
+  }
+
+  object EsBulkSink {
+    /** Production entry: the raw transport wrapped in the reference's
+      * failure policy ([[RetryingTransport]]) by default — a user gets
+      * bulk batching AND retry/backoff, exactly what the reference's
+      * BulkProcessor composes (main/HelloWorldFlink.java:227-234). Use
+      * `new EsBulkSink(...)` directly only to supply a transport that
+      * already handles its own failures. */
+    def apply(index: String, idCol: String, bulkActions: Int,
+              transport: Seq[Upsert] => Unit): EsBulkSink =
+      new EsBulkSink(index, idCol, bulkActions, new RetryingTransport(transport))
   }
 
   /** K4: no-op lifecycle ForeachWriter (reference:

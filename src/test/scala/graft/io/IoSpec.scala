@@ -135,6 +135,85 @@ class IoSpec extends SparkSpec {
     assert(bulks.map(_.size).sorted.toSeq == Seq(50, 100, 100))
   }
 
+  test("retrying transport: constant backoff, eventual success, give-up routing") {
+    // flaky transport: fails 3 times, then succeeds → delivered on the
+    // 4th attempt with exactly 3 constant-backoff sleeps (reference
+    // policy: CONSTANT 3 s × 5, main/HelloWorldFlink.java:227-234)
+    val bulk = Seq(Sinks.Upsert("idx", "1", "{}"))
+    var calls = 0; val sleeps = mutable.ArrayBuffer[Long]()
+    val delivered = mutable.ArrayBuffer[Seq[Sinks.Upsert]]()
+    val flaky = new Sinks.RetryingTransport(
+      b => { calls += 1; if (calls <= 3) sys.error(s"boom $calls") else delivered += b },
+      sleeper = sleeps += _)
+    flaky(bulk)
+    assert(calls == 4 && delivered == Seq(bulk))
+    assert(sleeps.toSeq == Seq(3000L, 3000L, 3000L))
+
+    // always-failing transport: 1 initial + 5 retries, then the bulk and
+    // the LAST error route to onGiveUp (no silent drop, no rethrow here)
+    var attempts = 0; val sleeps2 = mutable.ArrayBuffer[Long]()
+    val gaveUp = mutable.ArrayBuffer[(Seq[Sinks.Upsert], String)]()
+    new Sinks.RetryingTransport(
+      _ => { attempts += 1; sys.error(s"down $attempts") },
+      onGiveUp = (b, e) => gaveUp += ((b, e.getMessage)),
+      sleeper = sleeps2 += _)(bulk)
+    assert(attempts == 6 && sleeps2.size == 5)
+    assert(gaveUp.toSeq == Seq((bulk, "down 6")))
+
+    // default give-up rethrows so the Spark task fails (task retry takes over)
+    val ex = intercept[RuntimeException](new Sinks.RetryingTransport(
+      _ => sys.error("hard down"), sleeper = _ => ())(bulk))
+    assert(ex.getMessage == "hard down")
+  }
+
+  test("retrying transport: rejections retry without consuming the budget") {
+    // 7 consecutive queue-full rejections (> maxRetries=5) then success:
+    // the RetryRejectedExecutionFailureHandler semantics re-queue without
+    // touching the retry budget, so the bulk still lands
+    val bulk = Seq(Sinks.Upsert("idx", "2", "{}"))
+    var calls = 0; var slept = 0
+    val delivered = mutable.ArrayBuffer[Seq[Sinks.Upsert]]()
+    new Sinks.RetryingTransport(
+      b => { calls += 1
+        if (calls <= 7) throw new Sinks.RejectedExecutionFailure("queue full")
+        else delivered += b },
+      sleeper = _ => slept += 1)(bulk)
+    assert(calls == 8 && slept == 7 && delivered == Seq(bulk))
+
+    // the JDK RejectedExecutionException is recognized as a rejection too,
+    // and rejections + real failures keep separate accounting
+    var calls2 = 0
+    val gaveUp = mutable.ArrayBuffer[String]()
+    new Sinks.RetryingTransport(
+      _ => { calls2 += 1
+        if (calls2 % 2 == 1) throw new java.util.concurrent.RejectedExecutionException("q")
+        else sys.error("real failure") },
+      onGiveUp = (_, e) => gaveUp += e.getMessage,
+      sleeper = _ => ())(bulk)
+    // alternating rejection/real: gives up after the 6th REAL failure
+    assert(calls2 == 12 && gaveUp.toSeq == Seq("real failure"))
+  }
+
+  test("EsBulkSink.apply composes the retry policy into the executor path") {
+    val s = spark
+    import s.implicits._
+    IoSpec.esBulks.synchronized { IoSpec.esBulks.clear() }
+    IoSpec.flakyCount.set(0)
+    // companion factory: transport rejects the first call per-JVM, then
+    // delivers — write() must still land every bulk (executor-side retry)
+    val sink = Sinks.EsBulkSink("bd_waybill", "waybillCode", 100,
+      b => {
+        if (IoSpec.flakyCount.incrementAndGet() == 1)
+          throw new Sinks.RejectedExecutionFailure("queue full")
+        IoSpec.esBulks.synchronized { IoSpec.esBulks += b }
+      })
+    val batch = (1 to 40).map(i => (s"JD$i", s"site_$i"))
+      .toDF("waybillCode", "siteName").repartition(2)
+    sink.write(batch)
+    val all = IoSpec.esBulks.synchronized { IoSpec.esBulks.toVector }.flatten
+    assert(all.map(_.id).toSet.size == 40) // nothing dropped by the rejection
+  }
+
   test("S8 offset-control builders render the exact Spark reader options") {
     import KafkaJson.TopicPartition
     val tps = Seq(TopicPartition("hello-world", 2), TopicPartition("hello-world", 0),
@@ -164,4 +243,8 @@ object IoSpec {
     * task closure is serialized, so a captured buffer would mutate a
     * copy — a companion field is resolved statically on the worker. */
   val esBulks: mutable.ArrayBuffer[Seq[Sinks.Upsert]] = mutable.ArrayBuffer()
+
+  /** Per-JVM failure injector for the composed-retry test (static for the
+    * same closure-serialization reason as [[esBulks]]). */
+  val flakyCount = new java.util.concurrent.atomic.AtomicInteger(0)
 }
