@@ -62,6 +62,7 @@ object SparkEntry {
     "ann_lsh_pairs"     -> (Similarity.annLshPairs _),
     "cosine_near_dup"   -> (Similarity.cosineNearDup _),
     "ann_ivf_topk"      -> (Similarity.annIvfTopK _),
+    "ann_ivf_recall"    -> (Similarity.annIvfRecall _),
     "lang_id"           -> (TextAnalysis.langId _),
     "quality_score"     -> (TextAnalysis.qualityScore _),
     "token_count"       -> (TextAnalysis.tokenCount _),

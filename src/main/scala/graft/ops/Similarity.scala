@@ -316,7 +316,28 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def annIvfTopKSql: String = {
+  /** recall@[[IvfTopK]] of the IVF index against brute-force ground
+    * truth — codebook quality as a one-row, oracle-gated number (not just
+    * a test-only property): a training regression that degrades the
+    * codebook shows up as a hash mismatch on this row. Both inputs are
+    * deterministic (exact int64 scoring, id tie-breaks), and the final
+    * division is one double op over the same two integers on both
+    * engines, so the value is bit-stable. */
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = annTopK(s, dir).filter(col("rank") <= IvfTopK)
+      .select("query_id", "neighbor_id")
+    val ivf = annIvfTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+      .select(lit(IvfTopK.toLong).as("k"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+  }
+
+  /** The full IVF pipeline as a WITH-chain (e … r), shared by the top-k
+    * query and the recall gate — single source of truth for the oracle's
+    * training unroll. */
+  private def ivfCtes: String = {
     val dotQ = s"CAST(list_sum(list_transform(range(1, $Dim + 1), i -> a[i] * b[i])) AS BIGINT)"
     def d2(a: String, b: String) =
       dotQ.replace("a[i] * b[i]", s"$a[i] * $a[i]") +
@@ -374,15 +395,37 @@ object Similarity {
        |  JOIN e ON assigned.vec_id = e.vec_id
        |  WHERE e.vec_id <> query_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  def annIvfTopKSql: String =
+    s"""$ivfCtes
        |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= $IvfTopK
        |ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** Oracle twin of [[annIvfRecall]]: the same IVF chain plus a
+    * brute-force truth block (bs/br — the annTopKSql computation reusing
+    * the chain's `e` and `q` CTEs), left-joined for the hit count. */
+  def annIvfRecallSql: String =
+    s"""$ivfCtes,
+       |ivf_top AS (SELECT query_id, neighbor_id FROM r WHERE rank <= $IvfTopK),
+       |bs AS (SELECT query_id, e.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, $Dim + 1), i -> query_v[i] * e.qv[i])) AS BIGINT) AS dot
+       |  FROM q, e WHERE e.vec_id <> query_id),
+       |br AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM bs),
+       |truth AS (SELECT query_id, neighbor_id FROM br WHERE rank <= $IvfTopK)
+       |SELECT CAST($IvfTopK AS BIGINT) AS k, count(*) AS n_truth,
+       |  count(i.neighbor_id) AS n_hits,
+       |  CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN ivf_top i USING (query_id, neighbor_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopKSql,
     "ann_lsh_pairs" -> annLshPairsSql,
     "cosine_near_dup" -> cosineNearDupSql,
     "ann_ivf_topk" -> annIvfTopKSql,
+    "ann_ivf_recall" -> annIvfRecallSql,
   )
 }
