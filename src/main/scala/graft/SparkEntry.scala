@@ -76,6 +76,8 @@ object SparkEntry {
     "domain_mix"        -> (PipelineOps.domainMix _),
     "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
     "corpus_stats"      -> (PipelineOps.corpusStats _),
+    "corpus_pack"       -> (PipelineOps.corpusPack _),
+    "pii_scrub"         -> (PipelineOps.piiScrub _),
     // E3 flagship: full six-source enrichment DAG through four
     // flatMapGroupsWithState stages (graft.streaming.EnrichDag)
     "enrich_dag"        -> (graft.streaming.EnrichDag.enrichDag _),

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Prims._
@@ -191,11 +191,99 @@ object PipelineOps {
        |  CAST(n_tokens AS DOUBLE) / n AS mean_toks, p50_toks, p95_toks
        |FROM a JOIN q ON a.lang = q.lang ORDER BY a.lang""".stripMargin
 
+  private val PackCapacity = 1024L // context length in tokens per bin
+
+  /** corpus_pack: sequence packing — concatenate the corpus's token
+    * stream in a deterministic global order and cut it every
+    * `PackCapacity` tokens (the standard concat-and-chunk pretraining
+    * layout; no padding waste, docs may straddle a boundary). Emitted
+    * per doc: where its tokens land — start bin and offset within it —
+    * which is exactly the exclusive global prefix sum of token counts.
+    * Computed with the two-phase [[Prims.globalPrefixSum]], so the
+    * global order costs one range shuffle + a numPartitions metadata
+    * collect, never a single-partition sort; bin assembly downstream is
+    * then embarrassingly parallel by start_bin. */
+  def corpusPack(s: SparkSession, dir: String): DataFrame =
+    Prims.globalPrefixSum(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(s"size($wordsExpr)").cast("long").as("n_tokens")),
+        "n_tokens", "cum_before", col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $PackCapacity").as("start_bin"),
+        (col("cum_before") % PackCapacity).as("start_offset"))
+      .orderBy("doc_id")
+
+  def corpusPackSql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, n_tokens, cum_before // $PackCapacity AS start_bin,
+       |  cum_before % $PackCapacity AS start_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // PII patterns shared by the operator and its oracle: kept inside the
+  // RE2 ∩ java.util.regex common subset (no lookaround, no backrefs) so
+  // both engines match identically.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val SsnRe = "\\d{3}-\\d{2}-\\d{4}"
+  private val PhoneRe = "\\+?\\d[\\d-]{5,}\\d"
+  private val TagRe = "<EMAIL>|<ID>|<PHONE>"
+
+  /** Redact emails, SSN-shaped ids, and phone-shaped digit runs —
+    * applied in that order so the broader phone pattern never eats a
+    * more specific match. A narrow per-row map: no shuffle, codegen
+    * regexp, scale-free. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        SsnRe, "<ID>"),
+      PhoneRe, "<PHONE>")
+
+  /** pii_scrub: [[redactPii]] over the corpus, emitting the scrubbed
+    * text and the redaction count per doc. The fixture corpus is
+    * digit-free word soup, so deterministic synthetic PII (an email, an
+    * SSN, a phone derived from doc_id) is appended first — the oracle
+    * performs the same injection, so the gate verifies the REDACTION,
+    * not the fixture. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val injected = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+          col("doc_id") % 10000L, lit(" ssn 123-45-6789")).as("text"))
+    injected
+      .select(col("doc_id"), redactPii(col("text")).as("clean"))
+      .withColumn("n_pii",
+        size(regexp_extract_all(col("clean"), lit(TagRe), lit(0))).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  def piiScrubSql: String =
+    s"""WITH inj AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+       |    CAST(doc_id % 10000 AS VARCHAR) || ' ssn 123-45-6789' AS text
+       |  FROM documents),
+       |scrubbed AS (SELECT doc_id,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |        '$SsnRe', '<ID>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g') AS clean
+       |  FROM inj)
+       |SELECT doc_id, clean,
+       |  CAST(len(regexp_extract_all(clean, '$TagRe')) AS BIGINT) AS n_pii
+       |FROM scrubbed ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "train_val_split" -> trainValSplitSql,
     "decontaminate"   -> decontaminateSql,
     "domain_mix"      -> domainMixSql,
     "corpus_shuffle"  -> corpusShuffleSql,
     "corpus_stats"    -> corpusStatsSql,
+    "corpus_pack"     -> corpusPackSql,
+    "pii_scrub"       -> piiScrubSql,
   )
 }

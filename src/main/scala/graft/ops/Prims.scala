@@ -106,4 +106,37 @@ object Prims {
           + element_at(offsetOf, col("__pid")))
       .drop("__pid")
   }
+
+  /** Two-phase EXCLUSIVE global prefix sum of `valCol` over the total
+    * order given by `sortCols` — the scalable form of
+    * `sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1
+    * PRECEDING)`. Same shape as [[globalRowNumber]]: range-partition on
+    * the sort key, per-partition SUMS as a numPartitions-sized metadata
+    * collect, broadcast cumulative offsets, then a within-partition
+    * running sum plus the partition offset. No partition ever holds more
+    * than its range slice; the global pass is O(numPartitions). */
+  def globalPrefixSum(df: DataFrame, valCol: String, outCol: String,
+                      sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      // same pinning rationale as globalRowNumber: the sums pass and the
+      // running-sum pass must see identical partition boundaries
+      .localCheckpoint(true)
+    val sums = ranged.groupBy("__pid").agg(sum(col(valCol)).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = if (sums.isEmpty) 0 else sums.keys.max + 1
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L)).init
+    val offsetOf =
+      if (nParts == 0) map(lit(0), lit(0L))
+      else map((0 until nParts).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*)
+    ranged
+      .withColumn(outCol,
+        coalesce(
+          sum(col(valCol)).over(Window.partitionBy("__pid").orderBy(sortCols: _*)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + element_at(offsetOf, col("__pid")))
+      .drop("__pid")
+  }
 }

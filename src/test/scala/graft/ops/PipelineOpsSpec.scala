@@ -51,4 +51,58 @@ class PipelineOpsSpec extends SparkSpec {
     kept.foreach { case (src, n) => assert(n == math.min(10L, sizes(src))) }
     assert(mix.collect().toSeq == PipelineOps.domainMix(s, dir).collect().toSeq)
   }
+
+  test("globalPrefixSum matches the single-partition window form, straddles partitions") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // enough rows to span several range partitions at 32 shuffle partitions
+    val df = s.range(0, 5000).select(col("id"), (col("id") % 7 + 1).as("v"))
+    val fast = Prims.globalPrefixSum(df, "v", "cum", col("id"))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val slow = df.withColumn("cum",
+        coalesce(sum(col("v")).over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(fast == slow)
+    assert(fast(0L) == 0L) // exclusive: first row sees an empty prefix
+    // empty input analyzes and returns empty (the map() edge case)
+    assert(Prims.globalPrefixSum(df.filter(col("id") < 0), "v", "cum", col("id")).count() == 0)
+  }
+
+  test("corpus_pack: bins are gapless and offsets stay inside capacity") {
+    val s = spark
+    import s.implicits._
+    val packed = PipelineOps.corpusPack(s, dir)
+      .as[(Long, Long, Long, Long)].collect().toVector // doc_id, n_tokens, start_bin, start_offset
+    assert(packed.forall { case (_, _, _, off) => off >= 0 && off < 1024 })
+    assert(packed.forall { case (_, _, bin, _) => bin >= 0 })
+    // consecutive docs tile the token stream: next start = prev start + prev tokens
+    packed.sliding(2).foreach {
+      case Vector((_, n1, b1, o1), (_, _, b2, o2)) =>
+        val abs1 = b1 * 1024 + o1
+        assert(b2 * 1024 + o2 == abs1 + n1)
+      case _ =>
+    }
+  }
+
+  test("redactPii: each PII class redacts, clean text passes untouched") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "reach me at jane.doe+spam@sub.example.co thanks",
+      "ssn is 123-45-6789 ok",
+      "call +1-555-867-5309 now",
+      "two mails a@b.io c@d.org",
+      "plain clean text stays put",
+      "almost-an-email @ not-one; short 12-34 id")
+    val out = cases.toDF("text")
+      .select(PipelineOps.redactPii(col("text")).as("clean")).as[String].collect()
+    assert(out(0) == "reach me at <EMAIL> thanks")
+    assert(out(1) == "ssn is <ID> ok")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "two mails <EMAIL> <EMAIL>")
+    assert(out(4) == cases(4)) // no false positives
+    assert(out(5) == cases(5)) // near-misses survive
+  }
 }
