@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -76,67 +76,92 @@ object Prims {
   val wordsSql = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
   /** Two-phase global row number over the total order given by
-    * `sortCols` (which must order rows uniquely): range-partition on the
-    * sort key, count rows per partition (a numPartitions-sized metadata
-    * collect), broadcast the cumulative offsets as a map literal, then
-    * rank WITHIN partitions and add the offset. Same result as an
-    * unpartitioned row_number, but no partition ever holds more than its
-    * range slice — the scalable form of a global total order
-    * (countWindowAll's W1 shape, shared with corpus shuffling). */
+    * `sortCols` (which must order rows uniquely): ONE range exchange +
+    * within-partition sort, then `monotonically_increasing_id()` — whose
+    * low bits are exactly the record index in partition order — gives
+    * each row its local rank as a narrow codegen projection; per-partition
+    * counts and min-ids (a numPartitions-sized metadata collect) turn it
+    * into the global rank via a broadcast offset map. Same result as an
+    * unpartitioned row_number, but with no second exchange and no
+    * single-partition sort: the scalable form of a global total order
+    * (countWindowAll's W1 shape, shared with corpus shuffling).
+    *
+    * This replaced a `Window.partitionBy(partition_id)` second pass: the
+    * checkpointed RDD reports UnknownPartitioning, so Catalyst inserted
+    * a second full-data hash exchange just to re-cluster rows that were
+    * already clustered — double shuffle volume at corpus scale.
+    *
+    * The eager localCheckpoint pins the sampled range boundaries, the
+    * sort, and the assigned ids, so the offsets pass and the rank
+    * projection see identical rows; its blocks free with the RDD — no
+    * cache entry outlives this call. */
   def globalRowNumber(df: DataFrame, rnCol: String, sortCols: Column*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      // counts pass and ranking pass must see identical partitions
-      // (repartitionByRange samples boundaries, so a recompute could
-      // re-draw them); eager localCheckpoint pins the partitioning AND
-      // frees itself with the RDD — no cache entry outlives this call
+      .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint(true)
-    val counts = ranged.groupBy("__pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nParts = if (counts.isEmpty) 0 else counts.keys.max + 1
+    val stats = ranged.groupBy("__pid")
+      .agg(count(lit(1)).as("c"), min("__mid").as("m"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nParts = if (stats.isEmpty) 0 else stats.keys.max + 1
     val offsets = (0 until nParts)
-      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).init
-    val offsetOf = // empty-input guard: map() with zero entries won't analyze
+      .scanLeft(0L)((acc, p) => acc + stats.get(p).fold(0L)(_._1)).init
+    // per-partition constant folded into one literal: global rank =
+    // __mid + (rows-before-partition - first-id-in-partition + 1)
+    val shiftOf =
       if (nParts == 0) map(lit(0), lit(0L))
-      else map((0 until nParts).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*)
+      else map((0 until nParts).flatMap { p =>
+        Seq(lit(p), lit(offsets(p) - stats.get(p).fold(0L)(_._2) + 1L))
+      }: _*)
     ranged
-      .withColumn(rnCol,
-        row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*))
-          + element_at(offsetOf, col("__pid")))
-      .drop("__pid")
+      .withColumn(rnCol, col("__mid") + element_at(shiftOf, col("__pid")))
+      .drop("__pid", "__mid")
   }
 
-  /** Two-phase EXCLUSIVE global prefix sum of `valCol` over the total
-    * order given by `sortCols` — the scalable form of
-    * `sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1
-    * PRECEDING)`. Same shape as [[globalRowNumber]]: range-partition on
-    * the sort key, per-partition SUMS as a numPartitions-sized metadata
-    * collect, broadcast cumulative offsets, then a within-partition
-    * running sum plus the partition offset. No partition ever holds more
-    * than its range slice; the global pass is O(numPartitions). */
+  /** Two-phase EXCLUSIVE global prefix sum of `valCol` (a LongType
+    * column) over the total order given by `sortCols` — the scalable
+    * form of `sum(v) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING
+    * AND 1 PRECEDING)`. Same offsets shape as [[globalRowNumber]], with
+    * per-partition SUMS in place of counts.
+    *
+    * Unlike the rank case there is no id trick for a running sum, so the
+    * second pass is a sorted-partition mapPartitions scan rather than a
+    * `Window.partitionBy(partition_id)`: the window form would force a
+    * second full-data hash exchange (the checkpointed RDD reports
+    * UnknownPartitioning, so Catalyst cannot know rows are already
+    * clustered) — at corpus scale that exchange dominates, so the narrow
+    * scan trades whole-stage codegen for halving shuffle volume. A
+    * running accumulator over an already-sorted partition is genuinely
+    * per-partition imperative logic — the sanctioned mapPartitions case. */
   def globalPrefixSum(df: DataFrame, valCol: String, outCol: String,
                       sortCols: Column*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val valIdx = df.schema.fieldIndex(valCol)
     val ranged = df.repartitionByRange(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
+      .sortWithinPartitions(sortCols: _*)
       // same pinning rationale as globalRowNumber: the sums pass and the
-      // running-sum pass must see identical partition boundaries
+      // scan pass must see identical, identically-ordered partitions
       .localCheckpoint(true)
-    val sums = ranged.groupBy("__pid").agg(sum(col(valCol)).as("s")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sums = ranged
+      .groupBy(spark_partition_id().as("__pid")).agg(sum(col(valCol)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nParts = if (sums.isEmpty) 0 else sums.keys.max + 1
     val offsets = (0 until nParts)
-      .scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L)).init
-    val offsetOf =
-      if (nParts == 0) map(lit(0), lit(0L))
-      else map((0 until nParts).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*)
-    ranged
-      .withColumn(outCol,
-        coalesce(
-          sum(col(valCol)).over(Window.partitionBy("__pid").orderBy(sortCols: _*)
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)) + element_at(offsetOf, col("__pid")))
-      .drop("__pid")
+      .scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L)).init.toArray
+    val outSchema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol, org.apache.spark.sql.types.LongType,
+          nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = if (pid < offsets.length) offsets(pid) else 0L
+      it.map { r =>
+        val cur = acc
+        acc += r.getLong(valIdx)
+        Row.fromSeq(r.toSeq :+ cur)
+      }
+    }
   }
 }
