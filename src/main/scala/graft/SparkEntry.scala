@@ -68,6 +68,7 @@ object SparkEntry {
     "token_count"       -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"   -> (TextAnalysis.docFingerprint _),
     "repetition_score"  -> (TextAnalysis.repetitionScore _),
+    "tfidf_top_terms"   -> (TextAnalysis.tfidfTopTerms _),
     "pipeline_clean"    -> (TextAnalysis.pipelineClean _),
     "doc_chunking"      -> (TextAnalysis.docChunking _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),

@@ -294,7 +294,57 @@ object TextAnalysis {
        |FROM a2 JOIN a3 USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  private val TfidfTopK = 5
+
+  /** tfidf_top_terms: the SURVEY §7 M5 tokenize/tf-idf item — the
+    * `TfidfTopK` most distinctive terms per document.
+    *
+    * The idf factor is LINEAR (score = tf · N / df as one double
+    * division over exact int64 operands), not log: IEEE division is
+    * correctly rounded so both engines produce the identical double,
+    * whereas libm `ln` differs in the last ulp between JVM and DuckDB —
+    * the same determinism discipline as corpus_stats' discrete
+    * quantiles. Production code wanting log-idf swaps one expression;
+    * the pipeline shape is identical.
+    *
+    * Scale posture: two map-side-combinable aggregations — (doc, term)
+    * term frequencies, then term document frequencies (vocabulary-sized,
+    * broadcastable in production) — a join co-partitioned on term, and a
+    * per-doc top-K window that WindowGroupLimit pushes into the shuffle.
+    * No stage ever holds more than a vocabulary or one doc's terms. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count() // scalar metadata action, mirrored as a CTE scalar
+    val tf = docs
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * lit(nDocs)).cast("double") / col("df")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= TfidfTopK)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfTopTermsSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |n AS (SELECT count(*) AS nd FROM documents),
+       |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |s AS (SELECT doc_id, term, tf, df,
+       |    CAST(tf * nd AS DOUBLE) / df AS score
+       |  FROM tf JOIN df USING (term), n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS rank FROM s)
+       |SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= $TfidfTopK
+       |ORDER BY doc_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "tfidf_top_terms" -> tfidfTopTermsSql,
     "repetition_score" -> repetitionScoreSql,
     "doc_chunking" -> docChunkingSql,
     "pipeline_clean" -> pipelineCleanSql,
