@@ -228,7 +228,13 @@ object PipelineOps {
   // both engines match identically.
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val SsnRe = "\\d{3}-\\d{2}-\\d{4}"
-  private val PhoneRe = "\\+?\\d[\\d-]{5,}\\d"
+  // Phone shape: optional +, a 1-3 digit group, then 2-3 dash-separated
+  // groups of 3-4 digits (7-15 digits total), word-bounded. The leading
+  // group is capped at 3 digits and \b forbids starting mid-number, so
+  // ISO dates (2026-08-12), timestamps, and id ranges (100-200) survive
+  // unredacted — RE2 and java.util.regex both support \b (no lookaround
+  // needed, which RE2 lacks).
+  private val PhoneRe = "\\+?\\b\\d{1,3}(-\\d{3,4}){2,3}\\b"
   private val TagRe = "<EMAIL>|<ID>|<PHONE>"
 
   /** Redact emails, SSN-shaped ids, and phone-shaped digit runs —
@@ -253,7 +259,10 @@ object PipelineOps {
       .select(col("doc_id"),
         concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
-          col("doc_id") % 10000L, lit(" ssn 123-45-6789")).as("text"))
+          // zero-padded so the injected phone always carries the 3-4 digit
+          // final group the tightened PhoneRe requires
+          lpad((col("doc_id") % 10000L).cast("string"), 4, "0"),
+          lit(" ssn 123-45-6789")).as("text"))
     injected
       .select(col("doc_id"), redactPii(col("text")).as("clean"))
       .withColumn("n_pii",
@@ -264,7 +273,7 @@ object PipelineOps {
   def piiScrubSql: String =
     s"""WITH inj AS (SELECT doc_id,
        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
-       |    CAST(doc_id % 10000 AS VARCHAR) || ' ssn 123-45-6789' AS text
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-6789' AS text
        |  FROM documents),
        |scrubbed AS (SELECT doc_id,
        |    regexp_replace(

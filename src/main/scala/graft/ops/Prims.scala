@@ -102,8 +102,21 @@ object Prims {
       .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint(true)
     val stats = ranged.groupBy("__pid")
-      .agg(count(lit(1)).as("c"), min("__mid").as("m"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .agg(count(lit(1)).as("c"), min("__mid").as("m"), max("__mid").as("x"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // The rank formula needs monotonically_increasing_id to be CONSECUTIVE
+    // within a partition. Spark's documented contract is only
+    // monotonic+unique; consecutiveness is an implementation detail
+    // (partitionId<<33 | row counter). Verify it from the same stats
+    // collect so an id-scheme change fails loudly here instead of silently
+    // corrupting every global ordering built on this primitive.
+    stats.foreach { case (pid, (c, m, x)) =>
+      if (x - m + 1 != c) throw new IllegalStateException(
+        s"globalRowNumber: monotonically_increasing_id is not consecutive " +
+          s"within partition $pid (count=$c, max-min+1=${x - m + 1}); the " +
+          "Spark id scheme changed - the __mid rank shortcut is invalid")
+    }
     val nParts = if (stats.isEmpty) 0 else stats.keys.max + 1
     val offsets = (0 until nParts)
       .scanLeft(0L)((acc, p) => acc + stats.get(p).fold(0L)(_._1)).init

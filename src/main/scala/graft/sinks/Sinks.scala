@@ -96,7 +96,10 @@ object Sinks {
         catch {
           case e: Throwable if isRejection(e) =>
             sleeper(backoffMillis) // re-queue, budget untouched
-          case e: Throwable =>
+          // NonFatal only: a dying JVM (OutOfMemoryError, LinkageError) or
+          // an interrupt must fail the task NOW, not after 6×backoff of
+          // sleeps that mask the real failure from Spark's task reaper
+          case scala.util.control.NonFatal(e) =>
             failures += 1
             if (failures > maxRetries) { onGiveUp(bulk, e); return }
             sleeper(backoffMillis)

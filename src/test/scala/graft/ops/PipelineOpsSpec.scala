@@ -105,4 +105,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(4) == cases(4)) // no false positives
     assert(out(5) == cases(5)) // near-misses survive
   }
+
+  test("redactPii: dates, timestamps, versions, and id ranges survive") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "released on 2026-08-12 at noon",          // ISO date: 4-digit lead
+      "build 2026-08-12-0317 retried",           // timestamped build id
+      "version 1.2.3 and range 100-200 ok",      // dots / 2-group range
+      "ticket ABC-123-4567 unchanged",           // only two digit groups
+      "call 555-123-4567 though")                // a real phone still goes
+    val out = cases.toDF("text")
+      .select(PipelineOps.redactPii(col("text")).as("clean")).as[String].collect()
+    assert(out(0) == cases(0), s"date was redacted: ${out(0)}")
+    assert(out(1) == cases(1), s"timestamp was redacted: ${out(1)}")
+    assert(out(2) == cases(2), s"version/range was redacted: ${out(2)}")
+    assert(out(3) == cases(3), s"prefixed id was redacted: ${out(3)}")
+    assert(out(4) == "call <PHONE> though")
+  }
 }
