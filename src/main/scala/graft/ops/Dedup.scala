@@ -61,13 +61,17 @@ object Dedup {
   private[graft] def bCoef(j: Int): Long = 7919L * j + 31
 
   /** Max docs sharing one (band, band-signature) bucket before the bucket
-    * is dropped from candidate generation — the same df-style guard as
-    * [[MaxShingleDf]] (jaccard's inverted index) and
-    * `StreamingNearDup.MaxBucket` (the online twin). A degenerate bucket
-    * (boilerplate docs sharing a trivial signature) otherwise produces
-    * O(m²) pairs inside one bucket — the skew killer at 100 TB. Dropped
-    * buckets carry no signal: a band shared by hundreds of docs is the
-    * LSH analogue of a stopword. */
+    * DEGRADES from all-pairs to representative pairs: a bucket with
+    * m ≤ cap members self-joins into its m(m-1)/2 candidate pairs; a
+    * bucket over the cap instead emits the m-1 pairs (bucket-min doc,
+    * member) — still O(m), so a degenerate bucket (mass-replicated
+    * boilerplate sharing a trivial signature) cannot go O(m²), the skew
+    * killer at 100 TB. Unlike dropping the bucket outright (which would
+    * silently exempt exactly the giant duplicate groups dedup most needs
+    * to catch), the star keeps every member attached to one hub, so
+    * connected-components still collapses the whole group; only the
+    * non-hub pairwise est_jaccard values are forgone. Same cap family as
+    * [[MaxShingleDf]] and `StreamingNearDup.MaxBucket`. */
   private[graft] val MaxBandBucket = 100
 
   /** Per-doc 16-component MinHash signature (columns mh0..mh15).
@@ -99,20 +103,26 @@ object Dedup {
       sig.select(col("doc_id"), lit(k).as("band"),
         concat_ws(",", (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*).as("bsig"))
     }.reduce(_ unionByName _)
-    // hot-bucket guard: count bucket membership first and keep only
-    // buckets ≤ MaxBandBucket before the self-join (bands is narrow
-    // compute over the checkpointed sig, so the extra pass is cheap; the
-    // count is a map-side-combinable aggregation, never O(m²))
+    // hot-bucket guard: size each (band, bsig) bucket first (bands is
+    // narrow compute over the checkpointed sig, so the extra pass is
+    // cheap; the count is a map-side-combinable aggregation). Buckets
+    // ≤ MaxBandBucket self-join into full pairs; hot buckets degrade to
+    // the O(m) star on their minimum doc_id — see the cap's scaladoc.
+    val bstats = bands.groupBy("band", "bsig")
+      .agg(count(lit(1)).as("bn"), min("doc_id").as("bmin"))
     val kept = bands.join(
-      bands.groupBy("band", "bsig").agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= MaxBandBucket)
-        .select("band", "bsig"),
+      bstats.filter(col("bn") <= MaxBandBucket).select("band", "bsig"),
       Seq("band", "bsig"))
-    val pairs = kept.as("x").join(kept.as("y"),
+    val fullPairs = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val starPairs = bands.join(
+        bstats.filter(col("bn") > MaxBandBucket).select("band", "bsig", "bmin"),
+        Seq("band", "bsig"))
+      .filter(col("doc_id") =!= col("bmin")) // bmin is the min, so bmin < doc_id
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    val pairs = fullPairs.unionByName(starPairs).distinct()
     val sa = sig.toDF("doc_a" +: (0 until NumHashes).map(j => s"a$j"): _*)
     val sb = sig.toDF("doc_b" +: (0 until NumHashes).map(j => s"b$j"): _*)
     val eqCount = (0 until NumHashes)
@@ -142,13 +152,18 @@ object Dedup {
        |bands AS (
        |  $bandSelects
        |),
-       |keptb AS (SELECT band, bsig FROM bands
-       |  GROUP BY band, bsig HAVING count(*) <= $MaxBandBucket),
+       |bstats AS (SELECT band, bsig, count(*) AS bn, min(doc_id) AS bmin
+       |  FROM bands GROUP BY band, bsig),
        |bk AS (SELECT bands.doc_id, bands.band, bands.bsig
-       |  FROM bands JOIN keptb USING (band, bsig)),
-       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands JOIN bstats USING (band, bsig) WHERE bn <= $MaxBandBucket),
+       |star AS (SELECT bstats.bmin AS doc_a, bands.doc_id AS doc_b
+       |  FROM bands JOIN bstats USING (band, bsig)
+       |  WHERE bn > $MaxBandBucket AND bands.doc_id <> bstats.bmin),
+       |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bk x JOIN bk y
-       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+       |  UNION ALL SELECT doc_a, doc_b FROM star))
        |SELECT doc_a, doc_b, CAST($eq AS DOUBLE) / $NumHashes AS est_jaccard
        |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin

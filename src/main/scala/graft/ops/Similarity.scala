@@ -31,13 +31,17 @@ object Similarity {
   private val NumPlanes = 16
 
   /** Max vectors sharing one hyperplane-signature bucket before the
-    * bucket is dropped from candidate generation — the same df-style
-    * guard as `Dedup.MaxBandBucket` / `Dedup.MaxShingleDf` /
-    * `StreamingNearDup.MaxBucket`. Degenerate vectors (e.g. all-zero
-    * embeddings, which land on every hyperplane's positive side) would
-    * otherwise pile into one bucket and the self-join goes O(m²) inside
-    * it — the skew killer at 100 TB. A bucket shared by hundreds of
-    * vectors carries no neighborhood signal. */
+    * bucket DEGRADES from all-pairs to representative pairs — the same
+    * policy as `Dedup.MaxBandBucket`: a bucket with m ≤ cap members
+    * self-joins into full pairs; over the cap it emits the m-1 star
+    * pairs (bucket-min vec, member) instead, still O(m). Degenerate
+    * vectors (e.g. all-zero embeddings, which land on every hyperplane's
+    * positive side) pile into one bucket and would otherwise go O(m²)
+    * in the self-join — the skew killer at 100 TB — yet a mass-duplicated
+    * embedding group is exactly what near-dup removal must catch, so the
+    * star keeps every member reachable from one hub (connected
+    * components still collapses the group); only non-hub pairwise scores
+    * are forgone. */
   private[graft] val MaxLshBucket = 100
 
   /** embedding → int64-quantized array (floor(v*1000)). */
@@ -108,25 +112,34 @@ object Similarity {
     val sigs0 = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(quantExpr).as("qv"))
       .select(col("vec_id"), col("qv"), bucketCol.as("bucket"))
-    // hot-bucket guard: drop buckets over MaxLshBucket members before the
-    // self-join. sigs0 is one narrow codegen projection over the scan, so
-    // recomputing it for the count beats checkpointing a corpus-sized
-    // signature table; the count itself is map-side combinable.
-    val sigs = sigs0.join(
-      sigs0.groupBy("bucket").agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= MaxLshBucket)
-        .select("bucket"),
-      "bucket")
-    val wa = sigs.select(col("vec_id").as("vec_a"), col("bucket"), col("qv").as("qa"))
-    val wb = sigs.select(col("vec_id").as("vec_b"), col("bucket").as("bucket_b"), col("qv").as("qb"))
-    wa.join(wb, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+    // hot-bucket guard: size each bucket first. sigs0 is one narrow
+    // codegen projection over the scan, so recomputing it for the stats
+    // pass beats checkpointing a corpus-sized signature table; the
+    // aggregation is map-side combinable. min_by carries the hub vector's
+    // quantized coordinates so the star pairs need no extra corpus join.
+    val bstats = sigs0.groupBy("bucket")
+      .agg(count(lit(1)).as("bn"), min("vec_id").as("bmin"),
+        min_by(col("qv"), col("vec_id")).as("qmin"))
+    val kept = sigs0.join(
+      bstats.filter(col("bn") <= MaxLshBucket).select("bucket"), "bucket")
+    val wa = kept.select(col("vec_id").as("vec_a"), col("bucket"), col("qv").as("qa"))
+    val wb = kept.select(col("vec_id").as("vec_b"), col("bucket").as("bucket_b"), col("qv").as("qb"))
+    val full = wa.join(wb, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
       .select(col("bucket"), col("vec_a"), col("vec_b"),
         graft.functions.QDot(col("qa"), col("qb")).as("dot"))
-      .orderBy("vec_a", "vec_b")
+    val star = sigs0.join(
+        bstats.filter(col("bn") > MaxLshBucket).select("bucket", "bmin", "qmin"), "bucket")
+      .filter(col("vec_id") =!= col("bmin")) // bmin is the min, so vec_a < vec_b holds
+      .select(col("bucket"), col("bmin").as("vec_a"), col("vec_id").as("vec_b"),
+        graft.functions.QDot(col("qmin"), col("qv")).as("dot"))
+    full.unionByName(star).orderBy("vec_a", "vec_b")
   }
 
-  /** Shared hyperplane-bucketing CTE block (e/pl/proj/sigs) used by both
-    * LSH oracle queries — single source of truth for the bucketing SQL. */
+  /** Shared hyperplane-bucketing CTE block (e/pl/proj/sigs0/bstats/cand)
+    * used by both LSH oracle queries — single source of truth for the
+    * bucketing SQL, including the hot-bucket star degradation (`cand` =
+    * full pairs within kept buckets ∪ star pairs of hot ones, the SQL
+    * twin of annLshPairs' candidate generation). */
   private def lshCtes: String =
     s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
        |pl AS (SELECT pj, pi,
@@ -138,16 +151,23 @@ object Similarity {
        |sigs0 AS (SELECT vec_id,
        |    CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << pj) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY vec_id),
-       |keptb AS (SELECT bucket FROM sigs0
-       |  GROUP BY bucket HAVING count(*) <= $MaxLshBucket),
-       |sigs AS (SELECT sigs0.vec_id, sigs0.bucket FROM sigs0 JOIN keptb USING (bucket))""".stripMargin
+       |bstats AS (SELECT bucket, count(*) AS bn, min(vec_id) AS bmin
+       |  FROM sigs0 GROUP BY bucket),
+       |keptv AS (SELECT sigs0.vec_id, sigs0.bucket
+       |  FROM sigs0 JOIN bstats USING (bucket) WHERE bn <= $MaxLshBucket),
+       |cand AS (
+       |  SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM keptv a JOIN keptv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  UNION ALL
+       |  SELECT sigs0.bucket, bstats.bmin AS vec_a, sigs0.vec_id AS vec_b
+       |  FROM sigs0 JOIN bstats USING (bucket)
+       |  WHERE bn > $MaxLshBucket AND sigs0.vec_id <> bstats.bmin)""".stripMargin
 
   def annLshPairsSql: String =
     s"""${lshCtes}
-       |SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |SELECT cand.bucket AS bucket, vec_a, vec_b,
        |  CAST(list_sum(list_transform(range(1, $Dim + 1), i -> ea.qv[i] * eb.qv[i])) AS BIGINT) AS dot
-       |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |JOIN e ea ON a.vec_id = ea.vec_id JOIN e eb ON b.vec_id = eb.vec_id
+       |FROM cand JOIN e ea ON vec_a = ea.vec_id JOIN e eb ON vec_b = eb.vec_id
        |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Embedding-cosine scoring of LSH-bucketed candidate pairs — the
@@ -179,10 +199,9 @@ object Similarity {
        |    CAST(list_sum(list_transform(range(1, $Dim + 1), i -> qv[i] * qv[i])) AS BIGINT) AS n2
        |  FROM e),
        |pairs AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  SELECT vec_a, vec_b,
        |    CAST(list_sum(list_transform(range(1, $Dim + 1), i -> ea.qv[i] * eb.qv[i])) AS BIGINT) AS dot
-       |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |  JOIN e ea ON a.vec_id = ea.vec_id JOIN e eb ON b.vec_id = eb.vec_id)
+       |  FROM cand JOIN e ea ON vec_a = ea.vec_id JOIN e eb ON vec_b = eb.vec_id)
        |SELECT vec_a, vec_b,
        |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
        |FROM pairs JOIN norms na ON vec_a = na.vec_id JOIN norms nb ON vec_b = nb.vec_id

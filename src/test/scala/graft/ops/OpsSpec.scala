@@ -172,15 +172,24 @@ class OpsSpec extends SparkSpec {
     embs.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
 
+    // hot buckets degrade to the O(m) star on the bucket minimum: the 120
+    // identical docs yield exactly the 119 (0, i) hub pairs — the group
+    // still collapses to one cluster under connected components — never
+    // the 7140 all-pairs; the small bucket keeps its full pair.
+    val starOnHub = (1L until 120L).map((0L, _)).toSet
     val mh = Dedup.dedupNearMinhash(s, tmp)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
-    assert(mh == Set((200L, 201L)),
-      s"expected only the small-bucket pair to survive, got ${mh.size} pairs")
+    assert(mh == starOnHub + ((200L, 201L)),
+      s"expected star + small-bucket pairs, got ${mh.size} pairs")
+    // and the star pairs carry the true estimate (identical docs => 1.0)
+    val ests = Dedup.dedupNearMinhash(s, tmp)
+      .select($"doc_a", $"doc_b", $"est_jaccard").as[(Long, Long, Double)].collect()
+    ests.filter(t => t._1 == 0L).foreach { case (_, _, e) => assert(e == 1.0) }
 
     val lsh = Similarity.annLshPairs(s, tmp)
       .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
-    assert(lsh == Set((200L, 201L)),
-      s"expected only the small-bucket pair to survive, got ${lsh.size} pairs")
+    assert(lsh == starOnHub + ((200L, 201L)),
+      s"expected star + small-bucket pairs, got ${lsh.size} pairs")
   }
 
   test("simhash: near-identical docs land within small hamming distance") {
