@@ -75,6 +75,7 @@ object SparkEntry {
     "train_val_split"   -> (PipelineOps.trainValSplit _),
     "decontaminate"     -> (PipelineOps.decontaminate _),
     "domain_mix"        -> (PipelineOps.domainMix _),
+    "domain_mix_weighted" -> (PipelineOps.domainMixWeighted _),
     "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
     "corpus_stats"      -> (PipelineOps.corpusStats _),
     "corpus_pack"       -> (PipelineOps.corpusPack _),

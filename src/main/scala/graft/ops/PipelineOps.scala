@@ -126,6 +126,72 @@ object PipelineOps {
        |ORDER BY source, pick""".stripMargin
   }
 
+  /** Total token budget the weighted mix fills (across all sources). */
+  private val MixTokenBudget = 6000L
+
+  /** domain_mix_weighted: token-budget proportional domain mixing — the
+    * production form of [[domainMix]]. Each source gets a target token
+    * PROPORTION (weight w/ΣW of [[MixTokenBudget]]; here w = numeric
+    * source suffix % 4 + 1, a deterministic stand-in for a configured
+    * mix), and docs are selected per source in salted-hash order until
+    * the source's token budget is filled: a doc is kept while the tokens
+    * selected before it fall short of the budget, so achieved tokens land
+    * in [budget, budget + one doc) — within one doc of the target, the
+    * tightest a doc-granular mix can get.
+    *
+    * Scale shape: the per-source running token sum is the two-phase
+    * [[Prims.globalPrefixSum]] over the (source, hash, doc_id) order —
+    * per-source cumulative = global cumulative minus the source's start
+    * offset (an n_sources-row broadcast join) — NEVER a
+    * `Window.partitionBy(source)`, which would funnel each source's full
+    * document list through one task (sources are few and huge at 100 TB:
+    * the worst possible skew). Budgets are a per-source metadata
+    * computation; integer arithmetic throughout so both engines agree. */
+  def domainMixWeighted(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr(s"size($wordsExpr)").cast("long").as("n_tokens"),
+        hash60(concat(lit("mixw_"), col("doc_id"))).as("h"))
+    val cum = Prims.globalPrefixSum(t, "n_tokens", "gcum",
+      col("source"), col("h"), col("doc_id"))
+    // source metadata: start offset (min global cum = the source's first
+    // row in sort order), weight, and integer token budget
+    val starts = cum.groupBy("source").agg(min("gcum").as("start0"))
+    val wts = starts.select(col("source"), col("start0"),
+      coalesce(expr("try_cast(substring(source, 4, 10) AS BIGINT)") % 4L + 1L,
+        lit(1L)).as("wt"))
+    val budgets = wts
+      .crossJoin(broadcast(wts.agg(sum("wt").as("tw"))))
+      .select(col("source"), col("start0"),
+        expr(s"(wt * $MixTokenBudget) div tw").as("budget"))
+    cum.join(broadcast(budgets), "source")
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        (col("gcum") - col("start0")).as("cum_before"), col("budget"))
+      .filter(col("cum_before") < col("budget"))
+      .orderBy("source", "doc_id")
+  }
+
+  def domainMixWeightedSql: String = {
+    val h = hash60Sql("'mixw_' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len($wordsSql) AS BIGINT) AS n_tokens, $h AS h
+       |  FROM documents),
+       |w AS (SELECT source,
+       |    coalesce(TRY_CAST(substr(source, 4, 10) AS BIGINT) % 4 + 1, 1) AS wt
+       |  FROM (SELECT DISTINCT source FROM t)),
+       |b AS (SELECT source,
+       |    CAST((wt * $MixTokenBudget) // (SELECT sum(wt) FROM w) AS BIGINT) AS budget
+       |  FROM w),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT source, doc_id, n_tokens, cum_before, budget
+       |FROM c JOIN b USING (source)
+       |WHERE cum_before < budget
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
   /** corpus_shuffle: a deterministic global training order — position =
     * global row number under a salted-hash total order. Training wants
     * example order decorrelated from ingest order; a hash order is
@@ -290,6 +356,7 @@ object PipelineOps {
     "train_val_split" -> trainValSplitSql,
     "decontaminate"   -> decontaminateSql,
     "domain_mix"      -> domainMixSql,
+    "domain_mix_weighted" -> domainMixWeightedSql,
     "corpus_shuffle"  -> corpusShuffleSql,
     "corpus_stats"    -> corpusStatsSql,
     "corpus_pack"     -> corpusPackSql,

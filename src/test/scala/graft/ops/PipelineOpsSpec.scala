@@ -52,6 +52,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(mix.collect().toSeq == PipelineOps.domainMix(s, dir).collect().toSeq)
   }
 
+  test("domain_mix_weighted: achieved tokens fill each source's budget within one doc") {
+    val s = spark
+    import s.implicits._
+    val rows = PipelineOps.domainMixWeighted(s, dir)
+      .as[(String, Long, Long, Long, Long)].collect() // source, doc_id, n_tokens, cum_before, budget
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_._1)
+    val sizes = graft.Tables.documents(s, dir)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.keySet == sizes.keySet, "every source must be represented")
+    bySrc.foreach { case (src, docs) =>
+      val budget = docs.head._5
+      val achieved = docs.map(_._3).sum
+      val maxDoc = docs.map(_._3).max
+      // filled: at least the budget, overshot by strictly less than the
+      // largest selected doc (the straddling doc is the only overshoot)
+      assert(achieved >= budget, s"$src underfilled: $achieved < $budget")
+      assert(achieved < budget + maxDoc, s"$src overshot by a full doc")
+      // selection = exactly the hash-order prefix: every selected doc's
+      // exclusive cumulative is below budget, densely from 0
+      assert(docs.map(_._4).min == 0L)
+      assert(docs.forall(d => d._4 < budget))
+    }
+    // proportions follow the 1:2:3:4 weight cycle: a weight-4 source gets
+    // ~4x the tokens of a weight-1 source (within one-doc granularity)
+    val tok = bySrc.map { case (src, docs) => src -> docs.map(_._3).sum }
+    val w1 = tok.filter { case (s0, _) => s0.drop(3).toLong % 4 == 0 }.values // wt 1
+    val w4 = tok.filter { case (s0, _) => s0.drop(3).toLong % 4 == 3 }.values // wt 4
+    assert(w1.nonEmpty && w4.nonEmpty)
+    val ratio = w4.sum.toDouble / w4.size / (w1.sum.toDouble / w1.size)
+    assert(ratio > 2.5 && ratio < 5.5, s"weight-4/weight-1 token ratio $ratio far from 4")
+    // deterministic
+    assert(PipelineOps.domainMixWeighted(s, dir).collect().toSeq ==
+      PipelineOps.domainMixWeighted(s, dir).collect().toSeq)
+  }
+
   test("globalPrefixSum matches the single-partition window form, straddles partitions") {
     val s = spark
     import s.implicits._
