@@ -7,8 +7,13 @@ import org.apache.spark.sql.SparkSession
   * recorded) and the MEDIAN of three timed runs — a single sample cannot
   * distinguish a real regression from a GC pause or sandbox noise, and
   * the recorded line is what round-over-round deltas are judged against.
-  * A failing query is recorded as -1 with its error, never as a fake
-  * elapsed time.
+  * The full sample spread rides alongside as `"spread":{q:{min,med,max}}`
+  * so a hot-machine inflation (all three samples up together) is
+  * self-diagnosing from the recorded line: a real regression moves MIN;
+  * sustained pressure shows as med/min divergence. A forced GC between
+  * queries (releaseAll(gc=true)) keeps one query's garbage from being
+  * paid for inside the next query's samples. A failing query is recorded
+  * as -1 with its error, never as a fake elapsed time.
   */
 object Bench {
   private val TimedRuns = 3
@@ -30,29 +35,33 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warm-up (not recorded)
-        HarnessUtil.releaseAll(spark) // cache entries AND checkpoint
-                                      // blocks must not leak across
-                                      // queries (memory pressure skews
-                                      // later timings)
+        HarnessUtil.releaseAll(spark, gc = true) // cache entries AND
+                                      // checkpoint blocks must not leak
+                                      // across queries (memory pressure
+                                      // skews later timings)
         val samples = (1 to TimedRuns).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
-          HarnessUtil.releaseAll(spark)
+          HarnessUtil.releaseAll(spark, gc = true)
           dt
         }.sorted
-        name -> samples(TimedRuns / 2)
+        name -> samples
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          name -> -1.0
-      } finally HarnessUtil.releaseAll(spark)
+          name -> IndexedSeq(-1.0)
+      } finally HarnessUtil.releaseAll(spark, gc = true)
     }
-    val qs = results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    def med(ss: IndexedSeq[Double]) = ss(ss.length / 2)
+    val qs = results.map { case (k, ss) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
+    val spread = results.map { case (k, ss) =>
+      q(k) + s""":{"min":${ss.head},"med":${med(ss)},"max":${ss.last}}"""
+    }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.map(t => med(t._2)).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,8 +27,13 @@ private[graft] object HarnessUtil {
     * timings. Only safe BETWEEN queries — a live DataFrame whose
     * checkpoint blocks are dropped cannot recompute (lineage is
     * truncated). */
-  def releaseAll(spark: SparkSession): Unit = {
+  def releaseAll(spark: SparkSession, gc: Boolean = false): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // gc=true (Bench between queries): collect the freed blocks NOW so a
+    // heavy query's garbage is not paid for — as a collection pause — by
+    // whichever query happens to run next. Sustained cross-query heap
+    // pressure inflated four recorded bench lines up to 6.6x in round 5.
+    if (gc) System.gc()
   }
 }

@@ -272,6 +272,28 @@ object Similarity {
     cents
   }
 
+  /** Trained-codebook memo keyed on (session identity, canonical input
+    * path): `ann_ivf_topk` and `ann_ivf_recall` (which composes the topk
+    * with its brute-force yardstick) share one Lloyd training per
+    * (session, dataset) instead of re-running the 3-pass training on
+    * every DataFrame construction. Training is deterministic — a pure
+    * function of the input — so memoizing cannot change any result; the
+    * codebook is NumCentroids×Dim int64 ≈ 8 KB per entry. Input files are
+    * immutable fixtures here; a caller mutating a dataset in place
+    * mid-session would need a fresh session (or path) to retrain. */
+  private val codebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Seq[(Long, Seq[Long])]]()
+
+  private def codebookFor(s: SparkSession, dir: String): Seq[(Long, Seq[Long])] =
+    codebookMemo.computeIfAbsent(
+      (System.identityHashCode(s), new java.io.File(dir).getCanonicalPath),
+      _ => {
+        val embT = Tables.embeddings(s, dir)
+          .select(col("vec_id"), expr(quantExpr).as("qv")).persist()
+        try trainedCentroids(s, embT)
+        finally embT.unpersist(false) // training collects are done; no cache outlives the call
+      })
+
   /** IVF top-k: vectors are partitioned into inverted lists by nearest
     * centroid; a query probes only the `NProbe` closest lists, so the
     * scan touches ~NProbe/NumCentroids of the corpus instead of all of
@@ -282,17 +304,15 @@ object Similarity {
     * deterministically on centroid/vec id.
     *
     * NOTE: the codebook must be a LITERAL in the returned plan, so the
-    * Lloyd training jobs run eagerly at construction time — building
-    * this DataFrame (even just to explain() it) executes the training
-    * passes. Inherent to collect-and-broadcast k-means. */
+    * Lloyd training jobs run eagerly at the FIRST construction for a
+    * (session, dataset) — building this DataFrame (even just to
+    * explain() it) executes the training passes; subsequent
+    * constructions hit [[codebookMemo]]. Inherent to
+    * collect-and-broadcast k-means. */
   def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.QDot
-    val embT = Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(quantExpr).as("qv")).persist()
-    val centRows =
-      try trainedCentroids(s, embT)
-      finally embT.unpersist(false) // training collects are done; no cache outlives the call
+    val centRows = codebookFor(s, dir)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(quantExpr).as("qv"))
     val cents = broadcast(centRows.toDF("cent_id", "cv")
