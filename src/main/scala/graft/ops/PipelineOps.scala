@@ -162,8 +162,12 @@ object PipelineOps {
         lit(1L)).as("wt"))
     val budgets = wts
       .crossJoin(broadcast(wts.agg(sum("wt").as("tw"))))
+      // floor the integer budget at 1: with very many sources (ΣW >
+      // wt·MixTokenBudget) the division floors to 0, which would silently
+      // exclude the source from the mix instead of giving it a minimal
+      // share — every configured source stays represented
       .select(col("source"), col("start0"),
-        expr(s"(wt * $MixTokenBudget) div tw").as("budget"))
+        expr(s"greatest((wt * $MixTokenBudget) div tw, 1)").as("budget"))
     cum.join(broadcast(budgets), "source")
       .select(col("source"), col("doc_id"), col("n_tokens"),
         (col("gcum") - col("start0")).as("cum_before"), col("budget"))
@@ -180,7 +184,7 @@ object PipelineOps {
        |    coalesce(TRY_CAST(substr(source, 4, 10) AS BIGINT) % 4 + 1, 1) AS wt
        |  FROM (SELECT DISTINCT source FROM t)),
        |b AS (SELECT source,
-       |    CAST((wt * $MixTokenBudget) // (SELECT sum(wt) FROM w) AS BIGINT) AS budget
+       |    CAST(greatest((wt * $MixTokenBudget) // (SELECT sum(wt) FROM w), 1) AS BIGINT) AS budget
        |  FROM w),
        |c AS (SELECT doc_id, source, n_tokens,
        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
@@ -294,13 +298,18 @@ object PipelineOps {
   // both engines match identically.
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val SsnRe = "\\d{3}-\\d{2}-\\d{4}"
-  // Phone shape: optional +, a 1-3 digit group, then 2-3 dash-separated
-  // groups of 3-4 digits (7-15 digits total), word-bounded. The leading
-  // group is capped at 3 digits and \b forbids starting mid-number, so
-  // ISO dates (2026-08-12), timestamps, and id ranges (100-200) survive
-  // unredacted — RE2 and java.util.regex both support \b (no lookaround
-  // needed, which RE2 lacks).
-  private val PhoneRe = "\\+?\\b\\d{1,3}(-\\d{3,4}){2,3}\\b"
+  // Phone shape, two alternatives: (a) optional +, a 1-3 digit group,
+  // then 2-3 dash-separated groups of 3-4 digits, word-bounded; (b) a
+  // contiguous word-bounded run of 7-15 digits (optionally +-prefixed) —
+  // undashed phones like '5551234567' or '+15550042'. The dashed form's
+  // leading group is capped at 3 digits and \b forbids starting
+  // mid-number, so ISO dates (2026-08-12), timestamps, and id ranges
+  // (100-200) survive; the contiguous form's double \b makes it
+  // all-or-nothing, so 16+-digit runs (card/account numbers — not
+  // phone-shaped) pass through rather than being half-eaten. RE2 and
+  // java.util.regex both support \b and leftmost-first alternation (no
+  // lookaround needed, which RE2 lacks).
+  private val PhoneRe = "\\+?\\b\\d{1,3}(-\\d{3,4}){2,3}\\b|\\+?\\b\\d{7,15}\\b"
   private val TagRe = "<EMAIL>|<ID>|<PHONE>"
 
   /** Redact emails, SSN-shaped ids, and phone-shaped digit runs —
@@ -328,7 +337,10 @@ object PipelineOps {
           // zero-padded so the injected phone always carries the 3-4 digit
           // final group the tightened PhoneRe requires
           lpad((col("doc_id") % 10000L).cast("string"), 4, "0"),
-          lit(" ssn 123-45-6789")).as("text"))
+          lit(" ssn 123-45-6789 tel 55512"),
+          // second phone, undashed (9 contiguous digits) — exercises the
+          // contiguous-run alternative of PhoneRe
+          lpad((col("doc_id") % 10000L).cast("string"), 4, "0")).as("text"))
     injected
       .select(col("doc_id"), redactPii(col("text")).as("clean"))
       .withColumn("n_pii",
@@ -339,7 +351,8 @@ object PipelineOps {
   def piiScrubSql: String =
     s"""WITH inj AS (SELECT doc_id,
        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
-       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-6789' AS text
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-6789 tel 55512' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
        |  FROM documents),
        |scrubbed AS (SELECT doc_id,
        |    regexp_replace(

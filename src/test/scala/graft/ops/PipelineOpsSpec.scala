@@ -62,13 +62,20 @@ class PipelineOpsSpec extends SparkSpec {
     val sizes = graft.Tables.documents(s, dir)
       .groupBy("source").count().as[(String, Long)].collect().toMap
     assert(bySrc.keySet == sizes.keySet, "every source must be represented")
+    val srcTokens = graft.Tables.documents(s, dir)
+      .select(col("source"), expr(s"size(${Prims.wordsExpr})").cast("long").as("t"))
+      .groupBy("source").agg(org.apache.spark.sql.functions.sum("t").as("t"))
+      .as[(String, Long)].collect().toMap
     bySrc.foreach { case (src, docs) =>
       val budget = docs.head._5
       val achieved = docs.map(_._3).sum
       val maxDoc = docs.map(_._3).max
-      // filled: at least the budget, overshot by strictly less than the
-      // largest selected doc (the straddling doc is the only overshoot)
-      assert(achieved >= budget, s"$src underfilled: $achieved < $budget")
+      // filled: at least min(budget, the source's total tokens) — a source
+      // smaller than its budget can only contribute everything it has —
+      // and overshot by strictly less than the largest selected doc (the
+      // straddling doc is the only overshoot)
+      val fillTarget = math.min(budget, srcTokens(src))
+      assert(achieved >= fillTarget, s"$src underfilled: $achieved < $fillTarget")
       assert(achieved < budget + maxDoc, s"$src overshot by a full doc")
       // selection = exactly the hash-order prefix: every selected doc's
       // exclusive cumulative is below budget, densely from 0
@@ -158,5 +165,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2) == cases(2), s"version/range was redacted: ${out(2)}")
     assert(out(3) == cases(3), s"prefixed id was redacted: ${out(3)}")
     assert(out(4) == "call <PHONE> though")
+  }
+
+  test("redactPii: undashed digit-run phones redact; 16+-digit runs survive") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "call 5551234567 now",                 // 10 contiguous digits
+      "intl +15550042 ok",                   // +-prefixed 8-digit run
+      "card 1234567890123456 kept",          // 16 digits: not phone-shaped
+      "short 123456 id stays")               // 6 digits: under the floor
+    val out = cases.toDF("text")
+      .select(PipelineOps.redactPii(col("text")).as("clean")).as[String].collect()
+    assert(out(0) == "call <PHONE> now", s"undashed phone survived: ${out(0)}")
+    assert(out(1) == "intl <PHONE> ok", s"+digit run survived: ${out(1)}")
+    assert(out(2) == cases(2), s"16-digit run was redacted: ${out(2)}")
+    assert(out(3) == cases(3), s"6-digit id was redacted: ${out(3)}")
   }
 }
