@@ -250,13 +250,23 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Partition count for a materialized pair graph, sized from its
+    * MEASURED edge count: ~1M edges (≈16 MB of id pairs) per task, floor
+    * 4 so a small graph still engages a few cores. A hardcoded constant
+    * here is the classic scale trap — right for the dozens-of-survivors
+    * fixture, then a billion-edge graph at 100 TB runs every
+    * propagation round at that same tiny parallelism. */
+  private[graft] def pairGraphPartitions(edges: Long): Int =
+    math.max(4L, edges / 1000000L).toInt
+
   /** Exact 3-gram Jaccard for candidate pairs from an inverted shingle
     * index (pairs sharing ≥1 rare shingle), reported at >= 0.5.
-    * The tiny survivor set is materialized before the deterministic
-    * ORDER BY so the range-partitioner's sampling pass doesn't re-run
-    * the expensive inverted-index join. */
+    * The survivor set is materialized (lineage-truncating checkpoint at
+    * the join's natural partitioning) before the deterministic ORDER BY
+    * so the range-partitioner's sampling pass doesn't re-run the
+    * expensive inverted-index join. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(s, dir).repartition(4).localCheckpoint(true)
+    ngramJaccardPairs(s, dir).localCheckpoint(true)
       .orderBy("doc_a", "doc_b")
 
   def ngramJaccardSql: String =
@@ -304,15 +314,18 @@ object Dedup {
       s: SparkSession, dir: String, smallGraphMaxEdges: Long): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus:
     // materialize it ONCE (localCheckpoint truncates the expensive
-    // pair-generation lineage) and shrink to a few partitions so each
-    // propagation round is a handful of tasks, not a corpus-width
-    // shuffle. repartition, NOT coalesce — coalesce would throttle the
-    // upstream pair join itself.
+    // pair-generation lineage) at the join's natural partitioning, then
+    // size the propagation parallelism from the MEASURED edge count the
+    // path choice already needs ([[pairGraphPartitions]]) — each round
+    // runs a number of tasks proportional to the graph, neither a
+    // corpus-width shuffle nor a hardcoded handful. repartition, NOT
+    // coalesce — coalesce would throttle the upstream pair join itself.
     val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
-      .repartition(4).localCheckpoint(true)
+      .localCheckpoint(true)
+    val edgeCount = pairs.count()
     val labels =
-      if (pairs.count() <= smallGraphMaxEdges) unionFindLabels(s, pairs)
-      else propagateLabels(pairs)
+      if (edgeCount <= smallGraphMaxEdges) unionFindLabels(s, pairs)
+      else propagateLabels(pairs.repartition(pairGraphPartitions(edgeCount)))
     labels.groupBy("label").agg(
         count(lit(1)).as("cluster_size"),
         joinedSortedLongs(collect_list(col("doc_id"))).as("members"))

@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Prims._
 
@@ -21,10 +20,11 @@ import Prims._
   *     set's n-grams. Benchmark suites are KBs against a 100 TB corpus,
   *     so the held-out gram set broadcasts and the corpus never
   *     shuffles: narrow gram explode → broadcast semi-join → anti-join.
-  *   - Quota sampling is a per-source top-K by hash order:
-  *     WindowGroupLimit pushes the K cap into the shuffle (partial
-  *     top-K per map task), so no source's full document list ever
-  *     materializes on one node.
+  *   - Every per-group order (quota sampling, per-language quantile
+  *     ranks, token-budget mixing) goes through the two-phase grouped
+  *     primitives in [[Prims]] — groups here (sources, languages) are
+  *     few and huge, so a `Window.partitionBy(group)` would funnel an
+  *     entire group through one task's sort.
   */
 object PipelineOps {
 
@@ -105,13 +105,23 @@ object PipelineOps {
 
   /** domain_mix: keep at most `QuotaPerSource` docs per source, chosen
     * by salted-hash order — a deterministic uniform sample per domain,
-    * the building block of proportion-controlled corpus mixing. */
+    * the building block of proportion-controlled corpus mixing.
+    *
+    * Ranked via the two-phase [[Prims.groupedRowNumber]], not
+    * `Window.partitionBy(source)`: sources are few and huge at corpus
+    * scale, and every per-group order in this file goes through the
+    * grouped-rank primitive so none depends on the optimizer's
+    * WindowGroupLimit pruning to stay off the one-task-per-source skew
+    * funnel. (For this bounded K the window form's map-side top-K prunes
+    * shuffle volume harder; the trade is one full range exchange for a
+    * plan whose safety doesn't hinge on K staying small — see the
+    * primitive's scaladoc for the decision rule.) */
   def domainMix(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        hash60(concat(lit("mix_"), col("doc_id"))).as("h"))
-      .withColumn("pick", row_number().over(
-        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))).cast("long"))
+    Prims.groupedRowNumber(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            hash60(concat(lit("mix_"), col("doc_id"))).as("h")),
+        "pick", Seq("source"), col("h"), col("doc_id"))
       .filter(col("pick") <= QuotaPerSource)
       .select("source", "pick", "doc_id")
       .orderBy("source", "pick")
@@ -225,21 +235,39 @@ object PipelineOps {
     * differ in the last ulp, which the bit-exact oracle gate would flag
     * on unlucky data. Integer ranks + int64 token values cannot
     * diverge. */
-  def corpusStats(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
-      .select(col("lang"), expr(s"size($wordsExpr)").cast("long").as("toks"))
-    val base = t.groupBy("lang")
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    corpusStatsFrom(
+      Tables.documents(s, dir)
+        .select(col("lang"), expr(s"size($wordsExpr)").cast("long").as("toks")))
+
+  /** Core of [[corpusStats]] over a (lang, toks) frame — separated so the
+    * skew behavior is testable on synthetic fixtures (one dominant
+    * language) independent of the documents table.
+    *
+    * The per-language rank that picks the quantile values is the
+    * two-phase [[Prims.groupedRowNumber]] — range-partition by
+    * (lang, toks), per-partition counts, broadcast per-lang offsets —
+    * NOT `row_number() OVER (PARTITION BY lang ORDER BY toks)`:
+    * languages are few and huge (a handful cover most of a 100 TB
+    * corpus), so the window form would sort ~a fifth of the corpus in
+    * ONE task. Rank ties among equal `toks` are assignment-arbitrary,
+    * but the quantile reads only `toks` AT a rank — tie-invariant, so
+    * the oracle still matches bit-for-bit. */
+  private[graft] def corpusStatsFrom(t: DataFrame): DataFrame = {
+    val ranked = Prims.groupedRowNumber(t, "rk", Seq("lang"), col("toks"))
+    // counts/sums come from the ranked output, not a second scan of `t`:
+    // groupedRowNumber pinned the tokenized rows, so this aggregation
+    // reads the checkpoint instead of re-tokenizing the corpus
+    val base = ranked.groupBy("lang")
       .agg(count(lit(1)).as("n"), sum("toks").as("n_tokens"))
       .select(col("lang"), col("n"), col("n_tokens"),
         expr("(50 * n + 99) div 100").as("r50"),
         expr("(95 * n + 99) div 100").as("r95"))
-    val ranked = t.withColumn("rk",
-      row_number().over(Window.partitionBy("lang").orderBy("toks")).cast("long"))
-    val quants = ranked.join(base.select("lang", "r50", "r95"), "lang")
+    val quants = ranked.join(broadcast(base.select("lang", "r50", "r95")), "lang")
       .groupBy("lang")
       .agg(max(when(col("rk") === col("r50"), col("toks"))).as("p50_toks"),
            max(when(col("rk") === col("r95"), col("toks"))).as("p95_toks"))
-    base.join(quants, "lang")
+    base.join(broadcast(quants), "lang")
       .select(col("lang"), col("n").as("n_docs"), col("n_tokens"),
         (col("n_tokens").cast("double") / col("n")).as("mean_toks"),
         col("p50_toks"), col("p95_toks"))

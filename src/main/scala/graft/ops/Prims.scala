@@ -132,6 +132,89 @@ object Prims {
       .drop("__pid", "__mid")
   }
 
+  /** Two-phase PER-GROUP row number: the scalable form of
+    * `row_number() OVER (PARTITION BY group ORDER BY order)` when groups
+    * are FEW and HUGE (languages, sources, splits) — the exact shape
+    * where `Window.partitionBy(group)` funnels an entire group through
+    * one task's sort at corpus scale.
+    *
+    * Shape: ONE [[globalRowNumber]] pass over the (group, order) total
+    * order (range exchange + within-partition sort, no single-task
+    * stage), then per-group rank = global rank − the group's first
+    * global rank + 1. The per-group start offsets come from a map-side-
+    * combinable min aggregation — group-cardinality rows, metadata-sized
+    * under the few-huge-groups contract — and join back as a broadcast,
+    * so the big side never exchanges again.
+    *
+    * `orderCols` need not be unique within a group: ties get distinct
+    * consecutive ranks deterministically within a run (the range
+    * partitioner and partition sort are deterministic), but WHICH tied
+    * row gets which rank is not a cross-engine contract — callers that
+    * hash-compare against an oracle must either make the order unique or
+    * read only tie-invariant values (e.g. the ordering column itself at
+    * a given rank, as the quantile computation does).
+    *
+    * NOT the right tool for a bounded small-K top-K per group: the
+    * window form's WindowGroupLimit prunes to K rows per group per map
+    * task BEFORE its exchange, which this full-ranking pass cannot do.
+    * Use this when ranks beyond a small constant K are consumed, or when
+    * K is data-dependent.
+    *
+    * Group keys are matched through a `\u0001`-joined string rendering
+    * (so multi-column groups ride one broadcast key); group values must
+    * not themselves contain that character. */
+  def groupedRowNumber(df: DataFrame, rnCol: String, groupCols: Seq[String],
+                       orderCols: Column*): DataFrame = {
+    val sortCols = groupCols.map(col) ++ orderCols
+    val gkey = concat_ws("\u0001", groupCols.map(c => col(c).cast("string")): _*)
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    // ONE metadata collect covers both phases: per-(partition, group-run)
+    // counts and id bounds. Range partitioning by (group, order) keeps
+    // each group's rows in contiguous runs, so this is at most
+    // nPartitions + nGroups - 1 rows — metadata-sized under the
+    // few-huge-groups contract.
+    val stats = ranged.groupBy(col("__pid"), gkey.as("__g"))
+      .agg(count(lit(1)).as("c"), min("__mid").as("m"), max("__mid").as("x"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byPid = stats.groupBy(_._1).map { case (pid, rs) =>
+      pid -> (rs.map(_._3).sum, rs.map(_._4).min, rs.map(_._5).max)
+    }
+    // same consecutive-id invariant as globalRowNumber, per partition
+    byPid.foreach { case (pid, (c, m, x)) =>
+      if (x - m + 1 != c) throw new IllegalStateException(
+        s"groupedRowNumber: monotonically_increasing_id is not consecutive " +
+          s"within partition $pid (count=$c, max-min+1=${x - m + 1}); the " +
+          "Spark id scheme changed - the __mid rank shortcut is invalid")
+    }
+    val nParts = if (byPid.isEmpty) 0 else byPid.keys.max + 1
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, p) => acc + byPid.get(p).fold(0L)(_._1)).init
+    // shift turns __mid into the 1-based GLOBAL rank (globalRowNumber's
+    // formula); each group's start rank — min over its runs of the run
+    // head's global rank — then rebases it to the per-group rank
+    def shift(pid: Int) = offsets(pid) - byPid(pid)._2 + 1L
+    val shiftOf =
+      if (nParts == 0) map(lit(0), lit(0L))
+      else map((0 until nParts).flatMap(p => Seq(lit(p), lit(shift(p)))): _*)
+    val gstarts = stats.groupBy(_._2).map { case (g, rs) =>
+      (g, rs.map { case (pid, _, _, m, _) => m + shift(pid) }.min)
+    }.toSeq
+    val sess = df.sparkSession
+    import sess.implicits._
+    val gstartDf = broadcast(gstarts.toDF("__g", "__gstart"))
+    ranged
+      .withColumn("__g", gkey)
+      .join(gstartDf, "__g")
+      .withColumn(rnCol,
+        col("__mid") + element_at(shiftOf, col("__pid")) - col("__gstart") + lit(1L))
+      .drop("__g", "__pid", "__mid")
+  }
+
   /** Two-phase EXCLUSIVE global prefix sum of `valCol` (a LongType
     * column) over the total order given by `sortCols` — the scalable
     * form of `sum(v) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING

@@ -120,6 +120,16 @@ class OpsSpec extends SparkSpec {
     assert(es <= ef * 1.5, s"sample-trained error $es vs full $ef")
   }
 
+  test("pair-graph partitioning follows the measured edge count") {
+    // the propagation path runs at max(4, edges/1M) tasks per round —
+    // fixture-sized graphs keep the floor, a billion-edge graph gets
+    // thousands of tasks instead of a hardcoded handful
+    assert(Dedup.pairGraphPartitions(0L) == 4)
+    assert(Dedup.pairGraphPartitions(500L * 1000) == 4)
+    assert(Dedup.pairGraphPartitions(10L * 1000 * 1000) == 10)
+    assert(Dedup.pairGraphPartitions(2L * 1000 * 1000 * 1000) == 2000)
+  }
+
   test("dedup_clusters: distributed propagation path equals union-find fast path") {
     val s = spark
     import s.implicits._

@@ -113,6 +113,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Prims.globalPrefixSum(df.filter(col("id") < 0), "v", "cum", col("id")).count() == 0)
   }
 
+  test("corpus_stats: exact discrete quantiles under one dominant language") {
+    val s = spark
+    import s.implicits._
+    // 9000 of 10000 rows in one language — the skew shape the two-phase
+    // grouped rank must handle without a per-language single-task sort
+    val t = s.range(0, 10000).select(
+        when(col("id") % 10 === 0, concat(lit("xx"), col("id") % 3))
+          .otherwise(lit("en")).as("lang"),
+        (col("id") * 31 % 977 + 1).as("toks"))
+      .repartition(8).localCheckpoint(true) // pin the fixture
+    val got = PipelineOps.corpusStatsFrom(t)
+      .select($"lang", $"n_docs", $"p50_toks", $"p95_toks")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // independent oracle: sort each language's toks in plain Scala and
+    // read the value at rank ceil(p*n) (1-based)
+    val byLang = t.as[(String, Long)].collect().groupBy(_._1)
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length
+      def q(p: Int) = sorted((p * n + 99) / 100 - 1)
+      val (_, nd, p50, p95) = got(lang)
+      assert(nd == n)
+      assert(p50 == q(50), s"$lang p50: got $p50 want ${q(50)}")
+      assert(p95 == q(95), s"$lang p95: got $p95 want ${q(95)}")
+    }
+    assert(got("en")._2 == 9000L) // the dominant language really dominates
+  }
+
   test("corpus_pack: bins are gapless and offsets stay inside capacity") {
     val s = spark
     import s.implicits._

@@ -48,4 +48,34 @@ class PrimsSpec extends SparkSpec {
     assert(got.length == 1000)
     assert(got.forall { case (k, rn) => rn == k + 1 })
   }
+
+  test("groupedRowNumber equals the window row_number on a skewed fixture") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one dominant group holding ~90% of rows + a handful of small ones —
+    // the few-huge-groups shape Window.partitionBy funnels into one task
+    val df = s.range(0, 5000).select(
+        when(col("id") % 10 === 0, concat(lit("small"), col("id") % 4))
+          .otherwise(lit("big")).as("g"),
+        (col("id") * 7919 % 104729).as("v"), col("id"))
+      .repartition(8)
+    val got = Prims.groupedRowNumber(df, "rk", Seq("g"), col("v"), col("id"))
+      .select($"g", $"id", $"rk").as[(String, Long, Long)].collect().toSet
+    val want = df.withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy("v", "id")).cast("long"))
+      .select($"g", $"id", $"rk").as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    // and no Window.partitionBy survives in the scalable form's plan
+    val plan = Prims.groupedRowNumber(df, "rk", Seq("g"), col("v"), col("id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"grouped rank planned a Window stage:\n$plan")
+  }
+
+  test("groupedRowNumber: empty input yields empty output") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("g", "v")
+    assert(Prims.groupedRowNumber(empty, "rk", Seq("g"), col("v")).count() == 0)
+  }
 }
