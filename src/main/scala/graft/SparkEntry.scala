@@ -63,6 +63,7 @@ object SparkEntry {
     "cosine_near_dup"   -> (Similarity.cosineNearDup _),
     "ann_ivf_topk"      -> (Similarity.annIvfTopK _),
     "ann_ivf_recall"    -> (Similarity.annIvfRecall _),
+    "ann_ivf_sampled_recall" -> (Similarity.annIvfSampledRecall _),
     "lang_id"           -> (TextAnalysis.langId _),
     "quality_score"     -> (TextAnalysis.qualityScore _),
     "token_count"       -> (TextAnalysis.tokenCount _),

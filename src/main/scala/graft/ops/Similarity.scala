@@ -231,8 +231,9 @@ object Similarity {
     * each pass collects it to the driver and re-broadcasts — the same
     * discipline as MLlib's distributed k-means; the per-pass assignment
     * over the corpus stays fully distributed (broadcast cross of 16
-    * centroids, map-side-combinable aggregation). At 100 TB you'd train
-    * on a sample; the pass structure is unchanged.
+    * centroids, map-side-combinable aggregation). The 100 TB path trains
+    * on the fixed-size [[trainSample]] instead of the full corpus — same
+    * pass structure, see [[annIvfSampledRecall]].
     */
   private[graft] def trainedCentroids(s: SparkSession, emb: DataFrame): Seq[(Long, Seq[Long])] = {
     import s.implicits._
@@ -272,27 +273,54 @@ object Similarity {
     cents
   }
 
-  /** Trained-codebook memo keyed on (session identity, canonical input
-    * path): `ann_ivf_topk` and `ann_ivf_recall` (which composes the topk
-    * with its brute-force yardstick) share one Lloyd training per
-    * (session, dataset) instead of re-running the 3-pass training on
-    * every DataFrame construction. Training is deterministic — a pure
-    * function of the input — so memoizing cannot change any result; the
-    * codebook is NumCentroids×Dim int64 ≈ 8 KB per entry. Input files are
-    * immutable fixtures here; a caller mutating a dataset in place
-    * mid-session would need a fresh session (or path) to retrain. */
-  private val codebookMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Seq[(Long, Seq[Long])]]()
+  /** Deterministic fixed-size training sample: the `TrainSampleN`
+    * vectors ranked first by hash60('ivfs_'||vec_id) — a distributed
+    * top-N (per-partition top-N, tiny gather), so picking it costs one
+    * narrow pass and TRAINING COST IS INDEPENDENT OF CORPUS SIZE: at
+    * 10× (or 100 TB) the Lloyd passes still touch exactly
+    * [[TrainSampleN]] rows; only the single post-training assignment
+    * pass scales with the corpus. A fixed-RATE sample (hash % k = 0)
+    * would stay corpus-proportional, which is why the sample is
+    * rank-bounded instead. The (hash, vec_id) order is unique, so both
+    * engines pick the identical sample. */
+  private[graft] val TrainSampleN = 256
 
-  private def codebookFor(s: SparkSession, dir: String): Seq[(Long, Seq[Long])] =
-    codebookMemo.computeIfAbsent(
-      (System.identityHashCode(s), new java.io.File(dir).getCanonicalPath),
-      _ => {
-        val embT = Tables.embeddings(s, dir)
-          .select(col("vec_id"), expr(quantExpr).as("qv")).persist()
-        try trainedCentroids(s, embT)
-        finally embT.unpersist(false) // training collects are done; no cache outlives the call
-      })
+  private[graft] def trainSample(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("qv"),
+        hash60(concat(lit("ivfs_"), col("vec_id"))).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(TrainSampleN)
+      .select("vec_id", "qv")
+
+  /** Trained-codebook memo: a weak per-session map (sessions don't
+    * override equality, so keys are identity refs that vanish with the
+    * session — a dead session's entry can never be resurrected by a
+    * recycled identity hash) of (canonical input path, sampled?) →
+    * codebook. `ann_ivf_topk` and both recall gates share one Lloyd
+    * training per (session, dataset, variant) instead of re-running the
+    * 3-pass training on every DataFrame construction. Training is
+    * deterministic — a pure function of the input — so memoizing cannot
+    * change any result; the codebook is NumCentroids×Dim int64 ≈ 8 KB
+    * per entry. Input files are immutable fixtures here; a caller
+    * mutating a dataset in place mid-session would need a fresh session
+    * (or path) to retrain. */
+  private val codebookMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, Boolean), Seq[(Long, Seq[Long])]]]())
+
+  private def codebookFor(s: SparkSession, dir: String,
+                          sampled: Boolean): Seq[(Long, Seq[Long])] =
+    codebookMemo
+      .computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[(String, Boolean), Seq[(Long, Seq[Long])]]())
+      .computeIfAbsent(
+        (new java.io.File(dir).getCanonicalPath, sampled),
+        _ => {
+          val embT = Tables.embeddings(s, dir)
+            .select(col("vec_id"), expr(quantExpr).as("qv")).persist()
+          try trainedCentroids(s, if (sampled) trainSample(embT) else embT)
+          finally embT.unpersist(false) // training collects are done; no cache outlives the call
+        })
 
   /** IVF top-k: vectors are partitioned into inverted lists by nearest
     * centroid; a query probes only the `NProbe` closest lists, so the
@@ -309,10 +337,13 @@ object Similarity {
     * explain() it) executes the training passes; subsequent
     * constructions hit [[codebookMemo]]. Inherent to
     * collect-and-broadcast k-means. */
-  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopKFrom(s, dir, sampled = false)
+
+  private def ivfTopKFrom(s: SparkSession, dir: String, sampled: Boolean): DataFrame = {
     import s.implicits._
     import graft.functions.QDot
-    val centRows = codebookFor(s, dir)
+    val centRows = codebookFor(s, dir, sampled)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(quantExpr).as("qv"))
     val cents = broadcast(centRows.toDF("cent_id", "cv")
@@ -362,10 +393,22 @@ object Similarity {
     * deterministic (exact int64 scoring, id tie-breaks), and the final
     * division is one double op over the same two integers on both
     * engines, so the value is bit-stable. */
-  def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame =
+    ivfRecallFrom(s, dir, sampled = false)
+
+  /** recall@[[IvfTopK]] of the SAMPLE-trained IVF index (codebook from
+    * the fixed-size [[trainSample]]; full corpus still assigned and
+    * searched) against brute-force ground truth — pins the quality of
+    * the corpus-size-independent training path with the same oracle gate
+    * as [[annIvfRecall]], so a sampling regression shows up as a hash
+    * mismatch, not a silent recall drop. */
+  def annIvfSampledRecall(s: SparkSession, dir: String): DataFrame =
+    ivfRecallFrom(s, dir, sampled = true)
+
+  private def ivfRecallFrom(s: SparkSession, dir: String, sampled: Boolean): DataFrame = {
     val truth = annTopK(s, dir).filter(col("rank") <= IvfTopK)
       .select("query_id", "neighbor_id")
-    val ivf = annIvfTopK(s, dir)
+    val ivf = ivfTopKFrom(s, dir, sampled)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     truth.join(ivf, Seq("query_id", "neighbor_id"), "left")
       .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
@@ -374,9 +417,11 @@ object Similarity {
   }
 
   /** The full IVF pipeline as a WITH-chain (e … r), shared by the top-k
-    * query and the recall gate — single source of truth for the oracle's
-    * training unroll. */
-  private def ivfCtes: String = {
+    * query and both recall gates — single source of truth for the
+    * oracle's training unroll. `sampled` swaps the training set CTE `te`
+    * between the full corpus and the rank-bounded [[trainSample]]; the
+    * post-training assignment/probe/score always runs over full `e`. */
+  private def ivfCtes(sampled: Boolean): String = {
     val dotQ = s"CAST(list_sum(list_transform(range(1, $Dim + 1), i -> a[i] * b[i])) AS BIGINT)"
     def d2(a: String, b: String) =
       dotQ.replace("a[i] * b[i]", s"$a[i] * $a[i]") +
@@ -387,17 +432,24 @@ object Similarity {
     // (c_k) with exact-int64 floor-division means and empty-cluster
     // carryover — the SQL twin of trainedCentroids above.
     val seedH = graft.ops.Prims.hash60Sql("'seed_' || CAST(vec_id AS VARCHAR)")
+    val ivfsH = graft.ops.Prims.hash60Sql("'ivfs_' || CAST(vec_id AS VARCHAR)")
+    val teBody =
+      if (sampled)
+        s"""SELECT vec_id, qv FROM (
+           |    SELECT vec_id, qv, row_number() OVER (ORDER BY $ivfsH, vec_id) AS srn
+           |    FROM e) WHERE srn <= $TrainSampleN"""
+      else "SELECT vec_id, qv FROM e"
     val lloyd = (1 to LloydIters).map { k =>
       s"""a$k AS (
          |  SELECT vec_id, cent_id AS list_id FROM (
-         |    SELECT e.vec_id, c.cent_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${d2("e.qv", "c.cv")}, c.cent_id) AS rn
-         |    FROM e, c${k - 1} c) WHERE rn = 1),
+         |    SELECT te.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY te.vec_id
+         |        ORDER BY ${d2("te.qv", "c.cv")}, c.cent_id) AS rn
+         |    FROM te, c${k - 1} c) WHERE rn = 1),
          |s$k AS (
-         |  SELECT a$k.list_id, p.pi, sum(e.qv[p.pi]) AS sm, count(*) AS cnt
-         |  FROM a$k, e, (SELECT unnest(range(1, ${Dim + 1})) AS pi) p
-         |  WHERE a$k.vec_id = e.vec_id
+         |  SELECT a$k.list_id, p.pi, sum(te.qv[p.pi]) AS sm, count(*) AS cnt
+         |  FROM a$k, te, (SELECT unnest(range(1, ${Dim + 1})) AS pi) p
+         |  WHERE a$k.vec_id = te.vec_id
          |  GROUP BY a$k.list_id, p.pi),
          |c$k AS (
          |  SELECT p.cent_id, coalesce(n.cv, p.cv) AS cv
@@ -407,9 +459,10 @@ object Similarity {
          |    FROM s$k GROUP BY list_id) n USING (cent_id))""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+       |te AS ($teBody),
        |c0 AS (
        |  SELECT CAST(rn - 1 AS BIGINT) AS cent_id, qv AS cv FROM (
-       |    SELECT qv, row_number() OVER (ORDER BY $seedH, vec_id) AS rn FROM e)
+       |    SELECT qv, row_number() OVER (ORDER BY $seedH, vec_id) AS rn FROM te)
        |  WHERE rn <= $NumCentroids),
        |$lloyd,
        |cents AS (SELECT cent_id, cv FROM c$LloydIters),
@@ -438,15 +491,16 @@ object Similarity {
   }
 
   def annIvfTopKSql: String =
-    s"""$ivfCtes
+    s"""${ivfCtes(sampled = false)}
        |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= $IvfTopK
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Oracle twin of [[annIvfRecall]]: the same IVF chain plus a
-    * brute-force truth block (bs/br — the annTopKSql computation reusing
-    * the chain's `e` and `q` CTEs), left-joined for the hit count. */
-  def annIvfRecallSql: String =
-    s"""$ivfCtes,
+  /** Oracle twin of [[annIvfRecall]] / [[annIvfSampledRecall]]: the same
+    * IVF chain plus a brute-force truth block (bs/br — the annTopKSql
+    * computation reusing the chain's `e` and `q` CTEs), left-joined for
+    * the hit count. */
+  private def ivfRecallSqlFrom(sampled: Boolean): String =
+    s"""${ivfCtes(sampled)},
        |ivf_top AS (SELECT query_id, neighbor_id FROM r WHERE rank <= $IvfTopK),
        |bs AS (SELECT query_id, e.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(range(1, $Dim + 1), i -> query_v[i] * e.qv[i])) AS BIGINT) AS dot
@@ -460,11 +514,15 @@ object Similarity {
        |  CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
        |FROM truth t LEFT JOIN ivf_top i USING (query_id, neighbor_id)""".stripMargin
 
+  def annIvfRecallSql: String = ivfRecallSqlFrom(sampled = false)
+  def annIvfSampledRecallSql: String = ivfRecallSqlFrom(sampled = true)
+
   val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopKSql,
     "ann_lsh_pairs" -> annLshPairsSql,
     "cosine_near_dup" -> cosineNearDupSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_recall" -> annIvfRecallSql,
+    "ann_ivf_sampled_recall" -> annIvfSampledRecallSql,
   )
 }

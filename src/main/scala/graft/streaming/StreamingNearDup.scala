@@ -23,12 +23,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     collisions, never all-pairs. `MaxBucket` caps any one bucket's
   *     membership (a degenerate signature — e.g. empty-ish docs — would
   *     otherwise accumulate unboundedly and emit O(n²) pairs); beyond
-  *     the cap the bucket stops admitting members, and the batch jobs
-  *     own the long tail.
+  *     the cap the bucket DEGRADES to star pairs — each further arrival
+  *     emits the single (hub = minimum seen member, newcomer) pair
+  *     instead of being silently refused — the SAME policy as the batch
+  *     twin's hot buckets (Dedup.MaxBandBucket), so a mass-replicated
+  *     group arriving on the stream stays fully collapsible by
+  *     connected components while state and per-arrival fan-out stay
+  *     O(cap) and O(1). Over-cap arrivals are not remembered, so an
+  *     at-least-once redelivery re-emits its hub pair; callers dedup on
+  *     (docA, docB) downstream (see [[apply]]).
   */
 object StreamingNearDup {
 
-  /** Hard cap on per-bucket membership (and thus per-arrival fan-out). */
+  /** Cap on per-bucket membership state (and thus per-arrival fan-out). */
   val MaxBucket = 64
 
   final case class Banded(docId: Long, band: Int, bsig: String)
@@ -65,11 +72,19 @@ object StreamingNearDup {
     var members = st.getOption.map(_.members).getOrElse(Vector.empty)
     val out = Vector.newBuilder[CandPair]
     it.toSeq.sortBy(_.docId).foreach { d =>
-      if (!members.contains(d.docId) && members.size < cap) {
-        members.foreach { m =>
-          out += CandPair(math.min(m, d.docId), math.max(m, d.docId), key._1)
+      if (!members.contains(d.docId)) {
+        if (members.size < cap) {
+          members.foreach { m =>
+            out += CandPair(math.min(m, d.docId), math.max(m, d.docId), key._1)
+          }
+          members = members :+ d.docId
+        } else {
+          // saturated bucket: star degradation — one (hub, newcomer)
+          // pair keeps the arrival reachable from the group without
+          // growing state or fan-out (batch twin: Dedup hot buckets)
+          val hub = members.min
+          out += CandPair(math.min(hub, d.docId), math.max(hub, d.docId), key._1)
         }
-        members = members :+ d.docId
       }
     }
     st.update(BucketMembers(members))

@@ -93,6 +93,26 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.5, s"IVF recall $recall vs brute force")
   }
 
+  test("IVF training sample is fixed-size: corpus growth cannot grow training cost") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(Similarity.quantExpr).as("qv"))
+    assert(Similarity.trainSample(emb).count() == Similarity.TrainSampleN)
+    // double the corpus: the Lloyd passes still see exactly TrainSampleN
+    // rows — the property that makes training cost corpus-size-independent
+    val doubled = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + 100000L))
+    assert(Similarity.trainSample(doubled).count() == Similarity.TrainSampleN)
+  }
+
+  test("ann_ivf_sampled_recall: sample-trained codebook keeps recall") {
+    val r = Similarity.annIvfSampledRecall(spark, dir).collect()(0)
+    assert(r.getLong(1) == 30) // 10 queries x top-3 ground truth
+    val recall = r.getDouble(3)
+    info(s"sampled-codebook IVF recall@3 vs brute force: $recall")
+    assert(recall >= 0.4, s"sample-trained IVF recall $recall collapsed")
+  }
+
   test("IVF codebook: sample-trained centroids stay close to full-trained quality") {
     val s = spark
     import org.apache.spark.sql.functions._

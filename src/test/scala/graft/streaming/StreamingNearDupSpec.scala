@@ -60,12 +60,13 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("bucket cap bounds membership and pair fan-out") {
+  test("bucket cap degrades to star pairs: capped state, full fan-out kept linear") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    // 6 identical texts: every band's bucket would hold all 6 without
-    // the cap; with cap 3 membership stops at 3 → 3 pairs per band
+    // 6 identical texts, cap 3: members 1..3 pair fully (C(3,2)=3);
+    // 4..6 each emit exactly the (hub=1, newcomer) star pair — the batch
+    // hot-bucket policy — instead of being dropped
     val input = MemoryStream[(Long, String)]
     val q = StreamingNearDup(input.toDF().toDF("doc_id", "text"), cap = 3)
       .writeStream.format("memory").queryName("snd_cap")
@@ -74,10 +75,48 @@ class StreamingNearDupSpec extends SparkSpec {
       input.addData((1L to 6L).map(i => (i, "alpha beta gamma delta epsilon")))
       q.processAllAvailable()
       val got = s.table("snd_cap").as[CandPair].collect()
-      val perBand = got.groupBy(_.band).view.mapValues(_.length).toMap
+      val perBand = got.groupBy(_.band).view.mapValues(_.toSet).toMap
       assert(perBand.keySet == (0 until Dedup.NumBands).toSet)
-      assert(perBand.values.forall(_ == 3)) // C(3,2), not C(6,2)
-      assert(got.forall(p => p.docA <= 3 && p.docB <= 3))
+      perBand.foreach { case (band, pairs) =>
+        val full = Set((1L, 2L), (1L, 3L), (2L, 3L))
+        val star = Set((1L, 4L), (1L, 5L), (1L, 6L))
+        assert(pairs.map(p => (p.docA, p.docB)) == full ++ star,
+          s"band $band pairs: $pairs")
+      }
+    } finally q.stop()
+  }
+
+  test("mass-replicated stream group stays fully hub-reachable past the cap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // 120 identical docs over a cap-8 bucket, streamed in three batches:
+    // every doc must end up reachable from the hub (connected components
+    // collapses the whole group) while state stays at 8 members
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingNearDup(input.toDF().toDF("doc_id", "text"), cap = 8)
+      .writeStream.format("memory").queryName("snd_star")
+      .outputMode("append").start()
+    try {
+      (0 until 3).foreach { b =>
+        input.addData((1L + 40 * b to 40L + 40 * b).map(i => (i, "zeta eta theta iota kappa")))
+        q.processAllAvailable()
+      }
+      val got = s.table("snd_star").as[CandPair].collect()
+      // union-find over emitted pairs: one component containing all 120
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      got.foreach { p =>
+        val (ra, rb) = (find(p.docA), find(p.docB))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val roots = (1L to 120L).map(find).toSet
+      assert(roots == Set(1L), s"group split into components rooted at $roots")
+      // state bounded: full pairs only among the first 8 members, and
+      // every over-cap doc appears ONLY in (hub=1, doc) star pairs
+      val overCap = got.filter(p => p.docB > 8)
+      assert(overCap.nonEmpty)
+      assert(overCap.forall(_.docA == 1L), "star pairs must anchor on the hub")
     } finally q.stop()
   }
 }
