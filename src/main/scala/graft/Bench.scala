@@ -14,6 +14,13 @@ import org.apache.spark.sql.SparkSession
   * queries (releaseAll(gc=true)) keeps one query's garbage from being
   * paid for inside the next query's samples. A failing query is recorded
   * as -1 with its error, never as a fake elapsed time.
+  *
+  * `"shuffle"` records per-query shuffle-WRITE bytes (average over the
+  * timed runs, from task metrics via a listener): a plan regression that
+  * adds an exchange is visible as a bytes jump even when wall-time at
+  * sf0.1 hides it — the number that actually predicts 100 TB behavior.
+  * Listener delivery is async, so the counter is read after a short
+  * drain sleep; values are per-run averages, not exact-to-the-byte.
   */
 object Bench {
   private val TimedRuns = 3
@@ -29,6 +36,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics)
+          .foreach(m => { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () })
+    })
+    def drainedShuffleBytes(): Long = { Thread.sleep(100) /* listener drain */; shuffleBytes.get() }
+
     def q(s: String): String = HarnessUtil.jsonQ(s)
 
     val errors = scala.collection.mutable.Map[String, String]()
@@ -39,6 +54,7 @@ object Bench {
                                       // checkpoint blocks must not leak
                                       // across queries (memory pressure
                                       // skews later timings)
+        val sb0 = drainedShuffleBytes()
         val samples = (1 to TimedRuns).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
@@ -46,22 +62,24 @@ object Bench {
           HarnessUtil.releaseAll(spark, gc = true)
           dt
         }.sorted
-        name -> samples
+        val perRunShuffle = (drainedShuffleBytes() - sb0) / TimedRuns
+        (name, samples, perRunShuffle)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          name -> IndexedSeq(-1.0)
+          (name, IndexedSeq(-1.0), -1L)
       } finally HarnessUtil.releaseAll(spark, gc = true)
     }
     def med(ss: IndexedSeq[Double]) = ss(ss.length / 2)
-    val qs = results.map { case (k, ss) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
-    val spread = results.map { case (k, ss) =>
+    val qs = results.map { case (k, ss, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
+    val spread = results.map { case (k, ss, _) =>
       q(k) + s""":{"min":${ss.head},"med":${med(ss)},"max":${ss.last}}"""
     }.mkString("{", ",", "}")
+    val shuffle = results.map { case (k, _, sb) => q(k) + ":" + sb }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val total = results.map(t => med(t._2)).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle":$shuffle,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,6 +20,15 @@ object Lookup {
   /** Minimal client surface: open once per partition, get many, close. */
   trait KvClient[V] extends AutoCloseable {
     def get(key: String): Option[V]
+
+    /** Batched lookup — ONE store round-trip for many keys. Override
+      * with the store's pipelined/multi-get form (the reference's Redis
+      * tutorial is substantially about this: pipelined GETs / MGET,
+      * test/RedisTest.java:138-162,213-257 — per-key round-trips are the
+      * latency killer of lookup enrichment). The default degrades to
+      * per-key gets so point-lookup-only clients still work; results
+      * align positionally with `keys`. */
+    def getAll(keys: Seq[String]): Seq[Option[V]] = keys.map(get)
   }
 
   /** Enrich a dataset via per-partition point lookups.
@@ -35,4 +44,27 @@ object Lookup {
         .foreach(_.addTaskCompletionListener[Unit](_ => client.close()))
       rows.map(t => combine(t, client.get(key(t))))
     }
+
+  /** Pipelined enrichment: like [[enrich]], but keys go to the store in
+    * chunks of `batchSize` through [[KvClient.getAll]] — round-trips per
+    * partition drop from O(rows) to O(rows / batchSize). The `grouped`
+    * iterator is lazy, so only one chunk of rows is buffered at a time
+    * (constant memory regardless of partition size), and the task-
+    * completion close covers partial consumption exactly as in
+    * [[enrich]]. */
+  def enrichBatched[T, V, R: Encoder](ds: Dataset[T], clientFactory: () => KvClient[V],
+      batchSize: Int = 128)(key: T => String)(combine: (T, Option[V]) => R): Dataset[R] = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    ds.mapPartitions { rows =>
+      val client = clientFactory()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => client.close()))
+      rows.grouped(batchSize).flatMap { chunk =>
+        val values = client.getAll(chunk.map(key))
+        require(values.length == chunk.length,
+          s"getAll returned ${values.length} values for ${chunk.length} keys")
+        chunk.iterator.zip(values.iterator).map { case (t, v) => combine(t, v) }
+      }
+    }
+  }
 }

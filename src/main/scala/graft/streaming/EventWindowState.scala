@@ -21,15 +21,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * kind='late' (beyond watermark + lateness — the side output). State per
   * key is bounded by windows inside the lateness horizon.
   *
-  * Late-side-output delta (W10): in STREAMING runs Spark's engine drops
-  * beyond-watermark rows before they reach this operator, so set the
-  * upstream watermark delay to outOfOrderBound + allowedLateness (the
-  * SURVEY §7.4 fold) — then the engine's drop boundary coincides with
-  * Flink's, dropped-late rows are observable via the
-  * numRowsDroppedByWatermark metric, and this operator handles
-  * fire/re-fire inside the lateness horizon. In BATCH runs (no engine
-  * filter) the kind='late' path emits the side output exactly like the
-  * FlinkWindows trace engine.
+  * Late-side-output delta (W10), two deployments:
+  *   - [[tumbling]] (watermark on `ts` itself): Spark's engine drops
+  *     beyond-watermark rows before they reach this operator, so set the
+  *     upstream watermark delay to outOfOrderBound + allowedLateness
+  *     (the SURVEY §7.4 fold) — the engine's drop boundary then
+  *     coincides with Flink's and dropped-late rows are observable via
+  *     the numRowsDroppedByWatermark metric (a count, not rows).
+  *   - [[tumblingCarrier]] (watermark on a source-controlled carrier
+  *     column): late rows REACH the operator and emerge as kind='late'
+  *     rows, so a foreachBatch fan-out (SideOutputs.fanOut) reproduces
+  *     the reference's sideOutputLateData main+late two-sink pipeline
+  *     end-to-end (LateFanoutSpec replays the full
+  *     test/EventTimeTest.java:329-428 trace).
+  * In BATCH runs (no engine filter) the kind='late' path emits the side
+  * output exactly like the FlinkWindows trace engine.
   */
 object EventWindowState {
 
@@ -37,6 +43,15 @@ object EventWindowState {
     * event-time column, so projecting it to a long would strip the
     * watermark and break EventTimeTimeout. */
   final case class Ev(key: String, value: Long, ts: java.sql.Timestamp)
+
+  /** [[Ev]] plus a watermark CARRIER column for [[tumblingCarrier]]:
+    * `wmTs` (the withWatermark column) carries the watermark the source
+    * has attested for this row — Flink's collectWithTimestamp +
+    * emitWatermark contract, where the source controls the watermark
+    * independently of (and possibly ahead of) event time — while the
+    * operator windows on the real `ts`. */
+  final case class EvW(key: String, value: Long, ts: java.sql.Timestamp,
+                       wmTs: java.sql.Timestamp)
   final case class WinOut(key: String, kind: String, windowStart: Long,
                           sum: Long, count: Long, tsMs: Long)
   /** per-window-start: (sum, count, pendingSinceLastFire) */
@@ -47,7 +62,35 @@ object EventWindowState {
     implicit val b = Encoders.product[Buf]
     implicit val k = Encoders.STRING
 
-    def handle(key: String, events: Iterator[Ev], state: GroupState[Buf]): Iterator[WinOut] = {
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        handleCore(sizeMs, allowedLatenessMs))
+  }
+
+  /** [[tumbling]] over a watermark-CARRIER stream: `withWatermark` rides
+    * [[EvW]]'s `wmTs` (source-attested watermark, Flink's emitWatermark
+    * contract) while windowing stays on the real `ts`. Because the
+    * engine's beyond-watermark filter tests the CARRIER (inclusively:
+    * carrier <= watermark drops) — and a source sets it strictly ahead
+    * of the watermark for every row it wants delivered —
+    * late-by-event-time rows actually REACH the operator and come out as
+    * kind='late' ROWS (the sideOutputLateData stream), rather than being
+    * counted into numRowsDroppedByWatermark upstream as with [[tumbling]]
+    * under the folded-delay deployment (see the class note). */
+  def tumblingCarrier(ds: Dataset[EvW], sizeMs: Long,
+                      allowedLatenessMs: Long = 0L): Dataset[WinOut] = {
+    implicit val o = Encoders.product[WinOut]
+    implicit val b = Encoders.product[Buf]
+    implicit val k = Encoders.STRING
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, es: Iterator[EvW], st: GroupState[Buf]) =>
+          handleCore(sizeMs, allowedLatenessMs)(key, es.map(e => Ev(e.key, e.value, e.ts)), st)
+      }
+  }
+
+  private def handleCore(sizeMs: Long, allowedLatenessMs: Long)(
+      key: String, events: Iterator[Ev], state: GroupState[Buf]): Iterator[WinOut] = {
       // batch runs have no watermark (the getter throws): everything is
       // on-time and nothing fires until an explicit watermark exists
       val wm = try state.getCurrentWatermarkMs()
@@ -100,9 +143,5 @@ object EventWindowState {
         state.setTimeoutTimestamp(math.max(nextAction, wm + 1))
       }
       out.result().iterator
-    }
-
-    ds.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(handle)
   }
 }
