@@ -55,6 +55,79 @@ object ScaleProbe {
     }
   }
 
+  /** `grouprank` mode: pin the grouped-rank skew claim with a frame big
+    * enough that the single-task sort actually shows. One dominant group
+    * (90% of rows) + 4 small ones, at 1M and 10M rows: the window form
+    * (`row_number() OVER (PARTITION BY g ORDER BY ...)`) sorts the
+    * dominant group in ONE task, so its time grows with the group; the
+    * two-phase `Prims.groupedRowNumber` spreads the same order across
+    * the range exchange. Both are timed on identical checkpointed
+    * inputs; equality of results is PrimsSpec's job. */
+  private def groupRankProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1000000L, 10000000L)) {
+      // plain lineage, not checkpointed: releaseAll between runs frees
+      // checkpoint blocks, and a range projection regenerates for free —
+      // both arms pay the identical narrow generation cost
+      val df = spark.range(n).select(
+          when(col("id") % 10 === 0, concat(lit("s"), col("id") % 4))
+            .otherwise(lit("big")).as("g"),
+          (col("id") * 7919 % 104729).as("v"), col("id"))
+        .repartition(32)
+      def time(label: String)(mk: => DataFrame): Unit = {
+        mk.count() // warm
+        HarnessUtil.releaseAll(spark)
+        val t0 = System.nanoTime()
+        mk.count()
+        HarnessUtil.releaseAll(spark)
+        println(f"grouprank n=$n%-9d $label%-10s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      time("window") {
+        df.withColumn("rk", row_number().over(
+          Window.partitionBy("g").orderBy("v", "id")).cast("long"))
+      }
+      time("two-phase") {
+        graft.ops.Prims.groupedRowNumber(df, "rk", Seq("g"), col("v"), col("id"))
+      }
+      // the scale-limiting quantity: the most rows any ONE task must
+      // sort. The window form clusters by group (its exchange is
+      // hash-by-g), so its max task carries the dominant group; the
+      // two-phase range exchange spreads the same order evenly. Wall
+      // time above is constant-factor territory at probe scale — THIS
+      // number is what turns into the spill/OOM/straggler at 100x.
+      def maxTaskRows(exchanged: DataFrame): Long =
+        exchanged.groupBy(spark_partition_id().as("p")).count()
+          .agg(max("count")).collect()(0).getLong(0)
+      val winMax = maxTaskRows(df.repartition(col("g")))
+      val tpMax = maxTaskRows(df.repartitionByRange(col("g"), col("v"), col("id")))
+      println(f"grouprank n=$n%-9d max-task-rows: window=$winMax%,d two-phase=$tpMax%,d")
+      HarnessUtil.releaseAll(spark)
+    }
+  }
+
+  /** `ivftrain` mode: pin the sampled-training claim — Lloyd training on
+    * the fixed-size [[graft.ops.Similarity.trainSample]] must cost the
+    * same at 1× and 10× corpus, while full-corpus training grows. Calls
+    * the trainer directly (the memoized query path hides training from a
+    * second run). */
+  private def ivfTrainProbe(spark: SparkSession, src: String, big: String): Unit = {
+    import graft.ops.Similarity
+    def embOf(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr(Similarity.quantExpr).as("qv"))
+    for ((label, dir) <- Seq("sf0.1" -> src, "10x" -> big)) {
+      val emb = embOf(dir).localCheckpoint(true)
+      def time(kind: String)(train: => Unit): Unit = {
+        train // warm (JIT; training itself is uncached)
+        val t0 = System.nanoTime()
+        train
+        println(f"ivftrain $label%-6s $kind%-8s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      time("full")    { Similarity.trainedCentroids(spark, emb); () }
+      time("sampled") { Similarity.trainedCentroids(spark, Similarity.trainSample(emb)); () }
+      HarnessUtil.releaseAll(spark)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -72,6 +145,14 @@ object ScaleProbe {
       val qs = if (args.length > 1) args.drop(1).toSeq
         else Seq("dedup_near_minhash", "ngram_jaccard")
       densityProbe(spark, src, qs)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("grouprank")) {
+      groupRankProbe(spark)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("ivftrain")) {
+      ivfTrainProbe(spark, src, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
       spark.stop(); return
     }
     val out = "/tmp/graft_sf1_synth"
