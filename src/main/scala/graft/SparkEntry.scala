@@ -70,6 +70,8 @@ object SparkEntry {
     "doc_fingerprint"   -> (TextAnalysis.docFingerprint _),
     "repetition_score"  -> (TextAnalysis.repetitionScore _),
     "tfidf_top_terms"   -> (TextAnalysis.tfidfTopTerms _),
+    "ngram_counts"      -> (TextAnalysis.ngramCounts _),
+    "text_normalize"    -> (TextAnalysis.textNormalize _),
     "pipeline_clean"    -> (TextAnalysis.pipelineClean _),
     "doc_chunking"      -> (TextAnalysis.docChunking _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
@@ -81,6 +83,8 @@ object SparkEntry {
     "corpus_stats"      -> (PipelineOps.corpusStats _),
     "corpus_pack"       -> (PipelineOps.corpusPack _),
     "pii_scrub"         -> (PipelineOps.piiScrub _),
+    "stratified_sample" -> (PipelineOps.stratifiedSample _),
+    "doc_len_histogram" -> (PipelineOps.docLenHistogram _),
     // E3 flagship: full six-source enrichment DAG through four
     // flatMapGroupsWithState stages (graft.streaming.EnrichDag)
     "enrich_dag"        -> (graft.streaming.EnrichDag.enrichDag _),

@@ -393,7 +393,55 @@ object PipelineOps {
        |  CAST(len(regexp_extract_all(clean, '$TagRe')) AS BIGINT) AS n_pii
        |FROM scrubbed ORDER BY doc_id""".stripMargin
 
+  /** stratified_sample: deterministic per-language rate sampling — each
+    * language gets a hash-derived keep rate (10–50%, standing in for a
+    * configured stratification plan) and a doc is kept iff its salted
+    * hash falls under the rate. The row-level sample is
+    * `filter(h < rate)` — a NARROW scan (rate is a scalar of the lang
+    * column, no join, no shuffle); this query emits the per-language
+    * audit aggregate (rate, totals, kept) that pins the exact rule. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        ((pmod(hash60(concat(lit("rate_"), col("lang"))), lit(5L)) + 1L) * 10L).as("rate"),
+        pmod(hash60(concat(lit("strat_"), col("doc_id"))), lit(100L)).as("h"))
+      .groupBy("lang", "rate")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("h") < col("rate"), 1)).as("n_kept"))
+      .orderBy("lang")
+
+  def stratifiedSampleSql: String = {
+    val rate = s"(${hash60Sql("'rate_' || lang")} % 5 + 1) * 10"
+    val h = s"${hash60Sql("'strat_' || CAST(doc_id AS VARCHAR)")} % 100"
+    s"""WITH d AS (SELECT lang, $rate AS rate, $h AS h FROM documents)
+       |SELECT lang, rate, count(*) AS n_total,
+       |  count(*) FILTER (WHERE h < rate) AS n_kept
+       |FROM d GROUP BY lang, rate ORDER BY lang""".stripMargin
+  }
+
+  /** doc_len_histogram: power-of-two token-length histogram (bucket =
+    * bit length of the token count — `length(bin(toks))`, pure integer/
+    * string arithmetic both engines compute identically; a float log2
+    * could differ in the last ulp at exact powers of two). The length
+    * distribution drives packing efficiency and curriculum decisions.
+    * One narrow projection + one tiny aggregation. */
+  def docLenHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(expr(s"size($wordsExpr)").cast("long").as("toks"))
+      .select(length(expr("bin(toks)")).cast("long").as("bucket"), col("toks"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_toks"))
+      .orderBy("bucket")
+
+  def docLenHistogramSql: String =
+    s"""WITH t AS (SELECT CAST(len($wordsSql) AS BIGINT) AS toks FROM documents)
+       |SELECT CAST(length(bin(toks)) AS BIGINT) AS bucket, count(*) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS sum_toks
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "stratified_sample" -> stratifiedSampleSql,
+    "doc_len_histogram" -> docLenHistogramSql,
     "train_val_split" -> trainValSplitSql,
     "decontaminate"   -> decontaminateSql,
     "domain_mix"      -> domainMixSql,

@@ -343,7 +343,61 @@ object TextAnalysis {
        |SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= $TfidfTopK
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Global top-K corpus bigrams. */
+  private val NgramTopK = 50
+
+  /** ngram_counts: the corpus's [[NgramTopK]] most frequent word bigrams
+    * — the frequency table behind contamination screens, boilerplate
+    * detection, and tokenizer training. Shape: narrow bigram explode →
+    * map-side-combinable count → global top-K as a TakeOrdered
+    * (per-partition top-K, K-row gather) — no global sort, no
+    * single-task aggregation. Ties at the cutoff break on the gram
+    * itself so both engines pick the identical K rows. */
+  def ngramCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(expr(wordsExpr).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(NgramTopK)
+
+  def ngramCountsSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |b AS (SELECT ws[i] || ' ' || ws[i+1] AS gram
+       |  FROM w, unnest(range(1, len(ws))) AS t(i)
+       |  WHERE len(ws) >= 2)
+       |SELECT gram, count(*) AS cnt FROM b GROUP BY gram
+       |ORDER BY cnt DESC, gram LIMIT $NgramTopK""".stripMargin
+
+  /** text_normalize: canonical whitespace/case cleanup — lowercase,
+    * collapse space/tab runs to one space, trim — the first stage of any
+    * ingest pipeline. A narrow per-row codegen regexp chain, scale-free.
+    * The fixture corpus is already clean, so deterministic mess (mixed
+    * case, a tab, double and trailing spaces) is injected first and the
+    * oracle injects identically — the gate verifies the NORMALIZATION,
+    * not the fixture (same pattern as pii_scrub). */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit("  MiXeD\tCase  trail ")).as("text"))
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[ \\t]+", " ")).as("norm_text"))
+      .orderBy("doc_id")
+
+  def textNormalizeSql: String =
+    s"""WITH inj AS (SELECT doc_id,
+       |    text || '  MiXeD' || chr(9) || 'Case  trail ' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  trim(regexp_replace(lower(text), '[ \\t]+', ' ', 'g')) AS norm_text
+       |FROM inj ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ngram_counts" -> ngramCountsSql,
+    "text_normalize" -> textNormalizeSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "repetition_score" -> repetitionScoreSql,
     "doc_chunking" -> docChunkingSql,

@@ -19,6 +19,33 @@ class OpsSpec extends SparkSpec {
     assert(wc.filter("word = ''").count() == 0)
   }
 
+  test("ngram_counts: top-K bigrams are well-formed and count-ordered") {
+    val s = spark
+    import s.implicits._
+    val rows = TextAnalysis.ngramCounts(s, dir).as[(String, Long)].collect().toVector
+    assert(rows.length == 50)
+    assert(rows.forall(_._1.split(" ").length == 2), "every gram is a bigram")
+    assert(rows.map(_._2).sliding(2).forall(p => p.head >= p.last), "counts non-increasing")
+    // total bigram mass: every doc with w words contributes w-1 bigrams
+    val totalBigrams = graft.Tables.documents(s, dir)
+      .selectExpr(s"greatest(size(${Prims.wordsExpr}) - 1, 0) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    assert(rows.map(_._2).sum <= totalBigrams)
+  }
+
+  test("text_normalize: output is lowercase, single-spaced, trimmed") {
+    val s = spark
+    import s.implicits._
+    val norms = TextAnalysis.textNormalize(s, dir).select("norm_text").as[String].collect()
+    assert(norms.length == 500)
+    norms.foreach { t =>
+      assert(!t.contains("  ") && !t.contains("\t"), "whitespace runs collapsed")
+      assert(t == t.toLowerCase, "lowercased")
+      assert(t == t.trim, "trimmed")
+      assert(t.endsWith("mixed case trail"), s"injected mess not normalized: ...${t.takeRight(30)}")
+    }
+  }
+
   test("rolling_sum: last running value equals the per-key total") {
     val s = spark
     import s.implicits._

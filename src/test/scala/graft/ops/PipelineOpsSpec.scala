@@ -158,6 +158,43 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("stratified_sample: kept counts reproduce the hash rule exactly") {
+    val s = spark
+    import s.implicits._
+    def hash60Jvm(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val docs = graft.Tables.documents(s, dir)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val expected = docs.groupBy(_._2).map { case (lang, rows) =>
+      val rate = (hash60Jvm(s"rate_$lang") % 5 + 1) * 10
+      lang -> (rate, rows.length.toLong,
+        rows.count { case (id, _) => hash60Jvm(s"strat_$id") % 100 < rate }.toLong)
+    }
+    val got = PipelineOps.stratifiedSample(s, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == expected)
+    got.values.foreach { case (rate, total, kept) =>
+      assert(rate >= 10 && rate <= 50 && kept <= total)
+    }
+  }
+
+  test("doc_len_histogram: buckets partition the corpus by bit length") {
+    val s = spark
+    import s.implicits._
+    val rows = PipelineOps.docLenHistogram(s, dir)
+      .as[(Long, Long, Long)].collect() // bucket, n_docs, sum_toks
+    assert(rows.map(_._2).sum == graft.Tables.documents(s, dir).count())
+    rows.foreach { case (bucket, n, sumToks) =>
+      assert(bucket >= 1 && n > 0)
+      // a bucket-b doc has toks in [2^(b-1), 2^b): the sum must too
+      val (lo, hi) = (1L << (bucket - 1), 1L << bucket)
+      assert(sumToks >= lo * n && sumToks < hi * n,
+        s"bucket $bucket sum $sumToks outside [$lo,$hi) x $n")
+    }
+  }
+
   test("redactPii: each PII class redacts, clean text passes untouched") {
     val s = spark
     import s.implicits._
