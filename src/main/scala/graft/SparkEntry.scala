@@ -54,6 +54,8 @@ object SparkEntry {
     "funnel"            -> (EnrichJoin.funnel _),
     // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
     "dedup_exact"       -> (Dedup.dedupExact _),
+    "dedup_substring"   -> (Dedup.dedupSubstring _),
+    "editdist_pairs"    -> (Dedup.editdistPairs _),
     "dedup_clusters"    -> (Dedup.dedupClusters _),
     "dedup_near_minhash"-> (Dedup.dedupNearMinhash _),
     "simhash_dedup"     -> (Dedup.simhashDedup _),
@@ -77,6 +79,8 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "train_val_split"   -> (PipelineOps.trainValSplit _),
     "decontaminate"     -> (PipelineOps.decontaminate _),
+    "decontaminate_bloom" -> (PipelineOps.decontaminateBloom _),
+    "source_cardinality"  -> (PipelineOps.sourceCardinality _),
     "domain_mix"        -> (PipelineOps.domainMix _),
     "domain_mix_weighted" -> (PipelineOps.domainMixWeighted _),
     "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),

@@ -433,7 +433,158 @@ object Dedup {
        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
        |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin
 
+  // ---- chunk-granular exact-substring dedup ---------------------------
+
+  /** Chunk width in words for substring-level dedup. */
+  private val ChunkWords = 16
+
+  /** Max chunk index folded into the first-occurrence key — bounds docs at
+    * [[ChunkWords]]·1e6 words (a 16M-word doc), far past any real document;
+    * keeps `doc_id * 1e6 + idx` inside int64 for doc ids below ~9.2e12. */
+  private val MaxChunkIdx = 1000000L
+
+  /** dedup_substring: exact SUBSTRING-level dedup at chunk granularity —
+    * the standard corpus treatment for boilerplate (headers, footers,
+    * license blocks) that repeats across otherwise-distinct documents,
+    * where doc-level exact/near dedup keeps both copies and the repeated
+    * span still leaks into training. Each doc is cut into consecutive
+    * [[ChunkWords]]-word chunks (tail partial chunk included); a chunk is
+    * a DUPLICATE iff the same chunk text already occurred at a smaller
+    * (doc_id, chunk_idx). Emitted per doc: chunk count, duplicate-chunk
+    * count, and the duplicated fraction — the inputs to a
+    * keep/trim/drop decision.
+    *
+    * Scale shape: narrow chunk explode (work ∝ corpus tokens), ONE
+    * hash-keyed aggregation for first-occurrence keys (map-side
+    * combinable), a join back on the same hash key (no extra exchange —
+    * both sides arrive partitioned by the chunk hash), then a per-doc
+    * aggregation. First-occurrence is resolved through the single
+    * sortable key `doc_id * MaxChunkIdx + idx`, so "first" needs one
+    * `min`, not a two-level (doc, idx) argmin. No all-pairs anywhere;
+    * a chunk repeated a million times costs one group of a million
+    * rows — combinable, not quadratic. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, (size(ws) + ${ChunkWords - 1}) div $ChunkWords),
+           |  i -> array_join(slice(ws, (i - 1) * $ChunkWords + 1, $ChunkWords), ' '))"""
+          .stripMargin))).toDF("doc_id", "pos", "chunk")
+      .select(col("doc_id"),
+        md5(col("chunk")).as("h"),
+        (col("doc_id") * MaxChunkIdx + col("pos") + 1L).as("k"))
+    val firsts = ch.groupBy("h").agg(min("k").as("k0"))
+    ch.join(firsts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("k") =!= col("k0"), 1)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSubstringSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |ch AS (SELECT doc_id,
+       |    md5(array_to_string(ws[(i - 1) * $ChunkWords + 1 : i * $ChunkWords], ' ')) AS h,
+       |    doc_id * $MaxChunkIdx + i AS k
+       |  FROM w, unnest(range(1, (len(ws) + ${ChunkWords - 1}) // $ChunkWords + 1)) AS t(i)
+       |  WHERE len(ws) >= 1),
+       |firsts AS (SELECT h, min(k) AS k0 FROM ch GROUP BY h)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  count(*) FILTER (WHERE k <> k0) AS n_dup_chunks,
+       |  CAST(count(*) FILTER (WHERE k <> k0) AS DOUBLE) / count(*) AS dup_frac
+       |FROM ch JOIN firsts USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- blocked edit-distance near-dup confirm -------------------------
+
+  /** Edit-distance acceptance threshold on the compared prefix. */
+  private val MaxEditDist = 16
+  /** Compared prefix length in characters — bounds the per-pair DP cost. */
+  private val EditPrefix = 80
+  /** Char-length bucket width for blocking. */
+  private val EditLenBucket = 100L
+  /** Max docs per (lang, source, length-bucket) block before it degrades
+    * from all-pairs to star pairs on the block-min doc — the same
+    * hub-star guard as [[MaxBandBucket]], so a degenerate block cannot
+    * go O(m²). */
+  private val MaxEditBlock = 100
+
+  /** editdist_pairs: near-duplicate confirmation by EDIT DISTANCE — the
+    * character-level complement to the token-level Jaccard/MinHash
+    * family (catches small in-word edits that shift every containing
+    * shingle). Candidate pairs come from BLOCKING on
+    * (lang, source, n_chars div [[EditLenBucket]]) — two docs whose
+    * lengths differ by more than a bucket can't be within a small edit
+    * distance anyway — and each pair is confirmed with a BANDED
+    * Levenshtein over the first [[EditPrefix]] chars: Spark's
+    * `levenshtein(l, r, threshold)` costs O(len·threshold), not
+    * O(len²), and returns -1 past the threshold.
+    *
+    * Scale shape: the join key is the block, never all-pairs; blocks
+    * over [[MaxEditBlock]] degrade to O(m) star pairs on the block-min
+    * doc (see [[MaxBandBucket]] for the policy rationale). In a full
+    * pipeline this pass runs as the cheap confirm stage AFTER an LSH
+    * candidate pass; standalone it is a deterministic blocked join both
+    * engines reproduce exactly. */
+  def editdistPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("n_chars") / EditLenBucket).cast("long").as("lb"),
+        substring(col("text"), 1, EditPrefix).as("p"))
+      .localCheckpoint(true) // referenced three times: block stats + both join sides
+    val bstats = d.groupBy("lang", "source", "lb")
+      .agg(count(lit(1)).as("bn"), min("doc_id").as("bmin"))
+    val kept = d.join(
+      bstats.filter(col("bn") <= MaxEditBlock).select("lang", "source", "lb"),
+      Seq("lang", "source", "lb"))
+    val fullPairs = kept.as("a").join(kept.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.lb") === col("b.lb") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+    val starPairs = d.join(
+        bstats.filter(col("bn") > MaxEditBlock).select("lang", "source", "lb", "bmin"),
+        Seq("lang", "source", "lb"))
+      .filter(col("doc_id") =!= col("bmin"))
+      .join(d.select(col("doc_id").as("bmin"), col("p").as("pa")), Seq("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"),
+        col("pa"), col("p").as("pb"))
+    fullPairs.unionByName(starPairs)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb"), MaxEditDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= MaxEditDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def editdistPairsSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, source, n_chars // $EditLenBucket AS lb,
+       |    substr(text, 1, $EditPrefix) AS p
+       |  FROM documents),
+       |bstats AS (SELECT lang, source, lb, count(*) AS bn, min(doc_id) AS bmin
+       |  FROM d GROUP BY lang, source, lb),
+       |kept AS (SELECT d.* FROM d JOIN bstats USING (lang, source, lb)
+       |  WHERE bn <= $MaxEditBlock),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+       |  FROM kept a JOIN kept b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
+       |    AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT bstats.bmin, d.doc_id, dm.p, d.p
+       |  FROM d JOIN bstats USING (lang, source, lb)
+       |  JOIN d dm ON dm.doc_id = bstats.bmin
+       |  WHERE bn > $MaxEditBlock AND d.doc_id <> bstats.bmin)
+       |SELECT doc_a, doc_b, CAST(levenshtein(pa, pb) AS INTEGER) AS dist
+       |FROM pairs
+       |WHERE levenshtein(pa, pb) <= $MaxEditDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_substring" -> dedupSubstringSql,
+    "editdist_pairs" -> editdistPairsSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups

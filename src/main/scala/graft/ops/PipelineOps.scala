@@ -103,6 +103,80 @@ object PipelineOps {
        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
        |ORDER BY doc_id""".stripMargin
 
+  /** False-positive probability for the decontamination Bloom prefilter. */
+  private val BloomFpp = 0.01
+
+  /** decontaminate_bloom: [[decontaminate]] with a BLOOM-FILTER prefilter
+    * on the corpus gram stream — the scale form for when the held-out
+    * set is too large to broadcast as a join hash table but its Bloom
+    * bits still fit (a filter at fpp=1% costs ~10 bits/gram vs the full
+    * gram string + hash-table overhead: a 100M-gram benchmark suite is a
+    * ~120 MB filter vs multi-GB of strings). The filter is built in one
+    * distributed aggregation (`stat.bloomFilter`), broadcast once, and
+    * applied as a narrow scan BEFORE the exact membership join, so only
+    * the ~fpp fraction of non-matching grams (plus true hits) ever
+    * reaches a shuffle. The exact join then removes Bloom false
+    * positives, so the RESULT is bit-identical to [[decontaminate]] —
+    * same oracle — regardless of fpp; the filter only prunes work.
+    * (Spark's own runtime-filter join injection uses exactly this
+    * mightContain shape; the lambda here is the documented non-codegen
+    * exception, applied post-prune to a stream the filter has already
+    * thinned.) */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val grams = wordGrams(Tables.documents(s, dir), ContamGram)
+    val held = grams.filter(col("doc_id") < HeldoutMax)
+      .select("g").distinct()
+      // referenced three times (count, filter build, exact confirm join)
+      .localCheckpoint(true)
+    val nHeld = math.max(held.count(), 1L)
+    val bloom = held.stat.bloomFilter("g", nHeld, BloomFpp)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bloomBc.value.mightContainString(g))
+    val contaminated = grams.filter(col("doc_id") >= HeldoutMax)
+      .filter(mightContain(col("g")))       // narrow Bloom prune, ~fpp survivors
+      .join(broadcast(held), "g")           // exact confirm kills false positives
+      .select("doc_id").distinct()
+    Tables.documents(s, dir)
+      .filter(col("doc_id") >= HeldoutMax)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Relative-error tolerance the HLL cardinality gate enforces (the
+    * sketch is configured at rsd=[[HllRsd]]; 3σ ≈ 3·rsd stays within
+    * this with overwhelming probability, and the sketch is deterministic
+    * for a given dataset, so the gate is stable run-to-run). */
+  private val HllTol = 0.15
+  private val HllRsd = 0.05
+
+  /** source_cardinality: per-source doc counts and EXACT distinct-content
+    * cardinality, plus a gate asserting the HyperLogLog++ estimate stays
+    * within [[HllTol]] of exact. At 100 TB the exact distinct (which
+    * shuffles every distinct content hash) is the audit/fixture path and
+    * HLL is the production path — one pass, map-side combinable,
+    * constant memory per group; the gate row pins the sketch's quality
+    * into the bit-exact oracle so an HLL regression (or a tolerance
+    * drift) is a hash mismatch, the same pattern as `ann_ivf_recall`.
+    * The oracle emits literal TRUE — the gate FAILS the whole query if
+    * any source's estimate leaves the tolerance band. */
+  def sourceCardinality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        approx_count_distinct(col("h"), HllRsd).as("n_approx"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (abs(col("n_approx") - col("n_distinct")).cast("double")
+          <= col("n_distinct").cast("double") * HllTol).as("hll_ok"))
+      .orderBy("source")
+
+  def sourceCardinalitySql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_distinct, TRUE AS hll_ok
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** domain_mix: keep at most `QuotaPerSource` docs per source, chosen
     * by salted-hash order — a deterministic uniform sample per domain,
     * the building block of proportion-controlled corpus mixing.
@@ -444,6 +518,8 @@ object PipelineOps {
     "doc_len_histogram" -> docLenHistogramSql,
     "train_val_split" -> trainValSplitSql,
     "decontaminate"   -> decontaminateSql,
+    "decontaminate_bloom" -> decontaminateSql, // bit-identical by construction
+    "source_cardinality"  -> sourceCardinalitySql,
     "domain_mix"      -> domainMixSql,
     "domain_mix_weighted" -> domainMixWeightedSql,
     "corpus_shuffle"  -> corpusShuffleSql,

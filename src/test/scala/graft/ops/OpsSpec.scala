@@ -249,6 +249,56 @@ class OpsSpec extends SparkSpec {
       s"expected star + small-bucket pairs, got ${lsh.size} pairs")
   }
 
+  test("dedup_substring: repeated chunks are flagged against their first occurrence") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    // 16-word chunk granularity: docA = two distinct 16-word chunks;
+    // docB repeats docA verbatim (every chunk dup); docC shares only
+    // docA's FIRST chunk (one dup, one fresh); docD is fully fresh
+    val c1 = (1 to 16).map(i => s"alpha$i").mkString(" ")
+    val c2 = (1 to 16).map(i => s"beta$i").mkString(" ")
+    val c3 = (1 to 16).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$c1 $c2", "en", "web", 1L),
+      (1L, s"$c1 $c2", "en", "web", 1L),
+      (2L, s"$c1 $c3", "en", "web", 1L),
+      (3L, s"$c3 $c3", "en", "web", 1L)) // within-doc repeat: 2nd chunk dups the 1st... but c3 first occurred in doc 2
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupSubstring(s, tmp)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 2L, 0L, 0.0)))   // first occurrence of both chunks
+    assert(out(1L) == ((1L, 2L, 2L, 1.0)))   // verbatim copy: fully duplicated
+    assert(out(2L) == ((2L, 2L, 1L, 0.5)))   // shares c1 with doc 0, introduces c3
+    assert(out(3L) == ((3L, 2L, 2L, 1.0)))   // both chunks are c3, first seen in doc 2
+  }
+
+  test("editdist_pairs: blocked banded levenshtein keeps close pairs, drops far ones") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-edit").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again and again"
+    val close = base.replace("quick", "quack")          // one substitution within prefix
+    val far = "entirely different words populate this document from start to finish here"
+    // doc 30 shares lang/source but lands in another length bucket (chars
+    // padded past the 100-char boundary) — blocked out despite identical text
+    val pad = base + " " + ("x" * 60)
+    val docs = Seq(
+      (10L, base, "en", "web", base.length.toLong),
+      (11L, close, "en", "web", close.length.toLong),
+      (12L, far, "en", "web", far.length.toLong),
+      (20L, base, "fr", "web", base.length.toLong),     // other lang: different block
+      (30L, pad, "en", "web", pad.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.editdistPairs(s, tmp)
+      .as[(Long, Long, Int)].collect().toSet
+    // 10–11 close (one substitution on the 80-char prefix); 10–12/11–12
+    // far (past the threshold); 20 and 30 blocked away from everything
+    assert(pairs == Set((10L, 11L, 1)), s"got $pairs")
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val s = spark
     import s.implicits._

@@ -40,6 +40,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(survivors.size <= nonHeld && survivors.nonEmpty)
   }
 
+  test("decontaminate_bloom: bloom prefilter + exact confirm is bit-identical to the exact path") {
+    val s = spark
+    val exact = PipelineOps.decontaminate(s, dir).collect().toSeq
+    val bloom = PipelineOps.decontaminateBloom(s, dir).collect().toSeq
+    assert(exact.nonEmpty)
+    // the bloom filter only PRUNES the gram stream; the exact membership
+    // join behind it kills every false positive, so any divergence means
+    // the prefilter dropped a true hit (a broken filter), not fpp noise
+    assert(bloom == exact)
+  }
+
+  test("source_cardinality: HLL estimate stays inside the gate tolerance") {
+    val s = spark
+    import s.implicits._
+    val rows = PipelineOps.sourceCardinality(s, dir)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nDistinct, hllOk) =>
+      assert(nDistinct <= nDocs, s"$src: distinct exceeds doc count")
+      assert(nDistinct > 0)
+      assert(hllOk, s"$src: HLL estimate left the ±15% tolerance band")
+    }
+  }
+
   test("domain_mix keeps min(quota, source size) per source, deterministically") {
     val s = spark
     import s.implicits._
