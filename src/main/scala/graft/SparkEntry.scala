@@ -77,6 +77,7 @@ object SparkEntry {
     "pipeline_clean"    -> (TextAnalysis.pipelineClean _),
     "doc_chunking"      -> (TextAnalysis.docChunking _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "frame_sample"      -> (Multimodal.frameSample _),
     "train_val_split"   -> (PipelineOps.trainValSplit _),
     "decontaminate"     -> (PipelineOps.decontaminate _),
     "decontaminate_bloom" -> (PipelineOps.decontaminateBloom _),

@@ -59,7 +59,52 @@ object Multimodal {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Frame stride in chars of the synthetic payload (stands in for a
+    * fixed frame interval in a real video/audio stream). */
+  private val FrameStride = 64
+  /** Frame-count cap per record — a real sampler caps frames per video
+    * so one long video cannot dominate a task. */
+  private val MaxFrames = 8
+
+  /** frame_sample: explode each media record into its sampled FRAMES —
+    * one output row per (record, frame index), with the frame's offset,
+    * byte length, and content fingerprint. This is the row shape that
+    * makes per-frame work (decode, feature-extract, embed) scale past
+    * document granularity: after the narrow explode each frame is an
+    * independent row, so a `repartition` spreads one huge video's
+    * frames across the cluster instead of pinning them to the task that
+    * read the record. The frame CONTENT here is a text slice (decode is
+    * stubbed — see the class doc); the explode arithmetic, per-frame
+    * cap, and fingerprinting are the real plumbing. */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, least((length(text) + ${FrameStride - 1}) div $FrameStride,
+           |                            $MaxFrames)),
+           |  i -> substring(text, (i - 1) * $FrameStride + 1, $FrameStride))"""
+          .stripMargin))).toDF("doc_id", "pos", "frame")
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("frame_idx"),
+        (col("pos").cast("long") * FrameStride + 1L).as("off"),
+        length(encode(col("frame"), "utf-8")).cast("long").as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  def frameSampleSql: String =
+    s"""WITH f AS (SELECT doc_id, i,
+       |    substr(text, (i - 1) * $FrameStride + 1, $FrameStride) AS frame
+       |  FROM documents,
+       |    unnest(range(1, least((len(text) + ${FrameStride - 1}) // $FrameStride,
+       |                          $MaxFrames) + 1)) AS t(i))
+       |SELECT doc_id, i AS frame_idx,
+       |  (i - 1) * $FrameStride + 1 AS off,
+       |  CAST(octet_length(encode(frame)) AS BIGINT) AS frame_bytes,
+       |  md5(frame) AS frame_md5
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
+    "frame_sample" -> frameSampleSql,
   )
 }

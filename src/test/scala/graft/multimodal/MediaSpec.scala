@@ -27,6 +27,29 @@ class MediaSpec extends SparkSpec {
     assert(!schemaRead.contains("payload"))
   }
 
+  test("frame_sample: stride/cap arithmetic and per-frame independence") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val frames = graft.ops.Multimodal.frameSample(s, dir)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_._1)
+    val lens = graft.Tables.documents(s, dir)
+      .selectExpr("doc_id", "length(text) AS n").as[(Long, Long)].collect().toMap
+    byDoc.foreach { case (doc, fs) =>
+      val expected = math.min((lens(doc) + 63) / 64, 8L)
+      assert(fs.length == expected, s"doc $doc: ${fs.length} frames, expected $expected")
+      // frame indexes are 1..n with offsets at the fixed stride
+      assert(fs.map(_._2).sorted.toSeq == (1L to expected))
+      fs.foreach { case (_, idx, off, bytes, md5hex) =>
+        assert(off == (idx - 1) * 64 + 1)
+        assert(bytes > 0 && bytes <= 64)
+        assert(md5hex.length == 32)
+      }
+    }
+  }
+
   test("SideOutputs.fanOut routes a stream to multiple sinks in one pass") {
     val s = spark
     import s.implicits._
