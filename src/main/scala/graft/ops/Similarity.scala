@@ -421,12 +421,17 @@ object Similarity {
     * oracle's training unroll. `sampled` swaps the training set CTE `te`
     * between the full corpus and the rank-bounded [[trainSample]]; the
     * post-training assignment/probe/score always runs over full `e`. */
-  private def ivfCtes(sampled: Boolean): String = {
+  /** Exact-int64 L2² between two list columns, as DuckDB SQL — the twin
+    * of the Spark side's `QDot(a,a) - 2·QDot(a,b) + QDot(b,b)`. */
+  private def d2Sql(a: String, b: String): String = {
     val dotQ = s"CAST(list_sum(list_transform(range(1, $Dim + 1), i -> a[i] * b[i])) AS BIGINT)"
-    def d2(a: String, b: String) =
-      dotQ.replace("a[i] * b[i]", s"$a[i] * $a[i]") +
-        s" - 2 * ${dotQ.replace("a[i] * b[i]", s"$a[i] * $b[i]")}" +
-        s" + ${dotQ.replace("a[i] * b[i]", s"$b[i] * $b[i]")}"
+    dotQ.replace("a[i] * b[i]", s"$a[i] * $a[i]") +
+      s" - 2 * ${dotQ.replace("a[i] * b[i]", s"$a[i] * $b[i]")}" +
+      s" + ${dotQ.replace("a[i] * b[i]", s"$b[i] * $b[i]")}"
+  }
+
+  private def ivfCtes(sampled: Boolean): String = {
+    def d2(a: String, b: String) = d2Sql(a, b)
     // Lloyd training unrolled: c0 = hash-ranked seed sample; each pass k
     // assigns (a_k), sums per (list, dim) (s_k), and rebuilds the codebook
     // (c_k) with exact-int64 floor-division means and empty-cluster
@@ -517,7 +522,50 @@ object Similarity {
   def annIvfRecallSql: String = ivfRecallSqlFrom(sampled = false)
   def annIvfSampledRecallSql: String = ivfRecallSqlFrom(sampled = true)
 
+  /** embed_cluster_profile: the k-means partition of the embedding space
+    * as a first-class corpus-analysis surface — per-cluster member count
+    * and exact-int64 inertia (sum of L2² to the assigned centroid), the
+    * numbers a diversity/stratification decision reads (which regions of
+    * embedding space dominate the corpus, which clusters are tight
+    * near-dup pockets vs diffuse background). Uses the SAMPLE-trained
+    * codebook ([[trainSample]]) — the corpus-size-independent training
+    * path — then one distributed assignment pass: broadcast of 16
+    * centroids, narrow scoring, map-side-combinable aggregation; no
+    * shuffle touches the corpus beyond the 16-row final groupBy. The
+    * whole profile is oracle-gated (DuckDB re-runs Lloyd bit-for-bit),
+    * so a codebook or assignment regression is a hash mismatch. */
+  def embedClusterProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.QDot
+    val centRows = codebookFor(s, dir, sampled = true)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quantExpr).as("qv"))
+    val cents = broadcast(centRows.toDF("cent_id", "cv"))
+    val best = emb.crossJoin(cents)
+      .select(col("vec_id"), col("cent_id"),
+        (QDot(col("qv"), col("qv")) - lit(2) * QDot(col("qv"), col("cv"))
+          + QDot(col("cv"), col("cv"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cent_id"), col("d2")), struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("m.cent_id").as("cluster_id"), col("m.d2").as("d2"))
+    best.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia"))
+      .orderBy("cluster_id")
+  }
+
+  def embedClusterProfileSql: String =
+    s"""${ivfCtes(sampled = true)},
+       |ad AS (
+       |  SELECT vec_id, cent_id AS cluster_id, d2 FROM (
+       |    SELECT e.vec_id, cent_id, ${d2Sql("qv", "cv")} AS d2,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2Sql("qv", "cv")}, cent_id) AS rn
+       |    FROM e, cents) WHERE rn = 1)
+       |SELECT cluster_id, count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS inertia
+       |FROM ad GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "embed_cluster_profile" -> embedClusterProfileSql,
     "ann_topk" -> annTopKSql,
     "ann_lsh_pairs" -> annLshPairsSql,
     "cosine_near_dup" -> cosineNearDupSql,

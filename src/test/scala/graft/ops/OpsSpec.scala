@@ -167,6 +167,21 @@ class OpsSpec extends SparkSpec {
     assert(es <= ef * 1.5, s"sample-trained error $es vs full $ef")
   }
 
+  test("embed_cluster_profile: clusters partition the corpus, inertia is sane") {
+    val s = spark
+    import s.implicits._
+    val rows = Similarity.embedClusterProfile(s, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    assert(rows.map(_._2).sum == graft.Tables.embeddings(s, dir).count(),
+      "every vector must land in exactly one cluster")
+    rows.foreach { case (cid, n, inertia) =>
+      assert(cid >= 0 && cid < 16)
+      assert(n > 0)
+      assert(inertia >= 0, s"cluster $cid: negative inertia")
+    }
+  }
+
   test("pair-graph partitioning follows the measured edge count") {
     // the propagation path runs at max(4, edges/1M) tasks per round —
     // fixture-sized graphs keep the floor, a billion-edge graph gets
