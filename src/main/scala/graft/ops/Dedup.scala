@@ -227,18 +227,29 @@ object Dedup {
   /** Unsorted Jaccard-pair core shared by the query form (adds the
     * deterministic ORDER BY) and the cluster resolver (doesn't need
     * order — a global sort would force the whole pipeline to run twice
-    * via the range-partitioner sampling pass). */
+    * via the range-partitioner sampling pass).
+    *
+    * The inverted index is keyed on `hash60(shingle)` (int64), not the
+    * shingle STRING: every downstream exchange (df-cap aggregation,
+    * both sides of the index self-join) then moves 8-byte keys instead
+    * of ~25-byte 3-word strings — at corpus scale the index join's
+    * shuffle is the dominant byte volume, so this is a ~3× cut. A
+    * 60-bit collision between two distinct shingles co-occurring in one
+    * doc pair would inflate that pair's intersection by one — vanishing
+    * probability, and the oracle applies the SAME hash, so both engines
+    * agree bit-for-bit regardless. */
   private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(Tables.documents(s, dir))
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), hash60(col("s")).as("hs"))
+    val rare = sh.groupBy("hs").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
-      .select("s")
+      .select("hs")
     // referenced three times (sizes + both sides of the index self-join):
     // localCheckpoint, not cache — see the leak note in dedupNearMinhash
-    val shr = sh.join(rare, "s").localCheckpoint(true)
+    val shr = sh.join(rare, "hs").localCheckpoint(true)
     val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shr.as("a").join(shr.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val na = sizes.toDF("doc_a", "na")
@@ -271,11 +282,12 @@ object Dedup {
 
   def ngramJaccardSql: String =
     s"""WITH $shinglesSql,
-       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf),
-       |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |hsh AS (SELECT doc_id, ${hash60Sql("s")} AS hs FROM sh),
+       |rare AS (SELECT hs FROM hsh GROUP BY hs HAVING count(*) <= $MaxShingleDf),
+       |shr AS (SELECT hsh.doc_id, hsh.hs FROM hsh JOIN rare USING (hs)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM shr a JOIN shr b ON a.hs = b.hs AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS union_n,
        |  CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
@@ -409,11 +421,12 @@ object Dedup {
     * minimum reachable id as the cluster label. */
   def dedupClustersSql: String =
     s"""WITH RECURSIVE $shinglesSql,
-       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf),
-       |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |hsh AS (SELECT doc_id, ${hash60Sql("s")} AS hs FROM sh),
+       |rare AS (SELECT hs FROM hsh GROUP BY hs HAVING count(*) <= $MaxShingleDf),
+       |shr AS (SELECT hsh.doc_id, hsh.hs FROM hsh JOIN rare USING (hs)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |  FROM shr a JOIN shr b ON a.hs = b.hs AND a.doc_id < b.doc_id GROUP BY 1, 2),
        |pairs AS (
        |  SELECT doc_a, doc_b FROM inter
        |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
@@ -535,21 +548,33 @@ object Dedup {
         (col("n_chars") / EditLenBucket).cast("long").as("lb"),
         substring(col("text"), 1, EditPrefix).as("p"))
       .localCheckpoint(true) // referenced three times: block stats + both join sides
+    // block stats are block-cardinality rows (metadata-sized under the
+    // few-huge-groups shape) — BROADCAST at every use, so the corpus side
+    // never exchanges for a stats lookup; recomputing them per use is one
+    // narrow scan of the checkpointed `d` + a combinable aggregation,
+    // cheaper than materializing the tiny frame through an extra job
     val bstats = d.groupBy("lang", "source", "lb")
       .agg(count(lit(1)).as("bn"), min("doc_id").as("bmin"))
     val kept = d.join(
-      bstats.filter(col("bn") <= MaxEditBlock).select("lang", "source", "lb"),
+      broadcast(bstats.filter(col("bn") <= MaxEditBlock).select("lang", "source", "lb")),
       Seq("lang", "source", "lb"))
     val fullPairs = kept.as("a").join(kept.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.lb") === col("b.lb") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.p").as("pa"), col("b.p").as("pb"))
+    // hub prefixes: one row per hot block — pull them with a broadcast
+    // semi-join on the tiny bmin set and broadcast the result, so the
+    // star side is two narrow scans (no corpus shuffle on bmin)
+    val hotBlocks = bstats.filter(col("bn") > MaxEditBlock)
+    val hubPrefix = d.join(
+        broadcast(hotBlocks.select(col("bmin").as("doc_id")).distinct()), "doc_id")
+      .select(col("doc_id").as("bmin"), col("p").as("pa"))
     val starPairs = d.join(
-        bstats.filter(col("bn") > MaxEditBlock).select("lang", "source", "lb", "bmin"),
+        broadcast(hotBlocks.select("lang", "source", "lb", "bmin")),
         Seq("lang", "source", "lb"))
       .filter(col("doc_id") =!= col("bmin"))
-      .join(d.select(col("doc_id").as("bmin"), col("p").as("pa")), Seq("bmin"))
+      .join(broadcast(hubPrefix), Seq("bmin"))
       .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"),
         col("pa"), col("p").as("pb"))
     fullPairs.unionByName(starPairs)
