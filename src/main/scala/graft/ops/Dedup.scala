@@ -525,6 +525,14 @@ object Dedup {
     * go O(m²). */
   private val MaxEditBlock = 100
 
+  /** Parallelism for the blocked edit-distance join: every core of the
+    * app (never fewer than shuffle.partitions), because the expensive
+    * stage is the O(pairs) DP downstream of the block exchange, not the
+    * bytes-tiny prefix-table exchange itself. */
+  private def editPartitions(s: SparkSession): Int =
+    math.max(s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** editdist_pairs: near-duplicate confirmation by EDIT DISTANCE — the
     * character-level complement to the token-level Jaccard/MinHash
     * family (catches small in-word edits that shift every containing
@@ -547,6 +555,17 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"),
         (col("n_chars") / EditLenBucket).cast("long").as("lb"),
         substring(col("text"), 1, EditPrefix).as("p"))
+      // hash-partition by BLOCK KEY before pinning: co-locates both sides
+      // of the blocked self-join (no further exchange for the join) and
+      // fixes the DP pass's parallelism — without it the checkpoint
+      // inherits the scan's partitioning (often ONE partition on a
+      // compact prefix table), every broadcast join downstream keeps it,
+      // and the per-pair Levenshtein work serializes. The partition
+      // count is EXPLICIT: the prefix table is bytes-tiny (AQE would
+      // coalesce a keyed repartition back to one partition) but the
+      // downstream join FANS OUT quadratically per block, so parallelism
+      // must be sized for the pair volume, not the input bytes
+      .repartition(editPartitions(s), col("lang"), col("source"), col("lb"))
       .localCheckpoint(true) // referenced three times: block stats + both join sides
     // block stats are block-cardinality rows (metadata-sized under the
     // few-huge-groups shape) — BROADCAST at every use, so the corpus side
@@ -580,7 +599,16 @@ object Dedup {
     fullPairs.unionByName(starPairs)
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("pa"), col("pb"), MaxEditDist).as("dist"))
-      .filter(col("dist") >= 0 && col("dist") <= MaxEditDist)
+      // single reference to `dist`: the banded levenshtein returns -1 iff
+      // the distance exceeds the threshold, so one <> -1 check replaces a
+      // two-conjunct range test that CollapseProject would inline as TWO
+      // more levenshtein evaluations per candidate pair
+      .filter(col("dist") =!= -1)
+      // survivors are tiny vs candidates: materialize before the ORDER BY
+      // so the range-partitioner's sampling pass re-reads the checkpoint
+      // instead of re-running the blocked join + per-pair DP (the same
+      // lineage-truncation discipline as ngramJaccard)
+      .localCheckpoint(true)
       .orderBy("doc_a", "doc_b")
   }
 
