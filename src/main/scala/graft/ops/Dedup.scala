@@ -99,9 +99,16 @@ object Dedup {
     // sides); eager localCheckpoint materializes it once and frees with
     // the RDD — no cache entry outlives the call (OpsSpec leak guard)
     val sig = minhashSig(Tables.documents(s, dir)).localCheckpoint(true)
+    // band signature = hash60 of the comma-joined band values: an int64
+    // join/aggregation key instead of a ~40-char string, so the bucket
+    // exchange moves 8-byte keys (the same key-narrowing as the n-gram
+    // index; the oracle applies the identical hash, so a 60-bit
+    // collision — two bands binned together spuriously — is mirrored
+    // bit-for-bit on both engines and only ever ADDS a candidate pair)
     val bands = (0 until NumBands).map { k =>
       sig.select(col("doc_id"), lit(k).as("band"),
-        concat_ws(",", (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*).as("bsig"))
+        hash60(concat_ws(",",
+          (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*)).as("bsig"))
     }.reduce(_ unionByName _)
     // hot-bucket guard: size each (band, bsig) bucket first (bands is
     // narrow compute over the checkpointed sig, so the extra pass is
@@ -140,7 +147,7 @@ object Dedup {
     val bandSelects = (0 until NumBands).map { k =>
       val cat = (0 until BandRows).map(r => s"CAST(mh${BandRows * k + r} AS VARCHAR)")
         .mkString(" || ',' || ")
-      s"SELECT doc_id, $k AS band, $cat AS bsig FROM sig"
+      s"SELECT doc_id, $k AS band, ${hash60Sql(s"($cat)")} AS bsig FROM sig"
     }.mkString("\n  UNION ALL ")
     val eq = (0 until NumHashes)
       .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
