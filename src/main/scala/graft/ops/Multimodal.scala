@@ -79,6 +79,10 @@ object Multimodal {
   def frameSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      // guard empty payloads BEFORE the sequence: Spark's sequence(1, 0)
+      // is a DESCENDING [1, 0] (not empty like DuckDB's range(1, 1)), so
+      // an empty record would emit two phantom frames instead of none
+      .filter(length(col("text")) >= 1)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(1, least((length(text) + ${FrameStride - 1}) div $FrameStride,
            |                            $MaxFrames)),

@@ -27,6 +27,18 @@ class MediaSpec extends SparkSpec {
     assert(!schemaRead.contains("payload"))
   }
 
+  test("frame_sample: empty payloads emit no frames (sequence(1,0) is descending, not empty)") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-frames").toString
+    Seq((1L, "", "en", "web", 0L), (2L, "one tiny doc", "en", "web", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.ops.Multimodal.frameSample(s, tmp)
+      .select("doc_id").as[Long].collect()
+    assert(rows.toSeq == Seq(2L), s"empty doc must emit zero frames, got ${rows.toSeq}")
+  }
+
   test("frame_sample: stride/cap arithmetic and per-frame independence") {
     val s = spark
     import s.implicits._
