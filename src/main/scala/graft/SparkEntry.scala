@@ -71,6 +71,7 @@ object SparkEntry {
     "quality_score"     -> (TextAnalysis.qualityScore _),
     "token_count"       -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"   -> (TextAnalysis.docFingerprint _),
+    "winnow_fingerprint" -> (TextAnalysis.winnowFingerprint _),
     "repetition_score"  -> (TextAnalysis.repetitionScore _),
     "tfidf_top_terms"   -> (TextAnalysis.tfidfTopTerms _),
     "ngram_counts"      -> (TextAnalysis.ngramCounts _),

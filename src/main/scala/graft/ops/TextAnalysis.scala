@@ -395,7 +395,65 @@ object TextAnalysis {
        |  trim(regexp_replace(lower(text), '[ \\t]+', ' ', 'g')) AS norm_text
        |FROM inj ORDER BY doc_id""".stripMargin
 
+  /** Winnowing window: fingerprints = per-window minima over this many
+    * consecutive shingle hashes (Schleimer et al., the MOSS scheme). */
+  private val WinnowW = 4
+
+  /** winnow_fingerprint: WINNOWED document fingerprints — the guarantee
+    * the plain rolling-hash fingerprint lacks: any shared substring of
+    * at least w+k-1 words between two docs yields at least one SHARED
+    * selected hash, while keeping only ~1/w of all gram hashes (w=4
+    * here: a 4× sketch compression with a detection floor of 6 shared
+    * words). Per doc: the ordered 3-gram hash stream, a min over each
+    * w-window (windows clip at the tail, so short docs keep one
+    * whole-doc window), then the distinct selected set — emitted sorted
+    * and joined, plus gram/fingerprint counts.
+    *
+    * Scale shape: pure per-row ARRAY arithmetic (transform/slice/
+    * array_min — all codegen, no explode, no shuffle until the final
+    * sort); selection is position-local so the operator composes with
+    * any downstream index (group fingerprints, not docs, to find
+    * cross-doc overlap — the substring analogue of the shingle index).
+    * Every engine-shared value rides pmod(hash60, P31) like the rest of
+    * the sketch family. */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, size(ws) - 2),
+           |  i -> pmod(hash60(concat(element_at(ws, i), ' ',
+           |                          element_at(ws, i + 1), ' ',
+           |                          element_at(ws, i + 2))), ${P31}L))""".stripMargin)
+        .as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"), expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(hs) - ${WinnowW - 1}, 1)),
+           |  i -> array_min(slice(hs, i, $WinnowW))))""".stripMargin)
+        .as("fps"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        joinedSortedLongs(col("fps")).as("fp"))
+      .orderBy("doc_id")
+
+  def winnowFingerprintSql: String = {
+    val h = hash60Sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |g AS (SELECT doc_id,
+       |    list_transform(range(1, len(ws) - 1), i -> $h % $P31) AS hs
+       |  FROM w WHERE len(ws) >= 3),
+       |f AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1),
+       |      i -> list_min(hs[i:i+${WinnowW - 1}]))) AS fps
+       |  FROM g)
+       |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
+       |  array_to_string(list_sort(fps), ',') AS fp
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "winnow_fingerprint" -> winnowFingerprintSql,
     "ngram_counts" -> ngramCountsSql,
     "text_normalize" -> textNormalizeSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,

@@ -264,6 +264,33 @@ class OpsSpec extends SparkSpec {
       s"expected star + small-bucket pairs, got ${lsh.size} pairs")
   }
 
+  test("winnow_fingerprint: a shared >= w+k-1 word substring shares a fingerprint") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    // the winnowing guarantee (w=4, k=3): any shared substring of at
+    // least w+k-1 = 6 words forces at least one common selected hash.
+    // docs 1/2 share a 7-word run embedded in different surroundings;
+    // doc 3 shares nothing
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six", "en", "web", 1L),
+      (2L, s"seven eight $shared nine ten eleven twelve", "en", "web", 1L),
+      (3L, "completely different words in this entire document body here", "en", "web", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fps = TextAnalysis.winnowFingerprint(s, tmp)
+      .select($"doc_id", $"fp").as[(Long, String)].collect()
+      .map { case (d, fp) => d -> fp.split(",").toSet }.toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 7-word run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint docs must not collide at this scale")
+    // compression: selected set is smaller than the gram stream
+    val counts = TextAnalysis.winnowFingerprint(s, tmp)
+      .select($"doc_id", $"n_grams", $"n_fp").as[(Long, Long, Long)].collect()
+    counts.foreach { case (_, ng, nf) => assert(nf <= ng && nf >= 1) }
+  }
+
   test("dedup_substring: repeated chunks are flagged against their first occurrence") {
     val s = spark
     import s.implicits._
