@@ -452,7 +452,52 @@ object TextAnalysis {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Vocabulary size for the coverage audit — deliberately smaller than
+    * the fixture's full vocabulary so the OOV path is exercised. */
+  private val VocabN = 20
+
+  /** vocab_coverage: per-document OUT-OF-VOCABULARY rate against the
+    * corpus's own top-[[VocabN]] token vocabulary — the audit a
+    * tokenizer/vocab decision reads (how much of each doc a fixed
+    * vocabulary fails to cover; high-OOV docs are the ones a BPE merge
+    * table truncates into byte fallbacks). Vocabulary = the VocabN most
+    * frequent tokens under a deterministic (count desc, token) order.
+    *
+    * Scale shape: the vocabulary build is ONE map-side-combinable token
+    * count + a distributed top-K (TakeOrdered: per-partition heads,
+    * VocabN-sized gather — never a global sort); coverage is then a
+    * broadcast left-join over the token stream + a per-doc aggregation.
+    * Two passes over the tokens, no corpus-wide exchange other than the
+    * per-doc groupBy. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(VocabN)
+      .select(col("w"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_v").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  def vocabCoverageSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+       |vocab AS (SELECT w, 1 AS in_v FROM (
+       |  SELECT w, count(*) AS cnt FROM toks GROUP BY w
+       |  ORDER BY cnt DESC, w LIMIT $VocabN)),
+       |cov AS (SELECT doc_id, count(*) AS n_tokens,
+       |    count(*) FILTER (WHERE in_v IS NULL) AS n_oov
+       |  FROM toks LEFT JOIN vocab USING (w) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_oov,
+       |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+       |FROM cov ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "vocab_coverage" -> vocabCoverageSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "ngram_counts" -> ngramCountsSql,
     "text_normalize" -> textNormalizeSql,

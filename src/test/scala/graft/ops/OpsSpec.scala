@@ -264,6 +264,25 @@ class OpsSpec extends SparkSpec {
       s"expected star + small-bucket pairs, got ${lsh.size} pairs")
   }
 
+  test("vocab_coverage: OOV path exercised; rates bounded; totals reconcile") {
+    val s = spark
+    import s.implicits._
+    val rows = TextAnalysis.vocabCoverage(s, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nTok, nOov, rate) =>
+      assert(nOov >= 0 && nOov <= nTok)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the fixture vocabulary exceeds VocabN=20, so SOME doc must carry OOV
+    assert(rows.exists(_._3 > 0), "no OOV tokens: the cut-off path is untested")
+    // token totals reconcile with the corpus-wide count
+    val total = graft.Tables.documents(s, dir)
+      .selectExpr(s"size(${Prims.wordsExpr}) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    assert(rows.map(_._2).sum == total)
+  }
+
   test("winnow_fingerprint: a shared >= w+k-1 word substring shares a fingerprint") {
     val s = spark
     import s.implicits._
