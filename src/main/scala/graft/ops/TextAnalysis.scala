@@ -70,12 +70,14 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  /** Quality scoring: length, vocabulary diversity, mean word length,
-    * stopword ratio → composite score in [0,1]. Identical double
-    * expression shape on both sides. */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** Narrow quality-metric projection over (doc_id, text, ...) rows —
+    * pure per-row expressions, so it applies UNCHANGED to a streaming
+    * DataFrame (stateless lift: the batch query and the streaming form
+    * share this single definition; StreamingLiftSpec pins the
+    * equivalence). */
+  private[graft] def qualityMetrics(docs: DataFrame): DataFrame = {
     val enStops = StopWords("en").map(w => s"'$w'").mkString(", ")
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), expr(wordsExpr).as("ws"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
@@ -91,8 +93,13 @@ object TextAnalysis {
         lit(0.3) * col("distinct_ratio") +
         lit(0.2) * least(col("mean_wlen") / 8.0, lit(1.0)) +
         lit(0.2) * least(col("stop_ratio") * 5.0, lit(1.0)))
-      .orderBy("doc_id")
   }
+
+  /** Quality scoring: length, vocabulary diversity, mean word length,
+    * stopword ratio → composite score in [0,1]. Identical double
+    * expression shape on both sides. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityMetrics(Tables.documents(s, dir)).orderBy("doc_id")
 
   def qualityScoreSql: String = {
     val enStops = StopWords("en").map(w => s"'$w'").mkString(", ")

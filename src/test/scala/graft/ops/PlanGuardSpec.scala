@@ -29,6 +29,27 @@ class PlanGuardSpec extends SparkSpec {
     "cosine_near_dup" -> "16-hyperplane literal projection cross",
   )
 
+  /** Queries that are BY DESIGN one narrow map stage: the only exchange
+    * their plan may contain is the final deterministic ORDER BY's range
+    * exchange. A second exchange appearing here means someone introduced
+    * a shuffle into a scan-shaped operator. */
+  private val narrowQueries = Seq(
+    "token_count", "quality_score", "text_normalize", "doc_chunking",
+    "frame_sample", "multimodal_features", "pii_scrub", "projection",
+    "filter", "string_funcs", "decimal_arith", "winnow_fingerprint")
+
+  test("narrow operators stay narrow: one exchange (the final sort) only") {
+    val s = spark
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    narrowQueries.foreach { name =>
+      val plan = SparkEntry.queries(name)(s, dir).queryExecution.executedPlan.toString
+      val n = "(?<!Broadcast)Exchange ".r.findAllIn(plan).size
+      if (n > 1) offenders += s"$name: $n exchanges"
+      graft.HarnessUtil.releaseAll(s)
+    }
+    assert(offenders.isEmpty, s"narrow-plan violations:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("no query plans a CartesianProduct; BNLJ only on bounded literal sides") {
     val s = spark
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
