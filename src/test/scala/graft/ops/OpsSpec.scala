@@ -335,6 +335,24 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, 2L, 1.0)))   // both chunks are c3, first seen in doc 2
   }
 
+  test("editdist_pairs: hot blocks degrade to star pairs on the block minimum") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-edit-hot").toString
+    // 120 same-block docs (> MaxEditBlock = 100): the all-pairs form would
+    // emit C(120,2) = 7140 pairs; the star cap must emit exactly the 119
+    // (min, other) hub pairs, each at distance 0 (identical prefixes)
+    val boiler = "identical boilerplate text repeated across every document in this block"
+    val docs = (0L until 120L).map(i => (i, boiler, "en", "web", boiler.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.editdistPairs(s, tmp)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length == 119, s"expected the 119-star, got ${pairs.length} pairs")
+    assert(pairs.forall { case (a, _, dist) => a == 0L && dist == 0 })
+    assert(pairs.map(_._2).toSet == (1L until 120L).toSet)
+  }
+
   test("editdist_pairs: blocked banded levenshtein keeps close pairs, drops far ones") {
     val s = spark
     import s.implicits._
