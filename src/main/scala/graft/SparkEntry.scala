@@ -55,6 +55,7 @@ object SparkEntry {
     // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
     "dedup_exact"       -> (Dedup.dedupExact _),
     "dedup_substring"   -> (Dedup.dedupSubstring _),
+    "dedup_incremental" -> (Dedup.dedupIncremental _),
     "editdist_pairs"    -> (Dedup.editdistPairs _),
     "dedup_clusters"    -> (Dedup.dedupClusters _),
     "dedup_near_minhash"-> (Dedup.dedupNearMinhash _),

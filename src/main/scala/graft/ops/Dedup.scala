@@ -642,7 +642,99 @@ object Dedup {
        |WHERE levenshtein(pa, pb) <= $MaxEditDist
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- incremental (ingest-vs-corpus) dedup ---------------------------
+
+  /** Split point standing in for "the historical corpus": docs below are
+    * the INDEX, docs at/above are the NEW BATCH being ingested. */
+  private val IngestSplit = 400L
+
+  /** dedup_incremental: the INGEST-TIME form of deduplication — a new
+    * batch checked against the EXISTING corpus, the shape a daily
+    * pipeline actually runs (within-batch dedup alone misses everything
+    * the corpus already contains; re-clustering the whole corpus per
+    * ingest is corpus-scale work for batch-scale input). Each new doc is
+    * reported with its duplication disposition against the index:
+    * 'exact' (verbatim content-hash hit), 'near' (shares an LSH band
+    * bucket with an index doc), or 'fresh'.
+    *
+    * Scale shape: the batch side is SMALL relative to the corpus — both
+    * probes are semi-join-shaped on sketch keys. The exact probe joins
+    * content hashes; the near probe joins band signatures, both
+    * aggregations map-side combinable; the corpus side is touched once
+    * per probe and never self-joined (no within-index pairs are ever
+    * generated — that is the whole point vs [[dedupNearMinhash]]). At
+    * 100 TB the index's sketch table (hash + 4 band keys per doc) is the
+    * thing you PERSIST between ingests; here it is derived inline from
+    * the same fixture for oracle parity. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("ch"))
+    val oldHashes = hashed.filter(col("doc_id") < IngestSplit)
+      .select("ch").distinct()
+    val newDocs = hashed.filter(col("doc_id") >= IngestSplit)
+    val exactHits = newDocs.join(oldHashes, Seq("ch"), "left_semi")
+      .select(col("doc_id"), lit(1).as("is_exact"))
+    // near probe: band signatures from the SAME minhash family as the
+    // batch near-dup path, new-batch bands semi-joined to index bands
+    val sig = minhashSig(docs).localCheckpoint(true)
+    val bands = (0 until NumBands).map { k =>
+      sig.select(col("doc_id"), lit(k).as("band"),
+        hash60(concat_ws(",",
+          (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*)).as("bsig"))
+    }.reduce(_ unionByName _)
+    val oldBands = bands.filter(col("doc_id") < IngestSplit)
+      .select("band", "bsig").distinct()
+    val nearHits = bands.filter(col("doc_id") >= IngestSplit)
+      .join(oldBands, Seq("band", "bsig"), "left_semi")
+      .select("doc_id").distinct()
+      .select(col("doc_id"), lit(1).as("is_near"))
+    docs.filter(col("doc_id") >= IngestSplit).select("doc_id")
+      .join(exactHits, Seq("doc_id"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact")
+          .when(col("is_near") === 1, "near")
+          .otherwise("fresh").as("disposition"))
+      .orderBy("doc_id")
+  }
+
+  def dedupIncrementalSql: String = {
+    val mins = (0 until NumHashes).map(j =>
+      s"min((${aCoef(j)} * hm + ${bCoef(j)}) % $P31) AS mh$j").mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { k =>
+      val cat = (0 until BandRows).map(r => s"CAST(mh${BandRows * k + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $k AS band, ${hash60Sql(s"($cat)")} AS bsig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglesSql,
+       |h AS (SELECT doc_id, ${hash60Sql("s")} % $P31 AS hm FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |ch AS (SELECT doc_id, md5(text) AS ch FROM documents),
+       |ex AS (SELECT DISTINCT n.doc_id FROM ch n
+       |  WHERE n.doc_id >= $IngestSplit
+       |    AND n.ch IN (SELECT ch FROM ch WHERE doc_id < $IngestSplit)),
+       |nr AS (SELECT DISTINCT n.doc_id FROM bands n
+       |  JOIN (SELECT DISTINCT band, bsig FROM bands WHERE doc_id < $IngestSplit) o
+       |    USING (band, bsig)
+       |  WHERE n.doc_id >= $IngestSplit)
+       |SELECT d.doc_id,
+       |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+       |       WHEN nr.doc_id IS NOT NULL THEN 'near'
+       |       ELSE 'fresh' END AS disposition
+       |FROM documents d
+       |LEFT JOIN ex ON d.doc_id = ex.doc_id
+       |LEFT JOIN nr ON d.doc_id = nr.doc_id
+       |WHERE d.doc_id >= $IngestSplit
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_substring" -> dedupSubstringSql,
     "editdist_pairs" -> editdistPairsSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -335,6 +335,32 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, 2L, 1.0)))   // both chunks are c3, first seen in doc 2
   }
 
+  test("dedup_incremental: ingest batch classified exact/near/fresh against the index") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val corpus = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    // index: docs < 400; batch: 400 (verbatim copy -> exact), 401 (one
+    // word changed -> near: most shingles survive, so some band matches),
+    // 402 (disjoint text -> fresh)
+    val nearTxt = corpus.replace("today", "tomorrow")
+    val fresh = "completely unrelated content with entirely different vocabulary throughout the body"
+    val docs = Seq(
+      (1L, corpus, "en", "web", corpus.length.toLong),
+      (2L, "some other indexed document body with its own words", "en", "web", 51L),
+      (400L, corpus, "en", "web", corpus.length.toLong),
+      (401L, nearTxt, "en", "web", nearTxt.length.toLong),
+      (402L, fresh, "en", "web", fresh.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupIncremental(s, tmp)
+      .as[(Long, String)].collect().toMap
+    assert(out(400L) == "exact", s"verbatim copy: ${out(400L)}")
+    assert(out(401L) == "near", s"one-word edit: ${out(401L)}")
+    assert(out(402L) == "fresh", s"disjoint doc: ${out(402L)}")
+    assert(out.size == 3) // only the batch is reported
+  }
+
   test("editdist_pairs: hot blocks degrade to star pairs on the block minimum") {
     val s = spark
     import s.implicits._
