@@ -90,6 +90,7 @@ object SparkEntry {
     "domain_mix_weighted" -> (PipelineOps.domainMixWeighted _),
     "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
     "corpus_stats"      -> (PipelineOps.corpusStats _),
+    "quantile_sketch_gate" -> (PipelineOps.quantileSketchGate _),
     "corpus_pack"       -> (PipelineOps.corpusPack _),
     "pii_scrub"         -> (PipelineOps.piiScrub _),
     "stratified_sample" -> (PipelineOps.stratifiedSample _),

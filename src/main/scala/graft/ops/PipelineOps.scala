@@ -363,6 +363,53 @@ object PipelineOps {
        |  CAST(n_tokens AS DOUBLE) / n AS mean_toks, p50_toks, p95_toks
        |FROM a JOIN q ON a.lang = q.lang ORDER BY a.lang""".stripMargin
 
+  /** Relative tolerance for the quantile-sketch gate. */
+  private val QuantTol = 0.25
+  /** percentile_approx accuracy: rank error ≤ n/accuracy. */
+  private val QuantAccuracy = 10000
+
+  /** quantile_sketch_gate: Spark's native `percentile_approx` (the
+    * one-pass, map-side-combinable sketch a 100 TB corpus_stats would
+    * actually run) audited against the EXACT discrete quantiles from the
+    * two-phase grouped rank — per language, the exact p50/p95 plus
+    * booleans asserting the sketch lands within [[QuantTol]] of them.
+    * The oracle emits literal TRUE, so a sketch regression (or an
+    * accuracy misconfiguration) is a hash mismatch — the same gate
+    * pattern as `ann_ivf_recall` and `source_cardinality`. The exact
+    * side pays one range exchange; the sketch side is a single
+    * combinable aggregation — the gate documents exactly what buying
+    * the cheap path costs in accuracy. */
+  def quantileSketchGate(s: SparkSession, dir: String): DataFrame = {
+    val exact = corpusStats(s, dir).select("lang", "p50_toks", "p95_toks")
+    val approx = Tables.documents(s, dir)
+      .select(col("lang"), expr(s"size($wordsExpr)").cast("long").as("toks"))
+      .groupBy("lang")
+      .agg(percentile_approx(col("toks"), array(lit(0.5), lit(0.95)),
+        lit(QuantAccuracy)).as("ap"))
+      .select(col("lang"), element_at(col("ap"), 1).as("a50"),
+        element_at(col("ap"), 2).as("a95"))
+    def ok(a: Column, e: Column): Column =
+      abs(a - e).cast("double") <= e.cast("double") * QuantTol
+    exact.join(approx, "lang")
+      .select(col("lang"), col("p50_toks"), col("p95_toks"),
+        ok(col("a50"), col("p50_toks")).as("p50_ok"),
+        ok(col("a95"), col("p95_toks")).as("p95_ok"))
+      .orderBy("lang")
+  }
+
+  def quantileSketchGateSql: String =
+    s"""WITH t AS (SELECT lang, CAST(len($wordsSql) AS BIGINT) AS toks FROM documents),
+       |a AS (SELECT lang, count(*) AS n,
+       |    (50 * count(*) + 99) // 100 AS r50, (95 * count(*) + 99) // 100 AS r95
+       |  FROM t GROUP BY lang),
+       |r AS (SELECT lang, toks,
+       |    row_number() OVER (PARTITION BY lang ORDER BY toks) AS rk FROM t)
+       |SELECT r.lang AS lang,
+       |  max(CASE WHEN rk = r50 THEN toks END) AS p50_toks,
+       |  max(CASE WHEN rk = r95 THEN toks END) AS p95_toks,
+       |  TRUE AS p50_ok, TRUE AS p95_ok
+       |FROM r JOIN a USING (lang) GROUP BY r.lang ORDER BY r.lang""".stripMargin
+
   private val PackCapacity = 1024L // context length in tokens per bin
 
   /** corpus_pack: sequence packing — concatenate the corpus's token
@@ -524,6 +571,7 @@ object PipelineOps {
     "domain_mix_weighted" -> domainMixWeightedSql,
     "corpus_shuffle"  -> corpusShuffleSql,
     "corpus_stats"    -> corpusStatsSql,
+    "quantile_sketch_gate" -> quantileSketchGateSql,
     "corpus_pack"     -> corpusPackSql,
     "pii_scrub"       -> piiScrubSql,
   )

@@ -64,6 +64,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("quantile_sketch_gate: percentile_approx stays inside the tolerance band") {
+    val s = spark
+    import s.implicits._
+    val rows = PipelineOps.quantileSketchGate(s, dir)
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, p50, p95, ok50, ok95) =>
+      assert(p50 > 0 && p95 >= p50, s"$lang: quantiles out of order")
+      assert(ok50 && ok95, s"$lang: sketch left the ±25% band")
+    }
+  }
+
   test("domain_mix keeps min(quota, source size) per source, deterministically") {
     val s = spark
     import s.implicits._
