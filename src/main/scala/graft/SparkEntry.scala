@@ -92,6 +92,7 @@ object SparkEntry {
     "corpus_stats"      -> (PipelineOps.corpusStats _),
     "quantile_sketch_gate" -> (PipelineOps.quantileSketchGate _),
     "corpus_pack"       -> (PipelineOps.corpusPack _),
+    "curate_manifest"   -> (PipelineOps.curateManifest _),
     "pii_scrub"         -> (PipelineOps.piiScrub _),
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
     "doc_len_histogram" -> (PipelineOps.docLenHistogram _),

@@ -560,7 +560,108 @@ object PipelineOps {
        |  CAST(sum(toks) AS BIGINT) AS sum_toks
        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Quality floor and per-source quota for the curation manifest. */
+  private val CurateQualityMin = 0.42
+  private val CurateQuota = 40L
+
+  /** curate_manifest: the END-TO-END curation pipeline as ONE composed
+    * Spark plan — what a user of this library actually runs to turn a
+    * raw corpus into a training manifest:
+    *
+    *   1. quality floor ([[TextAnalysis.qualityMetrics]] ≥
+    *      [[CurateQualityMin]]) — narrow projection + filter;
+    *   2. exact dedup (min doc id per content hash) — one combinable
+    *      aggregation + a semi-join;
+    *   3. benchmark decontamination (verbatim [[ContamGram]]-gram
+    *      overlap with the held-out set) — broadcast semi/anti joins,
+    *      the corpus never shuffles for it;
+    *   4. per-source quota in salted-hash order — the two-phase
+    *      [[Prims.groupedRowNumber]], no per-source window funnel;
+    *   5. sequence packing — exclusive [[Prims.globalPrefixSum]] over
+    *      the survivors, emitting each doc's (start_bin, start_offset)
+    *      at [[PackCapacity]] tokens per bin.
+    *
+    * Every stage is the already-audited operator, composed — the plan
+    * inherits their scale shapes (two range exchanges + the sketch
+    * aggregations, nothing quadratic, nothing single-task). The score
+    * filter compares doubles, but both engines compute the identical
+    * expression shape (the `quality_score` gate pins score values
+    * bit-for-bit), so the boundary is deterministic. */
+  def curateManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = TextAnalysis.qualityMetrics(docs)
+      .filter(col("score") >= CurateQualityMin)
+      .select(col("doc_id"), col("n_words"))
+    val q = docs.select(col("doc_id"), col("source"), md5(col("text")).as("ch"))
+      .join(scored, "doc_id")
+    val firsts = q.groupBy("ch").agg(min("doc_id").as("doc_id"))
+    val dd = q.join(firsts.select("doc_id"), Seq("doc_id"), "left_semi")
+    val grams = wordGrams(docs, ContamGram)
+    val held = grams.filter(col("doc_id") < HeldoutMax).select("g").distinct()
+    val contaminated = grams.filter(col("doc_id") >= HeldoutMax)
+      .join(broadcast(held), "g").select("doc_id").distinct()
+    val clean = dd.filter(col("doc_id") >= HeldoutMax)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val picked = Prims.groupedRowNumber(
+        clean.select(col("doc_id"), col("source"), col("n_words"),
+          hash60(concat(lit("cur_"), col("doc_id"))).as("h")),
+        "pick", Seq("source"), col("h"), col("doc_id"))
+      .filter(col("pick") <= CurateQuota)
+      .select("doc_id", "source", "n_words", "pick")
+    Prims.globalPrefixSum(picked, "n_words", "cum", col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("n_words").as("n_tokens"), col("pick"),
+        expr(s"cum div $PackCapacity").as("start_bin"),
+        (col("cum") % PackCapacity).as("start_offset"))
+      .orderBy("doc_id")
+  }
+
+  def curateManifestSql: String = {
+    val enStops = Seq("the", "a", "and", "of", "to", "in", "is")
+      .map(w => s"'$w'").mkString(", ")
+    val h = hash60Sql("'cur_' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |m AS (SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_wlen,
+       |    CAST(len(list_filter(ws, w -> w IN ($enStops))) AS BIGINT) AS stop_hits
+       |  FROM t),
+       |scored AS (SELECT doc_id, n_words FROM m
+       |  WHERE 0.3 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0) +
+       |    0.3 * (CAST(n_distinct AS DOUBLE) / n_words) +
+       |    0.2 * least((CAST(sum_wlen AS DOUBLE) / n_words) / 8.0, 1.0) +
+       |    0.2 * least((CAST(stop_hits AS DOUBLE) / n_words) * 5.0, 1.0)
+       |      >= $CurateQualityMin),
+       |q AS (SELECT d.doc_id, d.source, md5(d.text) AS ch, s.n_words
+       |  FROM documents d JOIN scored s ON d.doc_id = s.doc_id),
+       |firsts AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY ch),
+       |dd AS (SELECT q.* FROM q JOIN firsts USING (doc_id)),
+       |wg AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+${ContamGram - 1}], ' ') AS gg
+       |  FROM wg, unnest(range(1, len(ws) - ${ContamGram - 2})) AS u(i)
+       |  WHERE len(ws) >= $ContamGram),
+       |held AS (SELECT DISTINCT gg FROM g WHERE doc_id < $HeldoutMax),
+       |contaminated AS (SELECT DISTINCT doc_id FROM g JOIN held USING (gg)
+       |  WHERE doc_id >= $HeldoutMax),
+       |clean AS (SELECT dd.* FROM dd
+       |  WHERE doc_id >= $HeldoutMax
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |picked AS (SELECT doc_id, source, n_words, pick FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS pick
+       |    FROM clean)
+       |  WHERE pick <= $CurateQuota),
+       |packed AS (SELECT doc_id, source, n_words, pick,
+       |    CAST(coalesce(sum(n_words) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM picked)
+       |SELECT doc_id, source, n_words AS n_tokens, pick,
+       |  cum // $PackCapacity AS start_bin, cum % $PackCapacity AS start_offset
+       |FROM packed ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "curate_manifest" -> curateManifestSql,
     "stratified_sample" -> stratifiedSampleSql,
     "doc_len_histogram" -> docLenHistogramSql,
     "train_val_split" -> trainValSplitSql,

@@ -64,6 +64,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("curate_manifest: composed pipeline respects every stage's invariant") {
+    val s = spark
+    import s.implicits._
+    val rows = PipelineOps.curateManifest(s, dir)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val ids = rows.map(_._1)
+    // no held-out docs, no duplicates in the manifest
+    assert(ids.forall(_ >= 10L))
+    assert(ids.distinct.length == ids.length)
+    val texts = graft.Tables.documents(s, dir)
+      .filter(col("doc_id").isin(ids: _*)).select("text")
+      .as[String].collect()
+    assert(texts.distinct.length == texts.length, "manifest contains duplicate content")
+    // quota respected per source
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.length <= 40, s"$src exceeds quota")
+      assert(rs.map(_._4).max <= 40)
+    }
+    // packing is gapless: each doc starts where the previous ended
+    var cum = 0L
+    rows.foreach { case (_, _, nTok, _, bin, off) =>
+      assert(bin == cum / 1024 && off == cum % 1024, "packing gap")
+      cum += nTok
+    }
+  }
+
   test("quantile_sketch_gate: percentile_approx stays inside the tolerance band") {
     val s = spark
     import s.implicits._
