@@ -474,15 +474,17 @@ object Dedup {
     * count, and the duplicated fraction — the inputs to a
     * keep/trim/drop decision.
     *
-    * Scale shape: narrow chunk explode (work ∝ corpus tokens), ONE
-    * hash-keyed aggregation for first-occurrence keys (map-side
-    * combinable), a join back on the same hash key (no extra exchange —
-    * both sides arrive partitioned by the chunk hash), then a per-doc
-    * aggregation. First-occurrence is resolved through the single
-    * sortable key `doc_id * MaxChunkIdx + idx`, so "first" needs one
-    * `min`, not a two-level (doc, idx) argmin. No all-pairs anywhere;
-    * a chunk repeated a million times costs one group of a million
-    * rows — combinable, not quadratic. */
+    * Scale shape: the chunk stream is exchanged exactly ONCE (the
+    * hash-keyed min, map-side combinable). The first-occurrence key
+    * `k = doc_id * MaxChunkIdx + idx` ENCODES its owning doc, so the
+    * winners decode back to (doc, first-occurrence count) with integer
+    * division — no join-back of the corpus-sized chunk stream (the
+    * naive form re-exchanges it a second time just to flag losers).
+    * Per-doc chunk totals come from a narrow arithmetic projection
+    * (`ceil(words/ChunkWords)` — never exploded), and
+    * n_dup = n_chunks − n_first closes the count. No all-pairs
+    * anywhere; a chunk repeated a million times costs one combinable
+    * group. */
   def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
     val ch = Tables.documents(s, dir)
       .select(col("doc_id"), expr(wordsExpr).as("ws"))
@@ -491,14 +493,19 @@ object Dedup {
         s"""transform(sequence(1, (size(ws) + ${ChunkWords - 1}) div $ChunkWords),
            |  i -> array_join(slice(ws, (i - 1) * $ChunkWords + 1, $ChunkWords), ' '))"""
           .stripMargin))).toDF("doc_id", "pos", "chunk")
-      .select(col("doc_id"),
-        md5(col("chunk")).as("h"),
+      .select(md5(col("chunk")).as("h"),
         (col("doc_id") * MaxChunkIdx + col("pos") + 1L).as("k"))
-    val firsts = ch.groupBy("h").agg(min("k").as("k0"))
-    ch.join(firsts, "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        count(when(col("k") =!= col("k0"), 1)).as("n_dup_chunks"))
+    // winners per distinct chunk text; k0 decodes to the owning doc
+    val nFirst = ch.groupBy("h").agg(min("k").as("k0"))
+      .select(expr(s"k0 div $MaxChunkIdx").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_first"))
+    val totals = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr(s"(size($wordsExpr) + ${ChunkWords - 1}) div $ChunkWords").as("n_chunks"))
+      .filter(col("n_chunks") >= 1)
+    totals.join(nFirst, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_first"), lit(0L))).as("n_dup_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_frac"))
       .orderBy("doc_id")
@@ -506,17 +513,21 @@ object Dedup {
 
   def dedupSubstringSql: String =
     s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-       |ch AS (SELECT doc_id,
+       |ch AS (SELECT
        |    md5(array_to_string(ws[(i - 1) * $ChunkWords + 1 : i * $ChunkWords], ' ')) AS h,
        |    doc_id * $MaxChunkIdx + i AS k
        |  FROM w, unnest(range(1, (len(ws) + ${ChunkWords - 1}) // $ChunkWords + 1)) AS t(i)
        |  WHERE len(ws) >= 1),
-       |firsts AS (SELECT h, min(k) AS k0 FROM ch GROUP BY h)
-       |SELECT doc_id, count(*) AS n_chunks,
-       |  count(*) FILTER (WHERE k <> k0) AS n_dup_chunks,
-       |  CAST(count(*) FILTER (WHERE k <> k0) AS DOUBLE) / count(*) AS dup_frac
-       |FROM ch JOIN firsts USING (h)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |nf AS (SELECT k0 // $MaxChunkIdx AS doc_id, count(*) AS n_first
+       |  FROM (SELECT h, min(k) AS k0 FROM ch GROUP BY h) GROUP BY 1),
+       |tot AS (SELECT doc_id,
+       |    (len(ws) + ${ChunkWords - 1}) // $ChunkWords AS n_chunks
+       |  FROM w WHERE len(ws) >= 1)
+       |SELECT doc_id, n_chunks,
+       |  n_chunks - coalesce(n_first, 0) AS n_dup_chunks,
+       |  CAST(n_chunks - coalesce(n_first, 0) AS DOUBLE) / n_chunks AS dup_frac
+       |FROM tot LEFT JOIN nf USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   // ---- blocked edit-distance near-dup confirm -------------------------
 
