@@ -104,4 +104,35 @@ object StreamingNearDup {
       .groupByKey(b => (b.band, b.bsig))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(handle(cap))
   }
+
+  /** INDEX-PRIMED streaming near-dup: the streaming twin of the batch
+    * `dedup_incremental` — bucket state starts PRE-POPULATED from a
+    * historical corpus (batch `index` of (doc_id, text) rows, banded by
+    * the identical [[banded]] arithmetic and folded to capped member
+    * sets), so a streamed document pairs against everything the corpus
+    * already contains from its very first micro-batch, while
+    * WITHIN-INDEX pairs are never emitted (they were state, not input —
+    * exactly the ingest-time semantics; re-clustering the index is
+    * batch work, not stream work). Uses `flatMapGroupsWithState`'s
+    * initial-state overload: the primer is one batch aggregation whose
+    * output is the per-bucket state value, distributed by the same
+    * (band, bsig) grouping the stream shuffles on. */
+  def withIndex(docs: DataFrame, index: DataFrame,
+                cap: Int = MaxBucket): Dataset[CandPair] = {
+    implicit val bandedEnc = Encoders.product[Banded]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val pairEnc = Encoders.product[CandPair]
+    implicit val stateEnc = Encoders.product[BucketMembers]
+    implicit val kvEnc = Encoders.tuple(keyEnc, stateEnc)
+    val initial = banded(index).as[Banded]
+      .groupByKey(b => (b.band, b.bsig))
+      .mapGroups { (k, it) =>
+        (k, BucketMembers(it.map(_.docId).toVector.sorted.take(cap)))
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    banded(docs).as[Banded]
+      .groupByKey(b => (b.band, b.bsig))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout(),
+        initial)(handle(cap))
+  }
 }

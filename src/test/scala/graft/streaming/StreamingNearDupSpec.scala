@@ -60,6 +60,37 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("index-primed stream: new docs pair against the index, index pairs stay silent") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val fresh = "nothing here resembles the indexed corpus in any shingle at all ever"
+    // index: docs 1 and 2 share every bucket (identical text) — but the
+    // (1,2) pair must NEVER be emitted (it's pre-existing state)
+    val index = Seq((1L, txt), (2L, txt)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingNearDup.withIndex(input.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("snd_idx")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, txt), (11L, fresh))
+      q.processAllAvailable()
+      val got = s.table("snd_idx").as[CandPair].collect().toSet
+      val gotPairs = got.map(p => (p.docA, p.docB))
+      // doc 10 pairs with BOTH index members from its first micro-batch;
+      // the fresh doc and the within-index pair produce nothing
+      assert(gotPairs == Set((1L, 10L), (2L, 10L)), s"got $gotPairs")
+      // a second identical arrival also pairs with the earlier streamed doc
+      input.addData((12L, txt))
+      q.processAllAvailable()
+      val after = s.table("snd_idx").as[CandPair].collect().toSet.map {
+        (p: CandPair) => (p.docA, p.docB) }
+      assert(after == Set((1L, 10L), (2L, 10L), (1L, 12L), (2L, 12L), (10L, 12L)),
+        s"got $after")
+    } finally q.stop()
+  }
+
   test("bucket cap degrades to star pairs: capped state, full fan-out kept linear") {
     val s = spark
     import s.implicits._
