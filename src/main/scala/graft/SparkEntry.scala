@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "editdist_pairs"    -> (Dedup.editdistPairs _),
     "dedup_clusters"    -> (Dedup.dedupClusters _),
+    "dedup_survivors"   -> (Dedup.dedupSurvivors _),
     "dedup_near_minhash"-> (Dedup.dedupNearMinhash _),
     "simhash_dedup"     -> (Dedup.simhashDedup _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),

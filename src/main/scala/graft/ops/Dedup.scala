@@ -329,8 +329,11 @@ object Dedup {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClustersImpl(s, dir, SmallGraphMaxEdges)
 
-  private[graft] def dedupClustersImpl(
-      s: SparkSession, dir: String, smallGraphMaxEdges: Long): DataFrame = {
+  /** (doc_id, label) for every doc participating in a near-dup pair —
+    * the cluster-resolution core shared by the cluster report and the
+    * survivor keep-list. */
+  private def clusterLabels(s: SparkSession, dir: String,
+                            smallGraphMaxEdges: Long): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus:
     // materialize it ONCE (localCheckpoint truncates the expensive
     // pair-generation lineage) at the join's natural partitioning, then
@@ -342,9 +345,13 @@ object Dedup {
     val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
       .localCheckpoint(true)
     val edgeCount = pairs.count()
-    val labels =
-      if (edgeCount <= smallGraphMaxEdges) unionFindLabels(s, pairs)
-      else propagateLabels(pairs.repartition(pairGraphPartitions(edgeCount)))
+    if (edgeCount <= smallGraphMaxEdges) unionFindLabels(s, pairs)
+    else propagateLabels(pairs.repartition(pairGraphPartitions(edgeCount)))
+  }
+
+  private[graft] def dedupClustersImpl(
+      s: SparkSession, dir: String, smallGraphMaxEdges: Long): DataFrame = {
+    val labels = clusterLabels(s, dir, smallGraphMaxEdges)
     labels.groupBy("label").agg(
         count(lit(1)).as("cluster_size"),
         joinedSortedLongs(collect_list(col("doc_id"))).as("members"))
@@ -423,6 +430,56 @@ object Dedup {
     labels.unpersist()
     out
   }
+
+  /** dedup_survivors: the ACTION near-dup detection exists for — the
+    * keep-list after collapsing every near-dup cluster to its canonical
+    * (minimum) member. Survivors = all docs that are either untouched
+    * by any near-dup pair, or are their cluster's minimum. Emitted with
+    * a flag distinguishing the two, so downstream can audit how much of
+    * the corpus the collapse removed.
+    *
+    * Scale shape: the label table covers only pair-participating docs
+    * (orders of magnitude smaller than the corpus — near-dup survivors
+    * only), so the corpus side takes one LEFT join against it (AQE
+    * broadcasts it when small) and a narrow filter; everything upstream
+    * is the already-audited cluster resolution. */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir, SmallGraphMaxEdges)
+    Tables.documents(s, dir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .select(col("doc_id"),
+        col("label").isNotNull.as("kept_as_canonical"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSurvivorsSql: String =
+    s"""WITH RECURSIVE $shinglesSql,
+       |hsh AS (SELECT doc_id, ${hash60Sql("s")} AS hs FROM sh),
+       |rare AS (SELECT hs FROM hsh GROUP BY hs HAVING count(*) <= $MaxShingleDf),
+       |shr AS (SELECT hsh.doc_id, hsh.hs FROM hsh JOIN rare USING (hs)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM shr a JOIN shr b ON a.hs = b.hs AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS label
+       |  FROM reach GROUP BY src)
+       |SELECT d.doc_id, l.doc_id IS NOT NULL AS kept_as_canonical
+       |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+       |WHERE l.doc_id IS NULL OR l.label = l.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB oracle: transitive closure via WITH RECURSIVE, then the
     * minimum reachable id as the cluster label. */
@@ -746,6 +803,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_survivors" -> dedupSurvivorsSql,
     "dedup_substring" -> dedupSubstringSql,
     "editdist_pairs" -> editdistPairsSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -335,6 +335,25 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, 2L, 1.0)))   // both chunks are c3, first seen in doc 2
   }
 
+  test("dedup_survivors: keep-list = cluster minima + untouched docs, consistent with dedup_clusters") {
+    val s = spark
+    import s.implicits._
+    val survivors = Dedup.dedupSurvivors(s, dir)
+      .as[(Long, Boolean)].collect().toMap
+    val clusters = Dedup.dedupClusters(s, dir)
+      .select($"cluster_id", $"cluster_size").as[(Long, Long)].collect()
+    val total = graft.Tables.documents(s, dir).count()
+    // every cluster is collapsed to exactly its canonical minimum
+    clusters.foreach { case (cid, _) =>
+      assert(survivors.get(cid).contains(true), s"cluster min $cid missing/unflagged")
+    }
+    assert(survivors.count(_._2) == clusters.length,
+      "canonical survivors must be exactly the cluster minima")
+    // dropped docs = cluster members minus the one canonical each
+    val dropped = clusters.map(_._2 - 1).sum
+    assert(survivors.size == total - dropped)
+  }
+
   test("dedup_incremental: ingest batch classified exact/near/fresh against the index") {
     val s = spark
     import s.implicits._
