@@ -331,7 +331,13 @@ object Dedup {
 
   /** (doc_id, label) for every doc participating in a near-dup pair —
     * the cluster-resolution core shared by the cluster report and the
-    * survivor keep-list. */
+    * survivor keep-list. Deliberately NOT memoized across calls (unlike
+    * `Similarity.codebookMemo`, which holds an 8 KB driver-side Seq): a
+    * memoized DATAFRAME pins executor checkpoint blocks that a harness's
+    * cleanup between queries legitimately unpersists, leaving later
+    * reads dangling on dead blocks — callers wanting to reuse the
+    * resolution hold onto the returned frame within one query's
+    * lifetime instead. */
   private def clusterLabels(s: SparkSession, dir: String,
                             smallGraphMaxEdges: Long): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus:
