@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "hash60"),
       Hash60.builder))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain_bloom"),
+      new ExpressionInfo(classOf[MightContainBloom].getName, "might_contain_bloom"),
+      MightContainBloom.builder))
   }
 }
 
@@ -39,6 +43,10 @@ object GraftExtensions {
     if (!spark.catalog.functionExists("hash60")) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "hash60", Hash60.builder, "built-in")
+    }
+    if (!spark.catalog.functionExists("might_contain_bloom")) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "might_contain_bloom", MightContainBloom.builder, "built-in")
     }
   }
 }

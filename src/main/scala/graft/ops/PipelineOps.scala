@@ -112,16 +112,19 @@ object PipelineOps {
     * bits still fit (a filter at fpp=1% costs ~10 bits/gram vs the full
     * gram string + hash-table overhead: a 100M-gram benchmark suite is a
     * ~120 MB filter vs multi-GB of strings). The filter is built in one
-    * distributed aggregation (`stat.bloomFilter`), broadcast once, and
-    * applied as a narrow scan BEFORE the exact membership join, so only
+    * distributed aggregation (`stat.bloomFilter`) and applied as the
+    * PRUNE itself — a narrow codegen scan ([[graft.functions.MightContainBloom]],
+    * the serialized filter rides the plan's reference array and Spark's
+    * task-binary broadcast) BEFORE the exact membership join, so only
     * the ~fpp fraction of non-matching grams (plus true hits) ever
     * reaches a shuffle. The exact join then removes Bloom false
     * positives, so the RESULT is bit-identical to [[decontaminate]] —
     * same oracle — regardless of fpp; the filter only prunes work.
-    * (Spark's own runtime-filter join injection uses exactly this
-    * mightContain shape; the lambda here is the documented non-codegen
-    * exception, applied post-prune to a stream the filter has already
-    * thinned.) */
+    * The confirm join carries NO broadcast hint: under this operator's
+    * own premise the held set exceeds broadcast size, so it must be a
+    * shuffle join — over the Bloom-thinned gram stream, whose volume is
+    * ~fpp·corpus + true hits, not the corpus (AQE still broadcasts it
+    * when a small fixture makes that cheaper). */
   def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val grams = wordGrams(Tables.documents(s, dir), ContamGram)
     val held = grams.filter(col("doc_id") < HeldoutMax)
@@ -130,11 +133,11 @@ object PipelineOps {
       .localCheckpoint(true)
     val nHeld = math.max(held.count(), 1L)
     val bloom = held.stat.bloomFilter("g", nHeld, BloomFpp)
-    val bloomBc = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => bloomBc.value.mightContainString(g))
+    val bloomLit = lit(graft.functions.MightContainBloom.serialize(bloom))
     val contaminated = grams.filter(col("doc_id") >= HeldoutMax)
-      .filter(mightContain(col("g")))       // narrow Bloom prune, ~fpp survivors
-      .join(broadcast(held), "g")           // exact confirm kills false positives
+      // narrow codegen Bloom prune, ~fpp survivors
+      .filter(call_function("might_contain_bloom", bloomLit, col("g")))
+      .join(held, "g")                      // exact confirm kills false positives
       .select("doc_id").distinct()
     Tables.documents(s, dir)
       .filter(col("doc_id") >= HeldoutMax)
