@@ -459,9 +459,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  def dedupSurvivorsSql: String =
-    s"""WITH RECURSIVE $shinglesSql,
-       |hsh AS (SELECT doc_id, ${hash60Sql("s")} AS hs FROM sh),
+  /** The docs the near-dup collapse DROPS: non-canonical members of every
+    * cluster (label ≠ doc_id) — the complement of [[dedupSurvivors]]'s
+    * keep-list, sized like the label table itself (pair participants
+    * only, orders of magnitude smaller than the corpus), so a corpus
+    * frame collapses with ONE anti-join against it (AQE broadcasts it
+    * when small). Used by `curate_manifest`'s near-dup stage. */
+  private[ops] def nearDupLosers(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir, SmallGraphMaxEdges)
+      .filter(col("label") =!= col("doc_id"))
+      .select("doc_id")
+
+  /** DuckDB CTE chain from the shingle table (`sh`, see [[shinglesSql]])
+    * to per-doc cluster labels: inverted index → df cap → Jaccard pairs →
+    * transitive closure (WITH RECURSIVE — the caller's WITH must carry
+    * the RECURSIVE keyword) → min-reachable label. ONE definition shared
+    * by the survivors/clusters oracles and the curation-manifest oracle,
+    * so the cluster semantics can never desynchronize between them. */
+  private[graft] def clusterLabelsSqlCtes: String =
+    s"""hsh AS (SELECT doc_id, ${hash60Sql("s")} AS hs FROM sh),
        |rare AS (SELECT hs FROM hsh GROUP BY hs HAVING count(*) <= $MaxShingleDf),
        |shr AS (SELECT hsh.doc_id, hsh.hs FROM hsh JOIN rare USING (hs)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
@@ -481,7 +497,11 @@ object Dedup {
        |),
        |labels AS (
        |  SELECT src AS doc_id, least(src, min(dst)) AS label
-       |  FROM reach GROUP BY src)
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  def dedupSurvivorsSql: String =
+    s"""WITH RECURSIVE $shinglesSql,
+       |$clusterLabelsSqlCtes
        |SELECT d.doc_id, l.doc_id IS NOT NULL AS kept_as_canonical
        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
        |WHERE l.doc_id IS NULL OR l.label = l.doc_id
@@ -491,27 +511,7 @@ object Dedup {
     * minimum reachable id as the cluster label. */
   def dedupClustersSql: String =
     s"""WITH RECURSIVE $shinglesSql,
-       |hsh AS (SELECT doc_id, ${hash60Sql("s")} AS hs FROM sh),
-       |rare AS (SELECT hs FROM hsh GROUP BY hs HAVING count(*) <= $MaxShingleDf),
-       |shr AS (SELECT hsh.doc_id, hsh.hs FROM hsh JOIN rare USING (hs)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM shr a JOIN shr b ON a.hs = b.hs AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT doc_a, doc_b FROM inter
-       |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
-       |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION SELECT doc_b, doc_a FROM pairs),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |),
-       |labels AS (
-       |  SELECT src AS doc_id, least(src, min(dst)) AS label
-       |  FROM reach GROUP BY src)
+       |$clusterLabelsSqlCtes
        |SELECT label AS cluster_id, count(*) AS cluster_size,
        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
        |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin

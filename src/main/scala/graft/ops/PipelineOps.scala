@@ -575,21 +575,28 @@ object PipelineOps {
     *      [[CurateQualityMin]]) — narrow projection + filter;
     *   2. exact dedup (min doc id per content hash) — one combinable
     *      aggregation + a semi-join;
-    *   3. benchmark decontamination (verbatim [[ContamGram]]-gram
+    *   3. NEAR-DUP collapse ([[Dedup.nearDupLosers]]: every cluster of
+    *      Jaccard-≥0.5 near-duplicates keeps only its minimum member) —
+    *      one anti-join against the loser list, which covers only
+    *      pair-participating docs (tiny vs the corpus; AQE broadcasts
+    *      it), so the manifest no longer ships near-duplicates that
+    *      exact dedup can't see;
+    *   4. benchmark decontamination (verbatim [[ContamGram]]-gram
     *      overlap with the held-out set) — broadcast semi/anti joins,
     *      the corpus never shuffles for it;
-    *   4. per-source quota in salted-hash order — the two-phase
+    *   5. per-source quota in salted-hash order — the two-phase
     *      [[Prims.groupedRowNumber]], no per-source window funnel;
-    *   5. sequence packing — exclusive [[Prims.globalPrefixSum]] over
+    *   6. sequence packing — exclusive [[Prims.globalPrefixSum]] over
     *      the survivors, emitting each doc's (start_bin, start_offset)
     *      at [[PackCapacity]] tokens per bin.
     *
     * Every stage is the already-audited operator, composed — the plan
     * inherits their scale shapes (two range exchanges + the sketch
-    * aggregations, nothing quadratic, nothing single-task). The score
-    * filter compares doubles, but both engines compute the identical
-    * expression shape (the `quality_score` gate pins score values
-    * bit-for-bit), so the boundary is deterministic. */
+    * aggregations + the df-capped inverted shingle index, nothing
+    * quadratic, nothing single-task). The score filter compares
+    * doubles, but both engines compute the identical expression shape
+    * (the `quality_score` gate pins score values bit-for-bit), so the
+    * boundary is deterministic. */
   def curateManifest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val scored = TextAnalysis.qualityMetrics(docs)
@@ -599,11 +606,17 @@ object PipelineOps {
       .join(scored, "doc_id")
     val firsts = q.groupBy("ch").agg(min("doc_id").as("doc_id"))
     val dd = q.join(firsts.select("doc_id"), Seq("doc_id"), "left_semi")
+    // near-dup collapse: drop every non-canonical cluster member (the
+    // cluster resolution runs corpus-wide, same as dedup_survivors, so
+    // a loser is dropped even when its cluster minimum fell to the
+    // quality floor — the canonical content, not a mere list position,
+    // is what the collapse keys on)
+    val collapsed = dd.join(Dedup.nearDupLosers(s, dir), Seq("doc_id"), "left_anti")
     val grams = wordGrams(docs, ContamGram)
     val held = grams.filter(col("doc_id") < HeldoutMax).select("g").distinct()
     val contaminated = grams.filter(col("doc_id") >= HeldoutMax)
       .join(broadcast(held), "g").select("doc_id").distinct()
-    val clean = dd.filter(col("doc_id") >= HeldoutMax)
+    val clean = collapsed.filter(col("doc_id") >= HeldoutMax)
       .join(contaminated, Seq("doc_id"), "left_anti")
     val picked = Prims.groupedRowNumber(
         clean.select(col("doc_id"), col("source"), col("n_words"),
@@ -620,26 +633,24 @@ object PipelineOps {
   }
 
   def curateManifestSql: String = {
-    val enStops = Seq("the", "a", "and", "of", "to", "in", "is")
-      .map(w => s"'$w'").mkString(", ")
     val h = hash60Sql("'cur_' || CAST(doc_id AS VARCHAR)")
-    s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-       |m AS (SELECT doc_id,
-       |    CAST(len(ws) AS BIGINT) AS n_words,
-       |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
-       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_wlen,
-       |    CAST(len(list_filter(ws, w -> w IN ($enStops))) AS BIGINT) AS stop_hits
-       |  FROM t),
+    // quality metrics/score and the near-dup cluster labels come from THE
+    // shared snippets (TextAnalysis.qualityMetricsCteSql/-ScoreExprSql,
+    // Dedup.shinglesSql/clusterLabelsSqlCtes), so this oracle can never
+    // drift from the operators the Spark plan composes
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |${TextAnalysis.qualityMetricsCteSql},
        |scored AS (SELECT doc_id, n_words FROM m
-       |  WHERE 0.3 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0) +
-       |    0.3 * (CAST(n_distinct AS DOUBLE) / n_words) +
-       |    0.2 * least((CAST(sum_wlen AS DOUBLE) / n_words) / 8.0, 1.0) +
-       |    0.2 * least((CAST(stop_hits AS DOUBLE) / n_words) * 5.0, 1.0)
+       |  WHERE ${TextAnalysis.qualityScoreExprSql}
        |      >= $CurateQualityMin),
        |q AS (SELECT d.doc_id, d.source, md5(d.text) AS ch, s.n_words
        |  FROM documents d JOIN scored s ON d.doc_id = s.doc_id),
        |firsts AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY ch),
        |dd AS (SELECT q.* FROM q JOIN firsts USING (doc_id)),
+       |${Dedup.shinglesSql},
+       |${Dedup.clusterLabelsSqlCtes},
+       |collapsed AS (SELECT dd.* FROM dd
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE label <> doc_id)),
        |wg AS (SELECT doc_id, $wordsSql AS ws FROM documents),
        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+${ContamGram - 1}], ' ') AS gg
        |  FROM wg, unnest(range(1, len(ws) - ${ContamGram - 2})) AS u(i)
@@ -647,7 +658,7 @@ object PipelineOps {
        |held AS (SELECT DISTINCT gg FROM g WHERE doc_id < $HeldoutMax),
        |contaminated AS (SELECT DISTINCT doc_id FROM g JOIN held USING (gg)
        |  WHERE doc_id >= $HeldoutMax),
-       |clean AS (SELECT dd.* FROM dd
+       |clean AS (SELECT collapsed.* FROM collapsed
        |  WHERE doc_id >= $HeldoutMax
        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
        |picked AS (SELECT doc_id, source, n_words, pick FROM (

@@ -101,25 +101,41 @@ object TextAnalysis {
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     qualityMetrics(Tables.documents(s, dir)).orderBy("doc_id")
 
-  def qualityScoreSql: String = {
-    val enStops = StopWords("en").map(w => s"'$w'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-       |m AS (SELECT doc_id,
+  /** DuckDB rendering of the English stopword list — derived from THE
+    * [[StopWords]] map, never re-hardcoded in an oracle. */
+  private[graft] def enStopsSql: String =
+    StopWords("en").map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB CTE computing [[qualityMetrics]]' integer metric columns
+    * (reads a prior CTE `t(doc_id, ws)`). ONE definition shared by the
+    * quality_score and curate_manifest oracles so an edit to the metric
+    * set cannot desynchronize them from the Spark plan. */
+  private[graft] def qualityMetricsCteSql: String =
+    s"""m AS (SELECT doc_id,
        |    CAST(len(ws) AS BIGINT) AS n_words,
        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_wlen,
-       |    CAST(len(list_filter(ws, w -> w IN ($enStops))) AS BIGINT) AS stop_hits
-       |  FROM t)
+       |    CAST(len(list_filter(ws, w -> w IN ($enStopsSql))) AS BIGINT) AS stop_hits
+       |  FROM t)""".stripMargin
+
+  /** DuckDB score expression over [[qualityMetricsCteSql]]'s columns —
+    * the oracle twin of [[qualityMetrics]]' `score` (identical double
+    * expression shape, shared like the metric CTE). */
+  private[graft] def qualityScoreExprSql: String =
+    """0.3 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0) +
+      |  0.3 * (CAST(n_distinct AS DOUBLE) / n_words) +
+      |  0.2 * least((CAST(sum_wlen AS DOUBLE) / n_words) / 8.0, 1.0) +
+      |  0.2 * least((CAST(stop_hits AS DOUBLE) / n_words) * 5.0, 1.0)""".stripMargin
+
+  def qualityScoreSql: String =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |$qualityMetricsCteSql
        |SELECT doc_id, n_words, n_distinct,
        |  CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
        |  CAST(sum_wlen AS DOUBLE) / n_words AS mean_wlen,
        |  CAST(stop_hits AS DOUBLE) / n_words AS stop_ratio,
-       |  0.3 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0) +
-       |  0.3 * (CAST(n_distinct AS DOUBLE) / n_words) +
-       |  0.2 * least((CAST(sum_wlen AS DOUBLE) / n_words) / 8.0, 1.0) +
-       |  0.2 * least((CAST(stop_hits AS DOUBLE) / n_words) * 5.0, 1.0) AS score
+       |  $qualityScoreExprSql AS score
        |FROM m ORDER BY doc_id""".stripMargin
-  }
 
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs / digit runs / single other chars). */

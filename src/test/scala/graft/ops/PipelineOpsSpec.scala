@@ -92,6 +92,37 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("curate_manifest: a near-dup pair surviving exact dedup collapses to its minimum") {
+    val s = spark
+    import s.implicits._
+    // synthetic corpus: docs 100/101 are NEAR-duplicates (one word changed,
+    // so exact content-hash dedup keeps BOTH), everything else is disjoint
+    // vocabulary (no cross-doc shingles). All ids >= 10 (no held-out set).
+    val vocab = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+      "dog", "and", "of", "to", "in", "is", "a", "river", "bank", "code",
+      "data", "model", "train")
+    val base = (0 until 150).map(i => vocab(i * 13 % vocab.size))
+    val docA = base.mkString(" ")
+    val docB = (base.init :+ "changed").mkString(" ") // near-dup, not exact
+    val others = (102L to 105L).map(id =>
+      (id, "src1", (0 until 150).map(i => s"w${id}x$i").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curate_nd").toString
+    (Seq((100L, "src1", docA), (101L, "src1", docB)) ++ others)
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ids = PipelineOps.curateManifest(s, tmp)
+      .select("doc_id").as[Long].collect().toSet
+    // exact dedup alone keeps both (different content hashes)...
+    assert(docA != docB)
+    assert(Dedup.dedupExact(s, tmp).count() == 6)
+    // ...but the manifest's near-dup stage collapses the cluster to its
+    // minimum member, and leaves the disjoint docs untouched
+    assert(ids.contains(100L), "cluster minimum must survive")
+    assert(!ids.contains(101L), "non-canonical near-dup must be collapsed")
+    assert((102L to 105L).forall(ids.contains), "disjoint docs must be untouched")
+    graft.HarnessUtil.releaseAll(s)
+  }
+
   test("quantile_sketch_gate: percentile_approx stays inside the tolerance band") {
     val s = spark
     import s.implicits._
