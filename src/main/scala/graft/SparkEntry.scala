@@ -74,6 +74,7 @@ object SparkEntry {
     "token_count"       -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"   -> (TextAnalysis.docFingerprint _),
     "winnow_fingerprint" -> (TextAnalysis.winnowFingerprint _),
+    "winnow_pairs"      -> (TextAnalysis.winnowPairs _),
     "vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "repetition_score"  -> (TextAnalysis.repetitionScore _),
     "tfidf_top_terms"   -> (TextAnalysis.tfidfTopTerms _),

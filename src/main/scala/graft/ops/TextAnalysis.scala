@@ -439,8 +439,12 @@ object TextAnalysis {
     * cross-doc overlap — the substring analogue of the shingle index).
     * Every engine-shared value rides pmod(hash60, P31) like the rest of
     * the sketch family. */
-  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** (doc_id, n_grams, fps: array<long>) — the winnowed selected-hash set
+    * per doc, shared by the per-doc sketch query and the cross-doc
+    * overlap detector. Pure narrow array arithmetic (see
+    * [[winnowFingerprint]]'s scale notes). */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), expr(wordsExpr).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), expr(
@@ -454,14 +458,19 @@ object TextAnalysis {
            |  sequence(1, greatest(size(hs) - ${WinnowW - 1}, 1)),
            |  i -> array_min(slice(hs, i, $WinnowW))))""".stripMargin)
         .as("fps"))
+
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    winnowFps(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_grams"),
         size(col("fps")).cast("long").as("n_fp"),
         joinedSortedLongs(col("fps")).as("fp"))
       .orderBy("doc_id")
 
-  def winnowFingerprintSql: String = {
+  /** DuckDB CTE chain producing `f(doc_id, n_grams, fps)` — the oracle
+    * twin of [[winnowFps]], shared by both winnow oracles. */
+  private def winnowFpsCtesSql: String = {
     val h = hash60Sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")
-    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+    s"""w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
        |g AS (SELECT doc_id,
        |    list_transform(range(1, len(ws) - 1), i -> $h % $P31) AS hs
        |  FROM w WHERE len(ws) >= 3),
@@ -469,11 +478,88 @@ object TextAnalysis {
        |    list_distinct(list_transform(
        |      range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1),
        |      i -> list_min(hs[i:i+${WinnowW - 1}]))) AS fps
-       |  FROM g)
+       |  FROM g)""".stripMargin
+  }
+
+  def winnowFingerprintSql: String =
+    s"""WITH $winnowFpsCtesSql
        |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
        |  array_to_string(list_sort(fps), ',') AS fp
        |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Max docs sharing one winnow fingerprint before its bucket degrades
+    * from all-pairs to star pairs on the bucket-min doc — the same
+    * hub-star policy as `Dedup.MaxBandBucket` (a boilerplate span shared
+    * by everything must not fan out O(m²); the star keeps every member
+    * reachable for a downstream cluster collapse). */
+  private val MaxFpDf = 100
+
+  /** winnow_pairs: the cross-doc overlap detector the winnow sketch
+    * exists for — docs sharing any selected fingerprint, with the count
+    * of shared fingerprints. By the winnowing guarantee, two docs
+    * sharing a substring of ≥ w+k-1 words (6 here) ALWAYS share at
+    * least one selected hash, so every such pair appears with
+    * n_shared_fps ≥ 1; counts above that grow with the overlap length
+    * (≈ one fingerprint per [[WinnowW]] shared grams), making the count
+    * a cheap overlap-size proxy a trim/drop decision can read.
+    *
+    * Scale shape: invert the per-doc sketch (explode — the stream is
+    * ~1/w of the gram stream, the compression winnowing bought), size
+    * each fingerprint bucket with a map-side-combinable aggregation,
+    * then pair within buckets: ≤ [[MaxFpDf]] buckets self-join into
+    * full pairs; hot buckets emit O(m) star pairs on their minimum doc
+    * (boilerplate spans stay reachable, never quadratic). The only
+    * exchanges are on the int64 fingerprint key and the final pair
+    * aggregation — work is proportional to collisions, exactly like
+    * the shingle index ([[Dedup]] `ngram_jaccard`). */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    // Materialize the per-doc sketch BEFORE exploding: with `fps` consumed
+    // only once (by the explode), the optimizer inlines the whole
+    // split→gram-hash→window-min pipeline into the generator, and the
+    // higher-order functions it is built from evaluate INTERPRETED with
+    // nested recompute — every window re-hashes every gram, every gram
+    // re-splits the text: O(words³) per doc (measured: minutes at sf0.1
+    // vs seconds materialized). The checkpoint evaluates the sketch once
+    // per doc and is the barrier the single-reference projection lacks.
+    val fps = winnowFps(Tables.documents(s, dir))
+      .select("doc_id", "fps")
+      .localCheckpoint(true)
+    // referenced three times (bucket stats + both join sides): pin once,
+    // blocks freed with the RDD — the same discipline as the LSH banding
+    val ex = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint(true)
+    val stats = ex.groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("fmin"))
+    val kept = ex.join(stats.filter(col("n") <= MaxFpDf).select("fp"), Seq("fp"))
+    val fullPairs = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val starPairs = ex.join(
+        stats.filter(col("n") > MaxFpDf).select("fp", "fmin"), Seq("fp"))
+      .filter(col("doc_id") =!= col("fmin"))
+      .select(col("fmin").as("doc_a"), col("doc_id").as("doc_b"))
+    fullPairs.unionByName(starPairs)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy("doc_a", "doc_b")
   }
+
+  def winnowPairsSql: String =
+    s"""WITH $winnowFpsCtesSql,
+       |ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |stats AS (SELECT fp, count(*) AS n, min(doc_id) AS fmin
+       |  FROM ex GROUP BY fp),
+       |kept AS (SELECT ex.doc_id, ex.fp FROM ex JOIN stats USING (fp)
+       |  WHERE n <= $MaxFpDf),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT stats.fmin, ex.doc_id
+       |  FROM ex JOIN stats USING (fp)
+       |  WHERE n > $MaxFpDf AND ex.doc_id <> stats.fmin)
+       |SELECT doc_a, doc_b, count(*) AS n_shared_fps
+       |FROM prs GROUP BY doc_a, doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Vocabulary size for the coverage audit — deliberately smaller than
     * the fixture's full vocabulary so the OOV path is exercised. */
@@ -522,6 +608,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "vocab_coverage" -> vocabCoverageSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
+    "winnow_pairs" -> winnowPairsSql,
     "ngram_counts" -> ngramCountsSql,
     "text_normalize" -> textNormalizeSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,

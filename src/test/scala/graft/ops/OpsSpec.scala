@@ -310,6 +310,42 @@ class OpsSpec extends SparkSpec {
     counts.foreach { case (_, ng, nf) => assert(nf <= ng && nf >= 1) }
   }
 
+  test("winnow_pairs: docs sharing a >= 6-word substring always pair; disjoint docs never") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-winnow-pairs").toString
+    // same guarantee as the sketch test, exercised END-TO-END through the
+    // inverted-fingerprint pair generator: the shared >= w+k-1 = 6 word
+    // run must surface as a (1,2) pair row; doc 3 must pair with nobody
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    Seq(
+      (1L, s"one two three $shared four five six", "en", "web", 1L),
+      (2L, s"seven eight $shared nine ten eleven twelve", "en", "web", 1L),
+      (3L, "completely different words in this entire document body here", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = TextAnalysis.winnowPairs(s, tmp)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L),
+      s"shared 7-word run must produce the (1,2) pair, got ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc must not pair at this scale")
+    // count grows with overlap: a doc sharing a LONGER run pairs with a
+    // strictly larger shared-fingerprint count than the short-run pair
+    val longShared = shared + " theta iota kappa lambda mu nu xi"
+    Seq(
+      (1L, s"one two three $longShared four five six", "en", "web", 1L),
+      (2L, s"seven eight $longShared nine ten eleven", "en", "web", 1L),
+      (4L, s"intro $shared outro words here now", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p2 = TextAnalysis.winnowPairs(s, tmp)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(p2((1L, 2L)) > p2.getOrElse((1L, 4L), 0L).max(p2.getOrElse((2L, 4L), 0L)),
+      s"longer overlap must share more fingerprints: $p2")
+    graft.HarnessUtil.releaseAll(s)
+  }
+
   test("dedup_substring: repeated chunks are flagged against their first occurrence") {
     val s = spark
     import s.implicits._
