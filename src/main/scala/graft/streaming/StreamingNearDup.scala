@@ -9,7 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch MinHash+LSH family (graft.ops.Dedup.dedupNearMinhash): each
   * arriving document is banded into the SAME (band, band-signature)
   * buckets the batch pipeline uses (identical shingling, identical
-  * Prims.hash60 arithmetic, identical band layout), and a stateful
+  * Prims.hash60 arithmetic, identical band layout, and the identical
+  * int64 `hash60(band values)` bucket KEY the batch exchange shuffles
+  * on — 8-byte state keys, not ~40-char strings), and a stateful
   * per-bucket membership set emits a candidate pair the moment a new
   * document lands in a bucket that already has members.
   *
@@ -32,19 +34,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     O(cap) and O(1). Over-cap arrivals are not remembered, so an
   *     at-least-once redelivery re-emits its hub pair; callers dedup on
   *     (docA, docB) downstream (see [[apply]]).
+  *
+  * STATE MEMORY CONTRACT — choose per `horizon`:
+  *   - `horizon = None` (default): buckets are never evicted. Memory is
+  *     O(distinct (band, bsig) keys ever streamed) × O(cap) members —
+  *     the state IS the corpus index (what [[withIndex]] primes), the
+  *     right contract when the stream is the system of record and state
+  *     is sized/checkpointed accordingly. Growth is in BUCKETS, not
+  *     docs: NumBands keys per distinct signature seen.
+  *   - `horizon = Some(d)`: buckets idle for `d` of PROCESSING time are
+  *     dropped (GroupStateTimeout.ProcessingTimeTimeout — the same
+  *     bounded-horizon posture as [[StreamingDedup]]'s watermark form;
+  *     this operator keys state by signature, which carries no event
+  *     time, so the horizon is processing-time by construction). Memory
+  *     is O(buckets active within the horizon); docs recurring farther
+  *     apart than the horizon re-pair from scratch, and global dedup
+  *     beyond it belongs to the batch jobs.
   */
 object StreamingNearDup {
 
   /** Cap on per-bucket membership state (and thus per-arrival fan-out). */
   val MaxBucket = 64
 
-  final case class Banded(docId: Long, band: Int, bsig: String)
+  final case class Banded(docId: Long, band: Int, bsig: Long)
   final case class CandPair(docA: Long, docB: Long, band: Int)
   final case class BucketMembers(members: Vector[Long])
 
   /** (doc_id, text) rows → one row per (doc_id, band, bsig): the per-row
-    * SQL twin of the batch banding (Dedup.dedupNearMinhash). */
+    * SQL twin of the batch banding (Dedup.dedupNearMinhash), including
+    * the int64 `hash60` band-signature key the batch side buckets on. */
   def banded(docs: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.ensure(docs.sparkSession)
     val shingles =
       """array_distinct(transform(sequence(1, size(ws) - 2),
         |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))))"""
@@ -55,7 +75,7 @@ object StreamingNearDup {
     val bandStructs = (0 until Dedup.NumBands).map { k =>
       val sig = (0 until Dedup.BandRows)
         .map(r => s"CAST(mh${Dedup.BandRows * k + r} AS STRING)").mkString(", ")
-      s"struct($k AS band, concat_ws(',', $sig) AS bsig)"
+      s"struct($k AS band, hash60(concat_ws(',', $sig)) AS bsig)"
     }.mkString(", ")
     docs
       .withColumn("ws", expr(Prims.wordsExpr))
@@ -67,8 +87,15 @@ object StreamingNearDup {
       .select(col("doc_id").as("docId"), col("b.band").as("band"), col("b.bsig").as("bsig"))
   }
 
-  private def handle(cap: Int)(key: (Int, String), it: Iterator[Banded],
-                               st: GroupState[BucketMembers]): Iterator[CandPair] = {
+  private def handle(cap: Int, horizon: Option[String])(
+      key: (Int, Long), it: Iterator[Banded],
+      st: GroupState[BucketMembers]): Iterator[CandPair] = {
+    if (st.hasTimedOut) {
+      // idle past the horizon: drop the bucket (members recurring later
+      // re-pair from a fresh bucket — the documented bounded contract)
+      st.remove()
+      return Iterator.empty
+    }
     var members = st.getOption.map(_.members).getOrElse(Vector.empty)
     val out = Vector.newBuilder[CandPair]
     it.toSeq.sortBy(_.docId).foreach { d =>
@@ -88,21 +115,32 @@ object StreamingNearDup {
       }
     }
     st.update(BucketMembers(members))
+    // re-arm the idle clock on every arrival: the bucket lives as long
+    // as it keeps seeing members within the horizon
+    horizon.foreach(st.setTimeoutDuration)
     out.result().iterator
   }
+
+  private def timeoutConf(horizon: Option[String]): GroupStateTimeout =
+    if (horizon.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
 
   /** Streaming (doc_id, text) → candidate near-dup pairs as they arrive.
     * A pair may surface once per shared band; callers dedup downstream
     * (the batch form's `distinct`), e.g. with dropDuplicates on
-    * (docA, docB) under a watermark. */
-  def apply(docs: DataFrame, cap: Int = MaxBucket): Dataset[CandPair] = {
+    * (docA, docB) under a watermark. `horizon` selects the state memory
+    * contract (see the object scaladoc): None = corpus-index state,
+    * Some(duration) = buckets idle that long are evicted. */
+  def apply(docs: DataFrame, cap: Int = MaxBucket,
+            horizon: Option[String] = None): Dataset[CandPair] = {
     implicit val bandedEnc = Encoders.product[Banded]
-    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
     implicit val pairEnc = Encoders.product[CandPair]
     implicit val stateEnc = Encoders.product[BucketMembers]
     banded(docs).as[Banded]
       .groupByKey(b => (b.band, b.bsig))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(handle(cap))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf(horizon))(
+        handle(cap, horizon))
   }
 
   /** INDEX-PRIMED streaming near-dup: the streaming twin of the batch
@@ -116,11 +154,15 @@ object StreamingNearDup {
     * batch work, not stream work). Uses `flatMapGroupsWithState`'s
     * initial-state overload: the primer is one batch aggregation whose
     * output is the per-bucket state value, distributed by the same
-    * (band, bsig) grouping the stream shuffles on. */
+    * (band, bsig) grouping the stream shuffles on. With a `horizon`,
+    * primed buckets obey the same idle eviction once touched; untouched
+    * primed buckets carry no timeout until first touched (Spark arms
+    * timeouts only for groups the handler has seen). */
   def withIndex(docs: DataFrame, index: DataFrame,
-                cap: Int = MaxBucket): Dataset[CandPair] = {
+                cap: Int = MaxBucket,
+                horizon: Option[String] = None): Dataset[CandPair] = {
     implicit val bandedEnc = Encoders.product[Banded]
-    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
     implicit val pairEnc = Encoders.product[CandPair]
     implicit val stateEnc = Encoders.product[BucketMembers]
     implicit val kvEnc = Encoders.tuple(keyEnc, stateEnc)
@@ -132,7 +174,7 @@ object StreamingNearDup {
       .groupByKey(_._1).mapValues(_._2)
     banded(docs).as[Banded]
       .groupByKey(b => (b.band, b.bsig))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout(),
-        initial)(handle(cap))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf(horizon),
+        initial)(handle(cap, horizon))
   }
 }

@@ -91,6 +91,64 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("horizon: buckets idle past it evict; buckets within it pair on") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+
+    // A ProcessingTimeTimeout query runs continuous micro-batches to fire
+    // its timers (default trigger), so processAllAvailable never observes
+    // a quiet point and can hang — the spec POLLS the sink instead.
+    def pairsIn(table: String): Set[(Long, Long)] =
+      s.table(table).as[CandPair].collect().toSet.map {
+        (p: CandPair) => (p.docA, p.docB) }
+    def awaitPairs(table: String, expected: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val deadline = System.currentTimeMillis + 60000
+      var got = pairsIn(table)
+      while (System.currentTimeMillis < deadline && got != expected) {
+        Thread.sleep(200); got = pairsIn(table)
+      }
+      got
+    }
+
+    // WITHIN the horizon (10 minutes — never expires in-test): a later
+    // batch still pairs against remembered members
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamingNearDup(in1.toDF().toDF("doc_id", "text"),
+        horizon = Some("10 minutes"))
+      .writeStream.format("memory").queryName("snd_h1")
+      .outputMode("append").start()
+    try {
+      in1.addData((1L, txt), (2L, txt))
+      assert(awaitPairs("snd_h1", Set((1L, 2L))) == Set((1L, 2L)))
+      in1.addData((3L, txt))
+      val got = awaitPairs("snd_h1", Set((1L, 2L), (1L, 3L), (2L, 3L)))
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"pairs within the horizon must be unaffected, got $got")
+    } finally q1.stop()
+
+    // PAST the horizon (1 second, then a 5 s idle gap during which the
+    // continuously-triggering engine fires the timer): the bucket is
+    // dropped, so a recurrence pairs with nobody remembered — but seeds a
+    // fresh bucket that pairs again going forward
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingNearDup(in2.toDF().toDF("doc_id", "text"),
+        horizon = Some("1 second"))
+      .writeStream.format("memory").queryName("snd_h2")
+      .outputMode("append").start()
+    try {
+      in2.addData((1L, txt), (2L, txt))
+      assert(awaitPairs("snd_h2", Set((1L, 2L))) == Set((1L, 2L)))
+      Thread.sleep(5000) // idle past the horizon; timers fire mid-sleep
+      in2.addData((3L, txt))       // evicted bucket: no pair emitted
+      in2.addData((4L, txt))       // fresh bucket: pairs with 3
+      val got = awaitPairs("snd_h2", Set((1L, 2L), (3L, 4L)))
+      assert(got == Set((1L, 2L), (3L, 4L)),
+        s"evicted bucket must forget members 1/2 but keep pairing fresh ones, got $got")
+    } finally q2.stop()
+  }
+
   test("bucket cap degrades to star pairs: capped state, full fan-out kept linear") {
     val s = spark
     import s.implicits._
