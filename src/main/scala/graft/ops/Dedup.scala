@@ -523,7 +523,11 @@ object Dedup {
 
   /** Max chunk index folded into the first-occurrence key — bounds docs at
     * [[ChunkWords]]·1e6 words (a 16M-word doc), far past any real document;
-    * keeps `doc_id * 1e6 + idx` inside int64 for doc ids below ~9.2e12. */
+    * keeps `doc_id * 1e6 + idx` inside int64 for doc ids below ~9.2e12.
+    * ENFORCED, not assumed: a doc at or past the bound would spill its
+    * packed keys into the next doc_id's range and silently corrupt two
+    * docs' first-occurrence counts, so the key expression raises instead
+    * (see [[dedupSubstringImpl]]). */
   private val MaxChunkIdx = 1000000L
 
   /** dedup_substring: exact SUBSTRING-level dedup at chunk granularity —
@@ -548,7 +552,16 @@ object Dedup {
     * n_dup = n_chunks − n_first closes the count. No all-pairs
     * anywhere; a chunk repeated a million times costs one combinable
     * group. */
-  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringImpl(s, dir, MaxChunkIdx)
+
+  /** Core with the packed-key bound explicit so the loud-failure path is
+    * testable without a 16M-word fixture. The guard lives INSIDE the key
+    * expression (not a droppable side column the optimizer would prune):
+    * an offset that would leave the doc's key range raises instead of
+    * decoding into a neighboring doc's count. */
+  private[graft] def dedupSubstringImpl(
+      s: SparkSession, dir: String, maxChunkIdx: Long): DataFrame = {
     val ch = Tables.documents(s, dir)
       .select(col("doc_id"), expr(wordsExpr).as("ws"))
       .filter(size(col("ws")) >= 1)
@@ -556,11 +569,17 @@ object Dedup {
         s"""transform(sequence(1, (size(ws) + ${ChunkWords - 1}) div $ChunkWords),
            |  i -> array_join(slice(ws, (i - 1) * $ChunkWords + 1, $ChunkWords), ' '))"""
           .stripMargin))).toDF("doc_id", "pos", "chunk")
+      // offsets live in [1, maxChunkIdx - 1] so `k div maxChunkIdx`
+      // always decodes back to the owning doc; past the bound → raise
       .select(md5(col("chunk")).as("h"),
-        (col("doc_id") * MaxChunkIdx + col("pos") + 1L).as("k"))
+        (col("doc_id") * maxChunkIdx +
+          when(col("pos") < maxChunkIdx - 1L, col("pos") + 1L)
+            .otherwise(raise_error(format_string(
+              s"dedup_substring: doc %s exceeds the $maxChunkIdx-chunk key bound",
+              col("doc_id"))).cast("long"))).as("k"))
     // winners per distinct chunk text; k0 decodes to the owning doc
     val nFirst = ch.groupBy("h").agg(min("k").as("k0"))
-      .select(expr(s"k0 div $MaxChunkIdx").as("doc_id"))
+      .select(expr(s"k0 div $maxChunkIdx").as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_first"))
     val totals = Tables.documents(s, dir)
       .select(col("doc_id"),

@@ -369,6 +369,20 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == ((1L, 2L, 2L, 1.0)))   // verbatim copy: fully duplicated
     assert(out(2L) == ((2L, 2L, 1L, 0.5)))   // shares c1 with doc 0, introduces c3
     assert(out(3L) == ((3L, 2L, 2L, 1.0)))   // both chunks are c3, first seen in doc 2
+
+    // packed-key bound is ENFORCED: a doc whose chunk count reaches the
+    // bound fails loudly (would otherwise spill into the next doc_id's
+    // key range and silently corrupt two docs' counts). Tested with the
+    // bound shrunk to 4: a 5-chunk doc must raise, a 3-chunk doc passes.
+    Seq((7L, (1 to 80).map(i => s"w$i").mkString(" "), "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val err = intercept[Exception](Dedup.dedupSubstringImpl(s, tmp, 4L).collect())
+    assert(err.getMessage != null)
+    Seq((7L, (1 to 48).map(i => s"w$i").mkString(" "), "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Dedup.dedupSubstringImpl(s, tmp, 4L).collect().length == 1)
   }
 
   test("dedup_survivors: keep-list = cluster minima + untouched docs, consistent with dedup_clusters") {

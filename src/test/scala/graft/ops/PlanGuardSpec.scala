@@ -12,6 +12,13 @@ import graft.{SparkEntry, SparkSpec}
   * resolution) — that is the price of auditing the REAL executed shape
   * rather than a stand-in.
   */
+object PlanGuardSpec {
+  /** Shuffle (non-broadcast) Exchange nodes in a plan string — the
+    * counting rule shared by the budget test and DumpExchangeBudgets. */
+  def shuffleExchanges(plan: String): Int =
+    "(?<!Broadcast)Exchange ".r.findAllIn(plan).size
+}
+
 class PlanGuardSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
@@ -48,6 +55,111 @@ class PlanGuardSpec extends SparkSpec {
       graft.HarnessUtil.releaseAll(s)
     }
     assert(offenders.isEmpty, s"narrow-plan violations:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  /** FROZEN shuffle-exchange budget for EVERY query (initial executed
+    * plan at sf0.001, counted by [[PlanGuardSpec.shuffleExchanges]]).
+    * Any drift — a refactor sneaking in an extra Exchange, or an
+    * improvement dropping one — fails with a diff; update the map
+    * deliberately via `sbt "Test/runMain graft.ops.DumpExchangeBudgets"`
+    * and justify the change in the commit. Complements the bench's
+    * shuffle-BYTES column: a new exchange is caught here even when
+    * sf0.1 wall-time hides it. */
+  private val exchangeBudget: Map[String, Int] = Map(
+    "ann_ivf_recall" -> 7,
+    "ann_ivf_sampled_recall" -> 7,
+    "ann_ivf_topk" -> 4,
+    "ann_lsh_pairs" -> 4,
+    "ann_topk" -> 2,
+    "coprocess_merge" -> 2,
+    "corpus_pack" -> 1,
+    "corpus_shuffle" -> 1,
+    "corpus_stats" -> 4,
+    "cosine_near_dup" -> 4,
+    "count_window_all" -> 2,
+    "count_window_keyed" -> 2,
+    "curate_manifest" -> 1,
+    "date_funcs" -> 1,
+    "decimal_arith" -> 1,
+    "decontaminate" -> 3,
+    "decontaminate_bloom" -> 3,
+    "dedup_clusters" -> 1,
+    "dedup_exact" -> 2,
+    "dedup_incremental" -> 7,
+    "dedup_near_minhash" -> 5,
+    "dedup_substring" -> 3,
+    "dedup_survivors" -> 4,
+    "doc_chunking" -> 1,
+    "doc_fingerprint" -> 6,
+    "doc_len_histogram" -> 2,
+    "domain_mix" -> 1,
+    "domain_mix_weighted" -> 4,
+    "editdist_pairs" -> 1,
+    "embed_cluster_profile" -> 3,
+    "enrich_dag" -> 5,
+    "enrich_wide_row" -> 2,
+    "filter" -> 1,
+    "fold_cumsum" -> 2,
+    "frame_sample" -> 1,
+    "funnel" -> 2,
+    "group_agg" -> 2,
+    "iterate_until" -> 1,
+    "json_extract" -> 1,
+    "lang_id" -> 4,
+    "last_nonnull_merge" -> 2,
+    "late_split" -> 2,
+    "max_min" -> 2,
+    "multimodal_features" -> 1,
+    "ngram_counts" -> 1,
+    "ngram_jaccard" -> 1,
+    "pii_scrub" -> 1,
+    "pipeline_clean" -> 4,
+    "projection" -> 1,
+    "quality_score" -> 1,
+    "quantile_sketch_gate" -> 5,
+    "repetition_score" -> 5,
+    "rolling_sum" -> 2,
+    "session_window" -> 2,
+    "side_output_split" -> 1,
+    "simhash_dedup" -> 8,
+    "sliding_window" -> 2,
+    "source_cardinality" -> 3,
+    "state_kinds" -> 4,
+    "stratified_sample" -> 2,
+    "string_funcs" -> 1,
+    "text_normalize" -> 1,
+    "tfidf_top_terms" -> 5,
+    "token_count" -> 1,
+    "train_val_split" -> 2,
+    "trigger_evictor" -> 2,
+    "tumbling_window" -> 2,
+    "union_streams" -> 1,
+    "vocab_coverage" -> 3,
+    "window_join" -> 1,
+    "winnow_fingerprint" -> 1,
+    "winnow_pairs" -> 5,
+    "word_count" -> 2,
+  )
+
+  test("every query's shuffle-exchange count matches its frozen budget") {
+    val s = spark
+    val diffs = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(s, dir).queryExecution.executedPlan.toString
+      val n = PlanGuardSpec.shuffleExchanges(plan)
+      exchangeBudget.get(name) match {
+        case None => diffs += s"$name: NO BUDGET (new query? record $n)"
+        case Some(b) if b != n => diffs += s"$name: $n exchanges, budget $b"
+        case _ =>
+      }
+      graft.HarnessUtil.releaseAll(s)
+    }
+    // a query removed from SparkEntry leaves a stale budget entry behind
+    (exchangeBudget.keySet -- SparkEntry.queries.keySet)
+      .foreach(k => diffs += s"$k: budget entry for a query that no longer exists")
+    assert(diffs.isEmpty,
+      "exchange-count drift (regenerate via Test/runMain graft.ops.DumpExchangeBudgets " +
+        s"and justify):\n  ${diffs.mkString("\n  ")}")
   }
 
   test("no query plans a CartesianProduct; BNLJ only on bounded literal sides") {
