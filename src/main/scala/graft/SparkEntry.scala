@@ -69,6 +69,7 @@ object SparkEntry {
     "ann_ivf_recall"    -> (Similarity.annIvfRecall _),
     "ann_ivf_sampled_recall" -> (Similarity.annIvfSampledRecall _),
     "embed_cluster_profile" -> (Similarity.embedClusterProfile _),
+    "semantic_dedup"    -> (Similarity.semanticDedup _),
     "lang_id"           -> (TextAnalysis.langId _),
     "quality_score"     -> (TextAnalysis.qualityScore _),
     "token_count"       -> (TextAnalysis.tokenCount _),

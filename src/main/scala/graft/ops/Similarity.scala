@@ -564,7 +564,120 @@ object Similarity {
        |SELECT cluster_id, count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS inertia
        |FROM ad GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** Cosine threshold above which two same-cluster vectors are semantic
+    * duplicates. Real paraphrase-dup embeddings sit near ~0.95; the
+    * synthetic fixture's vectors are near-orthogonal (max pairwise
+    * cosine ≈ 0.6 at sf0.1, measured), so the shipped constant is tuned
+    * to the fixture's similarity scale to keep the collapse path
+    * exercised end-to-end — the machinery is threshold-agnostic. */
+  private val SemTau = 0.4
+  /** Max members per cluster before the within-cluster comparison
+    * degrades from all-pairs to hub-star — same policy and rationale as
+    * [[MaxLshBucket]] / `Dedup.MaxBandBucket`. */
+  private val MaxSemCluster = 100
+
+  /** semantic_dedup: SemDeDup-style embedding-space deduplication
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — public paper; design
+    * re-derived here, no code): cluster the corpus's embeddings with
+    * the sample-trained k-means codebook, then compare vectors ONLY
+    * within their cluster — the clustering is what makes semantic dedup
+    * tractable at corpus scale, turning O(n²) cosine comparisons into
+    * O(Σ m_c²) bucket-local work, with cluster granularity (k) the
+    * scale knob (k grows with the corpus; here the fixture's 16). A
+    * vector is a DUPLICATE iff a SMALLER-id vector in its cluster has
+    * cosine ≥ [[SemTau]] (deterministic first-wins collapse — the
+    * paper's keep-one-per-group rule with an id tie-break both engines
+    * agree on). Emitted per vector: cluster id and the keep flag.
+    *
+    * Scale shape: one broadcast-cross assignment pass (16 literal
+    * centroids, codegen qdot, map-side-combinable argmin) + a
+    * cluster-keyed self-join; clusters over [[MaxSemCluster]] degrade
+    * to hub-star comparisons (members compared against the cluster's
+    * minimum id only — O(m), a mass-duplicated embedding pocket cannot
+    * go quadratic, at the price of missing non-hub pairs in hot
+    * clusters). The corpus never exchanges except on the int64 cluster
+    * key. Quantized-int64 dots; the cosine is the same double
+    * expression shape as `cosine_near_dup`, so the oracle matches
+    * bit-for-bit. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.QDot
+    val centRows = codebookFor(s, dir, sampled = true)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quantExpr).as("qv"))
+    val cents = broadcast(centRows.toDF("cent_id", "cv"))
+    // referenced four times (stats, both pair sides, hub vectors): pin
+    // once at the assignment's partitioning, blocks freed with the RDD
+    val assigned = emb.crossJoin(cents)
+      .select(col("vec_id"), col("qv"), col("cent_id"),
+        (QDot(col("qv"), col("qv")) - lit(2) * QDot(col("qv"), col("cv"))
+          + QDot(col("cv"), col("cv"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cent_id"), col("qv")), struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("list_id"), col("m.qv").as("qv"))
+      .localCheckpoint(true)
+    def cosine(aq: org.apache.spark.sql.Column, bq: org.apache.spark.sql.Column) =
+      QDot(aq, bq).cast("double") /
+        (sqrt(QDot(aq, aq).cast("double")) * sqrt(QDot(bq, bq).cast("double")))
+    // cluster stats are k rows — metadata-sized, broadcast at every use
+    val cstats = assigned.groupBy("list_id")
+      .agg(count(lit(1)).as("cn"), min("vec_id").as("hub"))
+    val small = assigned.join(
+      broadcast(cstats.filter(col("cn") <= MaxSemCluster).select("list_id")),
+      Seq("list_id"))
+    val dupSmall = small.as("a").join(small.as("b"),
+        col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.qv"), col("b.qv")) >= SemTau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    val hot = cstats.filter(col("cn") > MaxSemCluster).select("list_id", "hub")
+    val hubVecs = assigned.join(
+        broadcast(hot.select(col("hub").as("vec_id")).distinct()), Seq("vec_id"))
+      .select(col("vec_id").as("hub"), col("qv").as("hubqv"))
+    val dupHot = assigned.join(broadcast(hot), Seq("list_id"))
+      .filter(col("vec_id") =!= col("hub"))
+      .join(broadcast(hubVecs), Seq("hub"))
+      .filter(cosine(col("hubqv"), col("qv")) >= SemTau)
+      .select("vec_id").distinct()
+    assigned.select("vec_id", "list_id")
+      .join(dupSmall.unionByName(dupHot).distinct()
+        .select(col("vec_id"), lit(1).as("isdup")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id").cast("long").as("cluster_id"),
+        col("isdup").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  def semanticDedupSql: String = {
+    def cosSql(a: String, b: String): String = {
+      def dot(x: String, y: String) =
+        s"CAST(list_sum(list_transform(range(1, $Dim + 1), i -> $x[i] * $y[i])) AS BIGINT)"
+      s"CAST(${dot(a, b)} AS DOUBLE) / (sqrt(CAST(${dot(a, a)} AS DOUBLE)) * sqrt(CAST(${dot(b, b)} AS DOUBLE)))"
+    }
+    s"""${ivfCtes(sampled = true)},
+       |av AS (SELECT a.vec_id, a.list_id, e.qv
+       |  FROM assigned a JOIN e USING (vec_id)),
+       |cs AS (SELECT list_id, count(*) AS cn, min(vec_id) AS hub
+       |  FROM av GROUP BY list_id),
+       |dup_small AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM av a JOIN av b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |  JOIN cs ON cs.list_id = a.list_id
+       |  WHERE cn <= $MaxSemCluster AND ${cosSql("a.qv", "b.qv")} >= $SemTau),
+       |hubs AS (SELECT cs.list_id, cs.hub, av.qv AS hubqv
+       |  FROM cs JOIN av ON av.vec_id = cs.hub WHERE cn > $MaxSemCluster),
+       |dup_hot AS (
+       |  SELECT DISTINCT av.vec_id
+       |  FROM av JOIN hubs USING (list_id)
+       |  WHERE av.vec_id <> hubs.hub AND ${cosSql("hubs.hubqv", "av.qv")} >= $SemTau),
+       |dups AS (SELECT vec_id FROM dup_small UNION SELECT vec_id FROM dup_hot)
+       |SELECT av.vec_id, CAST(av.list_id AS BIGINT) AS cluster_id,
+       |  d.vec_id IS NULL AS kept
+       |FROM av LEFT JOIN dups d USING (vec_id)
+       |ORDER BY av.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "semantic_dedup" -> semanticDedupSql,
     "embed_cluster_profile" -> embedClusterProfileSql,
     "ann_topk" -> annTopKSql,
     "ann_lsh_pairs" -> annLshPairsSql,

@@ -182,6 +182,56 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("semantic_dedup: planted near-identical embeddings collapse to the min id") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    // 120 deterministic pseudo-random vectors (near-orthogonal), plus two
+    // PLANTED near-duplicate groups: 200 ≈ copy of 7, 201 ≈ copy of 31
+    // with a tiny perturbation (cosine ≈ 1 ≥ tau). k-means assigns
+    // near-identical vectors to the same cluster, so the collapse must
+    // drop 200 and 201 and keep their smaller-id originals.
+    def vec(seed: Long): Seq[Float] =
+      (0 until 64).map { i =>
+        // the seed*i cross term decorrelates vectors (a pure additive
+        // shift would make every vector a shifted copy of one sawtooth)
+        val x = (seed * 1000003L + i * 7919L + seed * i * 31L) % 104729L
+        ((x % 2000) - 1000) / 1000.0f
+      }
+    val base = (0L until 120L).map(i => (i, vec(i), 0))
+    val planted = Seq(
+      (200L, vec(7L).updated(0, vec(7L)(0) + 0.001f), 0),
+      (201L, vec(31L).updated(1, vec(31L)(1) + 0.001f), 0))
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.semanticDedup(s, tmp)
+      .as[(Long, Long, Boolean)].collect()
+    val kept = rows.filter(_._3).map(_._1).toSet
+    val dropped = rows.filterNot(_._3).map(_._1).toSet
+    assert(rows.length == 122)
+    assert(Set(200L, 201L).subsetOf(dropped),
+      s"planted near-dups must collapse, dropped=$dropped")
+    assert(kept.contains(7L) && kept.contains(31L),
+      "the smaller-id originals must be the survivors")
+    // SOUNDNESS of every collapse, checked against an independent plain-
+    // Scala cosine over the same quantized ints: a dropped vector must
+    // really have a smaller-id vector at cosine >= tau (the cluster
+    // constraint only narrows the candidate set, so this must hold for
+    // every drop — chance-level background collapses at the fixture-
+    // tuned tau are correct behavior, fabricated ones are not)
+    val all = (base ++ planted).map { case (id, v, _) => id -> v.map(f => math.floor(f * 1000).toLong) }
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      def dot(x: Seq[Long], y: Seq[Long]) = x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    }
+    dropped.foreach { d =>
+      val dv = all.find(_._1 == d).get._2
+      assert(all.exists { case (u, uv) => u < d && cos(uv, dv) >= 0.4 },
+        s"vector $d was collapsed without any smaller-id neighbor at cosine >= tau")
+    }
+    graft.HarnessUtil.releaseAll(s)
+  }
+
   test("pair-graph partitioning follows the measured edge count") {
     // the propagation path runs at max(4, edges/1M) tasks per round —
     // fixture-sized graphs keep the floor, a billion-edge graph gets

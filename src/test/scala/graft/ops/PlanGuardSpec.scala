@@ -30,6 +30,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_ivf_recall" -> "16-centroid codebook cross (broadcast literal)",
     "ann_ivf_sampled_recall" -> "16-centroid codebook cross (broadcast literal)",
     "embed_cluster_profile" -> "16-centroid codebook cross (broadcast literal)",
+    "semantic_dedup" -> "16-centroid codebook cross (broadcast literal)",
     "domain_mix_weighted" -> "1-row weight-total cross (broadcast scalar)",
     "sliding_window" -> "4-row pane-offset literal cross",
     "ann_lsh_pairs" -> "16-hyperplane literal projection cross",
@@ -119,6 +120,7 @@ class PlanGuardSpec extends SparkSpec {
     "quantile_sketch_gate" -> 5,
     "repetition_score" -> 5,
     "rolling_sum" -> 2,
+    "semantic_dedup" -> 11,
     "session_window" -> 2,
     "side_output_split" -> 1,
     "simhash_dedup" -> 8,
