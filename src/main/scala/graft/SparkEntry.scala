@@ -96,6 +96,7 @@ object SparkEntry {
     "quantile_sketch_gate" -> (PipelineOps.quantileSketchGate _),
     "corpus_pack"       -> (PipelineOps.corpusPack _),
     "curate_manifest"   -> (PipelineOps.curateManifest _),
+    "corpus_health"     -> (PipelineOps.corpusHealth _),
     "pii_scrub"         -> (PipelineOps.piiScrub _),
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
     "doc_len_histogram" -> (PipelineOps.docLenHistogram _),

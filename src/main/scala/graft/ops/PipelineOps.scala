@@ -674,7 +674,82 @@ object PipelineOps {
        |FROM packed ORDER BY doc_id""".stripMargin
   }
 
+  /** corpus_health: the per-source data-quality DASHBOARD a pipeline
+    * operator reads before deciding what to ingest, reweight, or drop —
+    * every column an already-audited operator's aggregate, composed into
+    * one report: doc/token volume, within-source exact-duplicate count
+    * (docs minus distinct content hashes), quality-floor pass count
+    * (the same score and floor `curate_manifest` gates on), benchmark
+    * contamination count (verbatim [[ContamGram]]-gram overlap), and
+    * near-dup collapse losses (non-canonical cluster members).
+    *
+    * All columns are INTEGER counts — no double aggregation anywhere, so
+    * cross-engine bit-parity is structural (a mean score would sum
+    * doubles in engine-dependent order; the floor-pass count carries the
+    * same signal exactly). Scale shape: one corpus pass for the base
+    * stats (map-side combinable), the contamination and loser tables are
+    * results-sized left joins, and the final aggregation is
+    * source-cardinality rows. */
+  def corpusHealth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("ch"),
+      expr(s"size($wordsExpr)").cast("long").as("toks"))
+    val scored = TextAnalysis.qualityMetrics(docs)
+      .select(col("doc_id"), (col("score") >= CurateQualityMin).as("ok"))
+    val grams = wordGrams(docs, ContamGram)
+    val held = grams.filter(col("doc_id") < HeldoutMax).select("g").distinct()
+    val contaminated = grams.filter(col("doc_id") >= HeldoutMax)
+      .join(broadcast(held), "g").select("doc_id").distinct()
+      .withColumn("cont", lit(1))
+    val losers = Dedup.nearDupLosers(s, dir).withColumn("loser", lit(1))
+    base.join(scored, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        countDistinct("ch").as("nd"),
+        count(when(col("ok"), 1)).as("n_quality_ok"),
+        count(col("cont")).as("n_contaminated"),
+        count(col("loser")).as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") - col("nd")).as("n_exact_dups"),
+        col("n_quality_ok"), col("n_contaminated"), col("n_near_dup"))
+      .orderBy("source")
+  }
+
+  def corpusHealthSql: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |${TextAnalysis.qualityMetricsCteSql},
+       |ok AS (SELECT doc_id,
+       |    (${TextAnalysis.qualityScoreExprSql}) >= $CurateQualityMin AS ok
+       |  FROM m),
+       |${Dedup.shinglesSql},
+       |${Dedup.clusterLabelsSqlCtes},
+       |losers AS (SELECT doc_id FROM labels WHERE label <> doc_id),
+       |gg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+${ContamGram - 1}], ' ') AS g
+       |  FROM t, unnest(range(1, len(ws) - ${ContamGram - 2})) AS u(i)
+       |  WHERE len(ws) >= $ContamGram),
+       |held AS (SELECT DISTINCT g FROM gg WHERE doc_id < $HeldoutMax),
+       |cont AS (SELECT DISTINCT doc_id FROM gg JOIN held USING (g)
+       |  WHERE doc_id >= $HeldoutMax),
+       |b AS (SELECT d.doc_id, d.source, md5(d.text) AS ch,
+       |    CAST(len(t.ws) AS BIGINT) AS toks
+       |  FROM documents d JOIN t ON d.doc_id = t.doc_id)
+       |SELECT b.source, count(*) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  count(*) - count(DISTINCT ch) AS n_exact_dups,
+       |  count(*) FILTER (WHERE ok.ok) AS n_quality_ok,
+       |  count(c.doc_id) AS n_contaminated,
+       |  count(l.doc_id) AS n_near_dup
+       |FROM b JOIN ok ON b.doc_id = ok.doc_id
+       |LEFT JOIN cont c ON b.doc_id = c.doc_id
+       |LEFT JOIN losers l ON b.doc_id = l.doc_id
+       |GROUP BY b.source ORDER BY b.source""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "corpus_health" -> corpusHealthSql,
     "curate_manifest" -> curateManifestSql,
     "stratified_sample" -> stratifiedSampleSql,
     "doc_len_histogram" -> docLenHistogramSql,

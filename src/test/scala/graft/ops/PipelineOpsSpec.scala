@@ -123,6 +123,32 @@ class PipelineOpsSpec extends SparkSpec {
     graft.HarnessUtil.releaseAll(s)
   }
 
+  test("corpus_health: report columns reconcile with the standalone operators") {
+    val s = spark
+    import s.implicits._
+    val rows = PipelineOps.corpusHealth(s, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(s, dir)
+    // volume: every doc in exactly one source row
+    assert(rows.map(_._2).sum == docs.count())
+    rows.foreach { case (src, nDocs, nToks, nDups, nOk, nCont, nNear) =>
+      assert(nDups >= 0 && nDups < nDocs, s"$src dup count out of range")
+      assert(nOk <= nDocs && nCont <= nDocs && nNear <= nDocs, s"$src counts exceed docs")
+      assert(nToks > 0)
+    }
+    // contamination total = non-held docs minus decontaminate's survivors
+    val nonHeld = docs.filter(col("doc_id") >= 10).count()
+    val survivors = PipelineOps.decontaminate(s, dir).count()
+    assert(rows.map(_._6).sum == nonHeld - survivors,
+      "contamination totals must match the decontaminate operator")
+    // near-dup losses total = docs minus the survivor keep-list
+    val keep = Dedup.dedupSurvivors(s, dir).count()
+    assert(rows.map(_._7).sum == docs.count() - keep,
+      "near-dup loss totals must match dedup_survivors")
+    graft.HarnessUtil.releaseAll(s)
+  }
+
   test("quantile_sketch_gate: percentile_approx stays inside the tolerance band") {
     val s = spark
     import s.implicits._

@@ -73,6 +73,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_lsh_pairs" -> 4,
     "ann_topk" -> 2,
     "coprocess_merge" -> 2,
+    "corpus_health" -> 8,
     "corpus_pack" -> 1,
     "corpus_shuffle" -> 1,
     "corpus_stats" -> 4,
