@@ -70,6 +70,7 @@ object SparkEntry {
     "ann_ivf_sampled_recall" -> (Similarity.annIvfSampledRecall _),
     "embed_cluster_profile" -> (Similarity.embedClusterProfile _),
     "semantic_dedup"    -> (Similarity.semanticDedup _),
+    "semantic_incremental" -> (Similarity.semanticIncremental _),
     "lang_id"           -> (TextAnalysis.langId _),
     "quality_score"     -> (TextAnalysis.qualityScore _),
     "token_count"       -> (TextAnalysis.tokenCount _),

@@ -676,7 +676,108 @@ object Similarity {
        |ORDER BY av.vec_id""".stripMargin
   }
 
+  /** Split point standing in for "the historical corpus index": vectors
+    * below are the INDEX, at/above are the NEW BATCH being ingested. */
+  private val SemIngestSplit = 400L
+
+  /** semantic_incremental: the INGEST-TIME form of semantic dedup — a
+    * new batch of embeddings checked against the EXISTING corpus index,
+    * the semantic twin of [[graft.ops.Dedup.dedupIncremental]] (and the
+    * batch complement of `StreamingSemanticDedup.withIndex`-style
+    * serving): each new vector is assigned to its cluster and compared
+    * against the INDEX members of that cluster only — within-batch and
+    * within-index pairs are never generated. Disposition per new
+    * vector: 'dup' (an index member sits at cosine ≥ [[SemTau]]) or
+    * 'fresh'.
+    *
+    * Scale shape: the batch side is small relative to the corpus; the
+    * index side is touched once, partitioned by the int64 cluster key,
+    * and NEVER self-joined. Clusters whose index occupancy exceeds
+    * [[MaxSemCluster]] degrade to a hub comparison (index minimum only)
+    * — O(batch) work in hot clusters, the family's standard star guard.
+    * At 100 TB the per-cluster index (vector + cluster key) is what you
+    * PERSIST between ingests; here it derives inline from the same
+    * fixture for oracle parity, and the codebook is the index's own
+    * sample-trained one (what a shipped index carries). */
+  def semanticIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.QDot
+    val centRows = codebookFor(s, dir, sampled = true)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quantExpr).as("qv"))
+    val cents = broadcast(centRows.toDF("cent_id", "cv"))
+    val assigned = emb.crossJoin(cents)
+      .select(col("vec_id"), col("qv"), col("cent_id"),
+        (QDot(col("qv"), col("qv")) - lit(2) * QDot(col("qv"), col("cv"))
+          + QDot(col("cv"), col("cv"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cent_id"), col("qv")), struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("list_id"), col("m.qv").as("qv"))
+      .localCheckpoint(true)
+    def cosine(aq: org.apache.spark.sql.Column, bq: org.apache.spark.sql.Column) =
+      QDot(aq, bq).cast("double") /
+        (sqrt(QDot(aq, aq).cast("double")) * sqrt(QDot(bq, bq).cast("double")))
+    val index = assigned.filter(col("vec_id") < SemIngestSplit)
+    val batch = assigned.filter(col("vec_id") >= SemIngestSplit)
+    // per-cluster index occupancy — k rows, broadcast at every use
+    val istats = index.groupBy("list_id")
+      .agg(count(lit(1)).as("cn"), min("vec_id").as("hub"))
+    val smallIdx = index.join(
+      broadcast(istats.filter(col("cn") <= MaxSemCluster).select("list_id")),
+      Seq("list_id"))
+    val dupSmall = batch.as("b").join(smallIdx.as("i"),
+        col("b.list_id") === col("i.list_id"))
+      .filter(cosine(col("i.qv"), col("b.qv")) >= SemTau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    val hot = istats.filter(col("cn") > MaxSemCluster).select("list_id", "hub")
+    val hubVecs = index.join(
+        broadcast(hot.select(col("hub").as("vec_id")).distinct()), Seq("vec_id"))
+      .select(col("vec_id").as("hub"), col("qv").as("hubqv"))
+    val dupHot = batch.join(broadcast(hot), Seq("list_id"))
+      .join(broadcast(hubVecs), Seq("hub"))
+      .filter(cosine(col("hubqv"), col("qv")) >= SemTau)
+      .select("vec_id").distinct()
+    batch.select("vec_id", "list_id")
+      .join(dupSmall.unionByName(dupHot).distinct()
+        .select(col("vec_id"), lit(1).as("isdup")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id").cast("long").as("cluster_id"),
+        when(col("isdup") === 1, "dup").otherwise("fresh").as("disposition"))
+      .orderBy("vec_id")
+  }
+
+  def semanticIncrementalSql: String = {
+    def cosSql(a: String, b: String): String = {
+      def dot(x: String, y: String) =
+        s"CAST(list_sum(list_transform(range(1, $Dim + 1), i -> $x[i] * $y[i])) AS BIGINT)"
+      s"CAST(${dot(a, b)} AS DOUBLE) / (sqrt(CAST(${dot(a, a)} AS DOUBLE)) * sqrt(CAST(${dot(b, b)} AS DOUBLE)))"
+    }
+    s"""${ivfCtes(sampled = true)},
+       |av AS (SELECT a.vec_id, a.list_id, e.qv
+       |  FROM assigned a JOIN e USING (vec_id)),
+       |idx AS (SELECT * FROM av WHERE vec_id < $SemIngestSplit),
+       |nb AS (SELECT * FROM av WHERE vec_id >= $SemIngestSplit),
+       |ist AS (SELECT list_id, count(*) AS cn, min(vec_id) AS hub
+       |  FROM idx GROUP BY list_id),
+       |dup_small AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM nb b JOIN idx i ON b.list_id = i.list_id
+       |  JOIN ist ON ist.list_id = b.list_id
+       |  WHERE cn <= $MaxSemCluster AND ${cosSql("i.qv", "b.qv")} >= $SemTau),
+       |hubs AS (SELECT ist.list_id, ist.hub, av.qv AS hubqv
+       |  FROM ist JOIN av ON av.vec_id = ist.hub WHERE cn > $MaxSemCluster),
+       |dup_hot AS (
+       |  SELECT DISTINCT nb.vec_id
+       |  FROM nb JOIN hubs USING (list_id)
+       |  WHERE ${cosSql("hubs.hubqv", "nb.qv")} >= $SemTau),
+       |dups AS (SELECT vec_id FROM dup_small UNION SELECT vec_id FROM dup_hot)
+       |SELECT nb.vec_id, CAST(nb.list_id AS BIGINT) AS cluster_id,
+       |  CASE WHEN d.vec_id IS NOT NULL THEN 'dup' ELSE 'fresh' END AS disposition
+       |FROM nb LEFT JOIN dups d USING (vec_id)
+       |ORDER BY nb.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "semantic_incremental" -> semanticIncrementalSql,
     "semantic_dedup" -> semanticDedupSql,
     "embed_cluster_profile" -> embedClusterProfileSql,
     "ann_topk" -> annTopKSql,

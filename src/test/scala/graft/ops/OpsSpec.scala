@@ -232,6 +232,35 @@ class OpsSpec extends SparkSpec {
     graft.HarnessUtil.releaseAll(s)
   }
 
+  test("semantic_incremental: batch vs index only — index hits flag, within-batch pairs don't") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-seminc").toString
+    def vec(seed: Long): Seq[Float] =
+      (0 until 64).map { i =>
+        val x = (seed * 1000003L + i * 7919L + seed * i * 31L) % 104729L
+        ((x % 2000) - 1000) / 1000.0f
+      }
+    // index: ids < 400 (background + vector 50); batch: ids >= 400 with
+    //   410 ≈ copy of index vector 50        -> must flag 'dup'
+    //   420 ≈ 421 (near-identical WITHIN the batch, unlike anything
+    //   indexed) -> both must stay 'fresh' (the index-only contract)
+    val index = (0L until 60L).map(i => (i, vec(i), 0))
+    val batch = Seq(
+      (410L, vec(50L).updated(0, vec(50L)(0) + 0.001f), 0),
+      (420L, vec(777L), 0),
+      (421L, vec(777L).updated(1, vec(777L)(1) + 0.001f), 0))
+    (index ++ batch).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.semanticIncremental(s, tmp)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.keySet == Set(410L, 420L, 421L), s"batch rows only, got ${got.keySet}")
+    assert(got(410L) == "dup", s"index near-copy must flag: $got")
+    assert(got(420L) == "fresh" && got(421L) == "fresh",
+      s"within-batch pairs must NOT flag (index-only comparison): $got")
+    graft.HarnessUtil.releaseAll(s)
+  }
+
   test("pair-graph partitioning follows the measured edge count") {
     // the propagation path runs at max(4, edges/1M) tasks per round —
     // fixture-sized graphs keep the floor, a billion-edge graph gets

@@ -31,6 +31,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_ivf_sampled_recall" -> "16-centroid codebook cross (broadcast literal)",
     "embed_cluster_profile" -> "16-centroid codebook cross (broadcast literal)",
     "semantic_dedup" -> "16-centroid codebook cross (broadcast literal)",
+    "semantic_incremental" -> "16-centroid codebook cross (broadcast literal)",
     "domain_mix_weighted" -> "1-row weight-total cross (broadcast scalar)",
     "sliding_window" -> "4-row pane-offset literal cross",
     "ann_lsh_pairs" -> "16-hyperplane literal projection cross",
@@ -122,6 +123,7 @@ class PlanGuardSpec extends SparkSpec {
     "repetition_score" -> 5,
     "rolling_sum" -> 2,
     "semantic_dedup" -> 11,
+    "semantic_incremental" -> 10,
     "session_window" -> 2,
     "side_output_split" -> 1,
     "simhash_dedup" -> 8,
