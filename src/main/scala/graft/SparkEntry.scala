@@ -96,6 +96,7 @@ object SparkEntry {
     "corpus_stats"      -> (PipelineOps.corpusStats _),
     "quantile_sketch_gate" -> (PipelineOps.quantileSketchGate _),
     "corpus_pack"       -> (PipelineOps.corpusPack _),
+    "pack_bins"         -> (PipelineOps.packBins _),
     "curate_manifest"   -> (PipelineOps.curateManifest _),
     "corpus_health"     -> (PipelineOps.corpusHealth _),
     "pii_scrub"         -> (PipelineOps.piiScrub _),

@@ -445,6 +445,64 @@ object PipelineOps {
        |  cum_before % $PackCapacity AS start_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** pack_bins: the BIN-side view of sequence packing — [[corpusPack]]
+    * emits where each doc's tokens START; this materializes what each
+    * bin CONTAINS (the manifest a dataloader actually consumes): per
+    * bin, the docs whose token spans intersect it (sorted id list) and
+    * the tokens it holds from them. Every bin except the last must hold
+    * exactly [[PackCapacity]] tokens — the no-padding invariant, which
+    * the integer span arithmetic makes checkable bit-exactly.
+    *
+    * Scale shape: the doc→bin fan-out is a narrow explode of
+    * `sequence(start_bin, end_bin)` — a doc adds one row per bin it
+    * TOUCHES (≈ n_tokens/capacity + 1, so total rows ≈ 2× corpus token
+    * count / capacity), then ONE combinable aggregation on the int64
+    * bin id. The per-bin doc list is bounded by capacity (at most
+    * capacity docs can start in one bin, plus one straddler), so the
+    * collect is per-group bounded — never an unbounded collect_list. */
+  def packBins(s: SparkSession, dir: String): DataFrame = {
+    val placed = Prims.globalPrefixSum(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(s"size($wordsExpr)").cast("long").as("n_tokens"))
+          .filter(col("n_tokens") >= 1), // a 0-token doc occupies no bin
+        "n_tokens", "cum_before", col("doc_id"))
+    placed
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        expr(s"cum_before div $PackCapacity").as("b0"),
+        expr(s"(cum_before + n_tokens - 1) div $PackCapacity").as("b1"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        explode(expr("sequence(b0, b1)")).as("bin_id"))
+      .select(col("bin_id"), col("doc_id"),
+        // tokens this doc contributes to this bin: overlap of
+        // [cum_before, cum_before + n_tokens) with the bin's span
+        (least(col("cum_before") + col("n_tokens"),
+               (col("bin_id") + 1L) * PackCapacity)
+          - greatest(col("cum_before"), col("bin_id") * PackCapacity)).as("toks"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        joinedSortedLongs(collect_list(col("doc_id"))).as("doc_ids"))
+      .orderBy("bin_id")
+  }
+
+  def packBinsSql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE len($wordsSql) >= 1),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t),
+       |x AS (SELECT doc_id, n_tokens, cum_before, CAST(b.bin_id AS BIGINT) AS bin_id
+       |  FROM c, unnest(range(cum_before // $PackCapacity,
+       |    (cum_before + n_tokens - 1) // $PackCapacity + 1)) AS b(bin_id)),
+       |o AS (SELECT bin_id, doc_id,
+       |    least(cum_before + n_tokens, (bin_id + 1) * $PackCapacity)
+       |      - greatest(cum_before, bin_id * $PackCapacity) AS toks
+       |  FROM x)
+       |SELECT bin_id, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+       |FROM o GROUP BY bin_id ORDER BY bin_id""".stripMargin
+
   // PII patterns shared by the operator and its oracle: kept inside the
   // RE2 ∩ java.util.regex common subset (no lookaround, no backrefs) so
   // both engines match identically.
@@ -763,6 +821,7 @@ object PipelineOps {
     "corpus_stats"    -> corpusStatsSql,
     "quantile_sketch_gate" -> quantileSketchGateSql,
     "corpus_pack"     -> corpusPackSql,
+    "pack_bins"       -> packBinsSql,
     "pii_scrub"       -> piiScrubSql,
   )
 }

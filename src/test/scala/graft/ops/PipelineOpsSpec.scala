@@ -279,6 +279,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pack_bins: every bin but the last is exactly full; bins tile the token stream") {
+    val s = spark
+    import s.implicits._
+    val bins = PipelineOps.packBins(s, dir)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(bins.nonEmpty)
+    // gapless ascending bin ids
+    assert(bins.map(_._1).toSeq == (0L until bins.length).toSeq)
+    // the no-padding invariant: every bin except the last holds exactly
+    // PackCapacity tokens; the last holds the remainder
+    bins.init.foreach { case (b, _, toks, _) =>
+      assert(toks == 1024L, s"bin $b underfilled: $toks")
+    }
+    assert(bins.last._3 >= 1 && bins.last._3 <= 1024L)
+    // totals reconcile with corpus_pack's placement view
+    val placed = PipelineOps.corpusPack(s, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(bins.map(_._3).sum == placed.map(_._2).sum,
+      "bin contents must tile exactly the packed token stream")
+    // every doc appears in every bin its span touches, and no other
+    val byDoc = bins.flatMap { case (b, _, _, ids) =>
+      ids.split(",").map(_.toLong -> b) }.groupBy(_._1)
+    placed.filter(_._2 >= 1).foreach { case (doc, n, bin, off) =>
+      val expect = (bin to (bin * 1024 + off + n - 1) / 1024).toSet
+      assert(byDoc(doc).map(_._2).toSet == expect, s"doc $doc bin set wrong")
+    }
+    graft.HarnessUtil.releaseAll(s)
+  }
+
   test("stratified_sample: kept counts reproduce the hash rule exactly") {
     val s = spark
     import s.implicits._

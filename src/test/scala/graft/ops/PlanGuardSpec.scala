@@ -115,6 +115,7 @@ class PlanGuardSpec extends SparkSpec {
     "multimodal_features" -> 1,
     "ngram_counts" -> 1,
     "ngram_jaccard" -> 1,
+    "pack_bins" -> 2,
     "pii_scrub" -> 1,
     "pipeline_clean" -> 4,
     "projection" -> 1,
