@@ -71,6 +71,7 @@ object Bench {
       } finally HarnessUtil.releaseAll(spark, gc = true)
     }
     def med(ss: IndexedSeq[Double]) = ss(ss.length / 2)
+    def r3(d: Double) = math.rint(d * 1000) / 1000
     val qs = results.map { case (k, ss, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
     val spread = results.map { case (k, ss, _) =>
       q(k) + s""":{"min":${ss.head},"med":${med(ss)},"max":${ss.last}}"""
@@ -80,14 +81,19 @@ object Bench {
       .map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val total = results.map(t => med(t._2)).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle":$shuffle,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
-    // truncation-proof record: the harness keeps only a short tail of
-    // stdout, which has repeatedly cut the per-query map mid-JSON — the
-    // full line also lands in a repo file the round snapshot picks up
+    // truncation-proof record: the harness keeps only a ~2,000-char tail
+    // of stdout, which has repeatedly cut the full per-query map mid-JSON
+    // (BENCH_rNN.json then stores parsed:null). The FULL line (spread +
+    // shuffle bytes) lands in a repo file; stdout gets a COMPACT line —
+    // 3-decimal medians, no spread/shuffle — sized to survive the tail
+    // window, so the round snapshot parses per-query data by itself.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"BENCH_FULL write failed ($out): $e") }
+    val qsCompact = results.map { case (k, ss, _) => q(k) + ":" + r3(med(ss)) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"errors":$errJson,"sf":"$sfDir","full":"$out"}""")
     spark.stop()
   }
 }

@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,12 +17,18 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * `filter_bytes` must be FOLDABLE (a binary literal holding the
   * serialized `org.apache.spark.util.sketch.BloomFilter`, the format
-  * `df.stat.bloomFilter` writes via `writeTo`). The filter is
-  * deserialized ONCE per plan — on the driver at codegen time — and
-  * shipped to executors inside the generated plan's reference array,
-  * which rides Spark's task-binary BROADCAST: the bytes cross the wire
-  * once per executor, not once per task, the same distribution Spark's
-  * own `BloomFilterMightContain` runtime-filter expression relies on.
+  * `df.stat.bloomFilter` writes via `writeTo`). The deserialized filter
+  * lands in the generated plan's reference array, which rides Spark's
+  * task-binary broadcast: the BYTES cross the wire once per executor,
+  * but each task deserializes its task binary, so the BloomFilter object
+  * is rebuilt once per TASK (and the literal's byte array is also
+  * copied/hashed through every optimizer and AQE canonicalization pass).
+  * That per-task/per-pass cost is fine for small filters; for large ones
+  * (the operator's own sizing puts a 100M-gram benchmark suite at
+  * ~120 MB) use [[MightContainBloomBc]], which ships the filter via a
+  * `SparkContext.broadcast` handle instead — this literal form exists
+  * for the SQL-registry surface and should be treated as having a
+  * low-MB filter-size ceiling.
   * Membership is tested against the value's UTF-8 bytes
   * (`mightContainBinary(getBytes)`), bit-identical to
   * `mightContainString` (which UTF-8-encodes and delegates) but with no
@@ -85,6 +92,58 @@ case class MightContainBloom(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** [[MightContainBloom]]'s scale form: the filter arrives as a
+  * `Broadcast[BloomFilter]` handle instead of an inline literal. The
+  * plan carries only the (tiny, serializable) broadcast reference;
+  * the filter bytes move via Spark's torrent broadcast ONCE per
+  * executor, and `Broadcast.value` caches the deserialized object per
+  * executor JVM — so neither optimizer canonicalization, AQE re-plans,
+  * nor per-task binary deserialization ever touch the filter bytes
+  * again. Codegen hoists `value()` into generated-class init (once per
+  * task, a cached-field read), keeping the per-row work identical to
+  * the literal form: one `mightContainBinary` over the UTF-8 bytes.
+  *
+  * Not SQL-registrable (a registry builder can't carry a broadcast
+  * handle) — construct via [[MightContainBloomBc.onCol]]. */
+case class MightContainBloomBc(
+    bloomBc: Broadcast[BloomFilter], child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"might_contain_bloom_bc requires a string argument, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "might_contain_bloom_bc"
+
+  override protected def nullSafeEval(v: Any): Any =
+    bloomBc.value.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfClass = classOf[BloomFilter].getName
+    val ref = ctx.addReferenceObj("bloomBc", bloomBc,
+      classOf[Broadcast[_]].getName)
+    // resolve the broadcast once per generated-class instance (= per
+    // task); value() itself is a per-executor cached deserialization
+    val bf = ctx.addMutableState(bfClass, "bloomBcValue",
+      v => s"$v = ($bfClass) $ref.value();")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $bf.mightContainBinary($v.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MightContainBloomBc {
+  /** `might_contain_bloom_bc(bc, strCol)` as a Column (Scala API only). */
+  def onCol(bc: Broadcast[BloomFilter], c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftShim.column(
+      MightContainBloomBc(bc, org.apache.spark.sql.GraftShim.expression(c)))
 }
 
 object MightContainBloom {

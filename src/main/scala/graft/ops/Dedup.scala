@@ -34,9 +34,14 @@ object Dedup {
 
   /** Distinct 3-word shingles per doc (docs with <3 words have none). */
   private[graft] def shingles(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"),
-        expr(wordsExpr).as("ws"))
+    shinglesFromToks(Prims.tokenized(docs))
+
+  /** [[shingles]] over a pre-tokenized `(doc_id, ws)` frame — lets a
+    * composed pipeline (curate_manifest, corpus_health) feed the shingle
+    * index from ONE shared corpus-tokenize pass instead of re-splitting
+    * the text here. */
+  private[graft] def shinglesFromToks(toks: DataFrame): DataFrame =
+    toks
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws) - 2),
@@ -245,8 +250,13 @@ object Dedup {
     * doc pair would inflate that pair's intersection by one — vanishing
     * probability, and the oracle applies the SAME hash, so both engines
     * agree bit-for-bit regardless. */
-  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, dir))
+  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsFromToks(s, Prims.tokenized(Tables.documents(s, dir)))
+
+  /** [[ngramJaccardPairs]] over a pre-tokenized `(doc_id, ws)` frame
+    * (shared-scan form for composed pipelines). */
+  private[graft] def ngramJaccardPairsFromToks(s: SparkSession, toks: DataFrame): DataFrame = {
+    val sh = shinglesFromToks(toks)
       .select(col("doc_id"), hash60(col("s")).as("hs"))
     val rare = sh.groupBy("hs").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
@@ -339,7 +349,14 @@ object Dedup {
     * resolution hold onto the returned frame within one query's
     * lifetime instead. */
   private def clusterLabels(s: SparkSession, dir: String,
-                            smallGraphMaxEdges: Long): DataFrame = {
+                            smallGraphMaxEdges: Long): DataFrame =
+    clusterLabelsFromToks(s, Prims.tokenized(Tables.documents(s, dir)),
+      smallGraphMaxEdges)
+
+  /** [[clusterLabels]] over a pre-tokenized `(doc_id, ws)` frame
+    * (shared-scan form for composed pipelines). */
+  private def clusterLabelsFromToks(s: SparkSession, toks: DataFrame,
+                                    smallGraphMaxEdges: Long): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus:
     // materialize it ONCE (localCheckpoint truncates the expensive
     // pair-generation lineage) at the join's natural partitioning, then
@@ -348,7 +365,7 @@ object Dedup {
     // runs a number of tasks proportional to the graph, neither a
     // corpus-width shuffle nor a hardcoded handful. repartition, NOT
     // coalesce — coalesce would throttle the upstream pair join itself.
-    val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+    val pairs = ngramJaccardPairsFromToks(s, toks).select("doc_a", "doc_b")
       .localCheckpoint(true)
     val edgeCount = pairs.count()
     if (edgeCount <= smallGraphMaxEdges) unionFindLabels(s, pairs)
@@ -467,6 +484,15 @@ object Dedup {
     * when small). Used by `curate_manifest`'s near-dup stage. */
   private[ops] def nearDupLosers(s: SparkSession, dir: String): DataFrame =
     clusterLabels(s, dir, SmallGraphMaxEdges)
+      .filter(col("label") =!= col("doc_id"))
+      .select("doc_id")
+
+  /** [[nearDupLosers]] over a pre-tokenized `(doc_id, ws)` frame —
+    * curate_manifest/corpus_health pass their shared (checkpointed)
+    * tokenize pass here so the cluster resolution's shingle index costs
+    * no second corpus tokenize. */
+  private[ops] def nearDupLosersFromToks(s: SparkSession, toks: DataFrame): DataFrame =
+    clusterLabelsFromToks(s, toks, SmallGraphMaxEdges)
       .filter(col("label") =!= col("doc_id"))
       .select("doc_id")
 

@@ -61,9 +61,12 @@ object PipelineOps {
     * multiplicity — only the tiny held-out side gets deduped (for
     * broadcast size). */
   private def wordGrams(docs: DataFrame, n: Int): DataFrame =
-    docs
-      .select(col("doc_id"),
-        expr(wordsExpr).as("ws"))
+    wordGramsFromToks(Prims.tokenized(docs), n)
+
+  /** [[wordGrams]] over a pre-tokenized `(doc_id, ws)` frame — composed
+    * pipelines feed this from their one shared corpus-tokenize pass. */
+  private def wordGramsFromToks(toks: DataFrame, n: Int): DataFrame =
+    toks
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"))
@@ -127,23 +130,43 @@ object PipelineOps {
     * when a small fixture makes that cheaper). */
   def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val grams = wordGrams(Tables.documents(s, dir), ContamGram)
+    Tables.documents(s, dir)
+      .filter(col("doc_id") >= HeldoutMax)
+      .join(contaminatedViaBloom(s, grams), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Contaminated corpus doc ids (any verbatim gram shared with the
+    * held-out set) via the Bloom prune — the contamination core shared
+    * by [[decontaminateBloom]] and the composed pipelines
+    * ([[curateManifest]], [[corpusHealth]]), so the composed queries
+    * inherit the large-held scale posture (no mandatory broadcast of
+    * `held`; AQE still broadcasts the confirm join when a small fixture
+    * makes that cheaper) instead of the small-held premise the plain
+    * [[decontaminate]] documents. Bit-identical to the broadcast
+    * semi-join form: the Bloom filter only prunes, the exact confirm
+    * join removes its false positives. The filter ships via a
+    * `SparkContext.broadcast` handle ([[graft.functions.MightContainBloomBc]])
+    * — once per executor, deserialized once per executor — never as an
+    * inline plan literal. */
+  private def contaminatedViaBloom(s: SparkSession, grams: DataFrame): DataFrame = {
     val held = grams.filter(col("doc_id") < HeldoutMax)
       .select("g").distinct()
       // referenced three times (count, filter build, exact confirm join)
       .localCheckpoint(true)
-    val nHeld = math.max(held.count(), 1L)
+    val nHeld = held.count()
+    // empty held set: nothing can be contaminated (and stat.bloomFilter
+    // over zero rows yields a null buffer) — short-circuit to an empty
+    // id frame, which Catalyst folds to a LocalRelation
+    if (nHeld == 0) return grams.filter(lit(false)).select("doc_id")
     val bloom = held.stat.bloomFilter("g", nHeld, BloomFpp)
-    val bloomLit = lit(graft.functions.MightContainBloom.serialize(bloom))
-    val contaminated = grams.filter(col("doc_id") >= HeldoutMax)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    grams.filter(col("doc_id") >= HeldoutMax)
       // narrow codegen Bloom prune, ~fpp survivors
-      .filter(call_function("might_contain_bloom", bloomLit, col("g")))
+      .filter(graft.functions.MightContainBloomBc.onCol(bloomBc, col("g")))
       .join(held, "g")                      // exact confirm kills false positives
       .select("doc_id").distinct()
-    Tables.documents(s, dir)
-      .filter(col("doc_id") >= HeldoutMax)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .select("doc_id")
-      .orderBy("doc_id")
   }
 
   /** Relative-error tolerance the HLL cardinality gate enforces (the
@@ -640,8 +663,10 @@ object PipelineOps {
     *      it), so the manifest no longer ships near-duplicates that
     *      exact dedup can't see;
     *   4. benchmark decontamination (verbatim [[ContamGram]]-gram
-    *      overlap with the held-out set) — broadcast semi/anti joins,
-    *      the corpus never shuffles for it;
+    *      overlap with the held-out set) — via [[contaminatedViaBloom]]:
+    *      a narrow codegen Bloom prune on the gram stream, then the
+    *      exact confirm join over the ~fpp survivors (no mandatory
+    *      broadcast of the held set — the large-held posture);
     *   5. per-source quota in salted-hash order — the two-phase
     *      [[Prims.groupedRowNumber]], no per-source window funnel;
     *   6. sequence packing — exclusive [[Prims.globalPrefixSum]] over
@@ -655,9 +680,40 @@ object PipelineOps {
     * doubles, but both engines compute the identical expression shape
     * (the `quality_score` gate pins score values bit-for-bit), so the
     * boundary is deterministic. */
-  def curateManifest(s: SparkSession, dir: String): DataFrame = {
+  def curateManifest(s: SparkSession, dir: String): DataFrame =
+    curateStages(s, dir).manifest
+
+  /** The successive stage frames of [[curateManifest]] — exposed so the
+    * stage-timing recorder (`graft.CurateStages`) can wall-clock each
+    * stage boundary without duplicating the pipeline's definition. */
+  private[graft] case class CurateStageFrames(
+      dd: DataFrame, collapsed: DataFrame, clean: DataFrame,
+      picked: DataFrame, manifest: DataFrame)
+
+  /** @param mark optional stage-timing callback `(label, seconds)` —
+    *   invoked for each EAGER construction step (toks checkpoint, the
+    *   collapse's pair-graph/cluster resolution, the Bloom build), which
+    *   is where most of the composed query's wall time lives; the lazy
+    *   remainder executes at the caller's action. Default no-op. */
+  private[graft] def curateStages(
+      s: SparkSession, dir: String,
+      mark: (String, Double) => Unit = (_, _) => ()): CurateStageFrames = {
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      mark(label, (System.nanoTime() - t0) / 1e9); r
+    }
     val docs = Tables.documents(s, dir)
-    val scored = TextAnalysis.qualityMetrics(docs)
+    // ONE corpus-tokenize pass (eagerly materialized) feeds all three
+    // text-derived stages — quality metrics, the collapse stage's shingle
+    // index, and the contamination grams — which previously each re-split
+    // the text. The checkpoint trades two corpus-tokenize passes for
+    // corpus-sized executor-local storage (see [[Prims.tokenized]]);
+    // blocks free with the RDD, no cache entry outlives the call.
+    val toks = timed("tokenize_checkpoint") {
+      Prims.tokenized(docs).localCheckpoint(true)
+    }
+    val scored = TextAnalysis.qualityMetricsFromToks(toks)
       .filter(col("score") >= CurateQualityMin)
       .select(col("doc_id"), col("n_words"))
     val q = docs.select(col("doc_id"), col("source"), md5(col("text")).as("ch"))
@@ -669,25 +725,35 @@ object PipelineOps {
     // a loser is dropped even when its cluster minimum fell to the
     // quality floor — the canonical content, not a mere list position,
     // is what the collapse keys on)
-    val collapsed = dd.join(Dedup.nearDupLosers(s, dir), Seq("doc_id"), "left_anti")
-    val grams = wordGrams(docs, ContamGram)
-    val held = grams.filter(col("doc_id") < HeldoutMax).select("g").distinct()
-    val contaminated = grams.filter(col("doc_id") >= HeldoutMax)
-      .join(broadcast(held), "g").select("doc_id").distinct()
+    val losers = timed("collapse_cluster_resolution") {
+      Dedup.nearDupLosersFromToks(s, toks)
+    }
+    val collapsed = dd.join(losers, Seq("doc_id"), "left_anti")
+    // contamination rides the Bloom prune, not a forced broadcast(held):
+    // the composed pipeline inherits decontaminate_bloom's large-held
+    // safety (bit-identical result either way)
+    val contaminated = timed("decontam_bloom_build") {
+      contaminatedViaBloom(s, wordGramsFromToks(toks, ContamGram))
+    }
     val clean = collapsed.filter(col("doc_id") >= HeldoutMax)
       .join(contaminated, Seq("doc_id"), "left_anti")
-    val picked = Prims.groupedRowNumber(
-        clean.select(col("doc_id"), col("source"), col("n_words"),
-          hash60(concat(lit("cur_"), col("doc_id"))).as("h")),
-        "pick", Seq("source"), col("h"), col("doc_id"))
-      .filter(col("pick") <= CurateQuota)
-      .select("doc_id", "source", "n_words", "pick")
-    Prims.globalPrefixSum(picked, "n_words", "cum", col("doc_id"))
-      .select(col("doc_id"), col("source"),
-        col("n_words").as("n_tokens"), col("pick"),
-        expr(s"cum div $PackCapacity").as("start_bin"),
-        (col("cum") % PackCapacity).as("start_offset"))
-      .orderBy("doc_id")
+    val picked = timed("quota_grouped_rank") {
+      Prims.groupedRowNumber(
+          clean.select(col("doc_id"), col("source"), col("n_words"),
+            hash60(concat(lit("cur_"), col("doc_id"))).as("h")),
+          "pick", Seq("source"), col("h"), col("doc_id"))
+        .filter(col("pick") <= CurateQuota)
+        .select("doc_id", "source", "n_words", "pick")
+    }
+    val manifest = timed("pack_prefix_sum") {
+      Prims.globalPrefixSum(picked, "n_words", "cum", col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          col("n_words").as("n_tokens"), col("pick"),
+          expr(s"cum div $PackCapacity").as("start_bin"),
+          (col("cum") % PackCapacity).as("start_offset"))
+        .orderBy("doc_id")
+    }
+    CurateStageFrames(dd, collapsed, clean, picked, manifest)
   }
 
   def curateManifestSql: String = {
@@ -751,16 +817,19 @@ object PipelineOps {
   def corpusHealth(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val base = docs.select(col("doc_id"), col("source"),
-      md5(col("text")).as("ch"),
-      expr(s"size($wordsExpr)").cast("long").as("toks"))
-    val scored = TextAnalysis.qualityMetrics(docs)
-      .select(col("doc_id"), (col("score") >= CurateQualityMin).as("ok"))
-    val grams = wordGrams(docs, ContamGram)
-    val held = grams.filter(col("doc_id") < HeldoutMax).select("g").distinct()
-    val contaminated = grams.filter(col("doc_id") >= HeldoutMax)
-      .join(broadcast(held), "g").select("doc_id").distinct()
+      md5(col("text")).as("ch"))
+    // one shared (checkpointed) tokenize pass feeds quality, the token
+    // counts, the contamination grams, and the collapse's shingle index
+    // — see curateStages; previously each stage re-split the text
+    val toks = Prims.tokenized(docs).localCheckpoint(true)
+    val scored = TextAnalysis.qualityMetricsFromToks(toks)
+      .select(col("doc_id"), col("n_words").as("toks"),
+        (col("score") >= CurateQualityMin).as("ok"))
+    // Bloom-pruned contamination — no forced broadcast(held), same
+    // large-held posture as decontaminate_bloom (bit-identical result)
+    val contaminated = contaminatedViaBloom(s, wordGramsFromToks(toks, ContamGram))
       .withColumn("cont", lit(1))
-    val losers = Dedup.nearDupLosers(s, dir).withColumn("loser", lit(1))
+    val losers = Dedup.nearDupLosersFromToks(s, toks).withColumn("loser", lit(1))
     base.join(scored, "doc_id")
       .join(contaminated, Seq("doc_id"), "left")
       .join(losers, Seq("doc_id"), "left")

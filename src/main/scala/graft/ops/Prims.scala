@@ -75,6 +75,18 @@ object Prims {
   /** DuckDB twin of [[wordsExpr]] for generated oracle SQL. */
   val wordsSql = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
+  /** The `(doc_id, ws)` tokenized projection of a documents frame — the
+    * ONE corpus-tokenize pass composed pipelines share. Operators that
+    * consume several gram views of the same corpus (quality metrics,
+    * shingle index, contamination grams) take this frame via their
+    * `…FromToks` variants, so a composed plan tokenizes once instead of
+    * once per stage; the composer decides whether to materialize it
+    * (eager localCheckpoint: trades one tokenize pass per extra consumer
+    * against corpus-sized executor-local storage — the right trade when
+    * three stages would otherwise each re-split 100 TB of text). */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(wordsExpr).as("ws"))
+
   /** Two-phase global row number over the total order given by
     * `sortCols` (which must order rows uniquely): ONE range exchange +
     * within-partition sort, then `monotonically_increasing_id()` — whose

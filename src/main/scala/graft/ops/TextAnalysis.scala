@@ -75,10 +75,15 @@ object TextAnalysis {
     * DataFrame (stateless lift: the batch query and the streaming form
     * share this single definition; StreamingLiftSpec pins the
     * equivalence). */
-  private[graft] def qualityMetrics(docs: DataFrame): DataFrame = {
+  private[graft] def qualityMetrics(docs: DataFrame): DataFrame =
+    qualityMetricsFromToks(Prims.tokenized(docs))
+
+  /** [[qualityMetrics]] over a pre-tokenized `(doc_id, ws)` frame —
+    * composed pipelines (curate_manifest, corpus_health) feed this from
+    * their one shared corpus-tokenize pass. */
+  private[graft] def qualityMetricsFromToks(toks: DataFrame): DataFrame = {
     val enStops = StopWords("en").map(w => s"'$w'").mkString(", ")
-    docs
-      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+    toks
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         size(array_distinct(col("ws"))).cast("long").as("n_distinct"),

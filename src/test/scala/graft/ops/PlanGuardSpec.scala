@@ -14,9 +14,12 @@ import graft.{SparkEntry, SparkSpec}
   */
 object PlanGuardSpec {
   /** Shuffle (non-broadcast) Exchange nodes in a plan string — the
-    * counting rule shared by the budget test and DumpExchangeBudgets. */
+    * counting rule shared by the budget test and DumpExchangeBudgets.
+    * Excludes ReusedExchange too: a reuse executes no new shuffle, and
+    * counting it would misattribute a reused BroadcastExchange as a
+    * shuffle in the budget diff. */
   def shuffleExchanges(plan: String): Int =
-    "(?<!Broadcast)Exchange ".r.findAllIn(plan).size
+    "(?<!Broadcast)(?<!Reused)Exchange ".r.findAllIn(plan).size
 }
 
 class PlanGuardSpec extends SparkSpec {
@@ -52,7 +55,7 @@ class PlanGuardSpec extends SparkSpec {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     narrowQueries.foreach { name =>
       val plan = SparkEntry.queries(name)(s, dir).queryExecution.executedPlan.toString
-      val n = "(?<!Broadcast)Exchange ".r.findAllIn(plan).size
+      val n = PlanGuardSpec.shuffleExchanges(plan)
       if (n > 1) offenders += s"$name: $n exchanges"
       graft.HarnessUtil.releaseAll(s)
     }
@@ -74,7 +77,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_lsh_pairs" -> 4,
     "ann_topk" -> 2,
     "coprocess_merge" -> 2,
-    "corpus_health" -> 8,
+    "corpus_health" -> 7,
     "corpus_pack" -> 1,
     "corpus_shuffle" -> 1,
     "corpus_stats" -> 4,
