@@ -308,8 +308,8 @@ object Similarity {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, Boolean), Seq[(Long, Seq[Long])]]]())
 
-  private def codebookFor(s: SparkSession, dir: String,
-                          sampled: Boolean): Seq[(Long, Seq[Long])] =
+  private[graft] def codebookFor(s: SparkSession, dir: String,
+                                 sampled: Boolean): Seq[(Long, Seq[Long])] =
     codebookMemo
       .computeIfAbsent(s, _ =>
         new java.util.concurrent.ConcurrentHashMap[(String, Boolean), Seq[(Long, Seq[Long])]]())
@@ -600,7 +600,17 @@ object Similarity {
     * key. Quantized-int64 dots; the cosine is the same double
     * expression shape as `cosine_near_dup`, so the oracle matches
     * bit-for-bit. */
-  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(s, dir, SemTau, MaxSemCluster)
+
+  /** Parameterized form: `tau` is the duplicate-cosine threshold (the
+    * harness default [[SemTau]] is tuned to the near-orthogonal synthetic
+    * fixture; real paraphrase embeddings want ~0.95), `maxCluster` the
+    * hub-star degradation cap — mirroring `StreamingSemanticDedup.apply`,
+    * which already takes tau/cap, so the batch operator is usable on real
+    * data without a code edit. */
+  def semanticDedup(s: SparkSession, dir: String,
+                    tau: Double, maxCluster: Int): DataFrame = {
     import s.implicits._
     import graft.functions.QDot
     val centRows = codebookFor(s, dir, sampled = true)
@@ -624,20 +634,20 @@ object Similarity {
     val cstats = assigned.groupBy("list_id")
       .agg(count(lit(1)).as("cn"), min("vec_id").as("hub"))
     val small = assigned.join(
-      broadcast(cstats.filter(col("cn") <= MaxSemCluster).select("list_id")),
+      broadcast(cstats.filter(col("cn") <= maxCluster).select("list_id")),
       Seq("list_id"))
     val dupSmall = small.as("a").join(small.as("b"),
         col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id"))
-      .filter(cosine(col("a.qv"), col("b.qv")) >= SemTau)
+      .filter(cosine(col("a.qv"), col("b.qv")) >= tau)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    val hot = cstats.filter(col("cn") > MaxSemCluster).select("list_id", "hub")
+    val hot = cstats.filter(col("cn") > maxCluster).select("list_id", "hub")
     val hubVecs = assigned.join(
         broadcast(hot.select(col("hub").as("vec_id")).distinct()), Seq("vec_id"))
       .select(col("vec_id").as("hub"), col("qv").as("hubqv"))
     val dupHot = assigned.join(broadcast(hot), Seq("list_id"))
       .filter(col("vec_id") =!= col("hub"))
       .join(broadcast(hubVecs), Seq("hub"))
-      .filter(cosine(col("hubqv"), col("qv")) >= SemTau)
+      .filter(cosine(col("hubqv"), col("qv")) >= tau)
       .select("vec_id").distinct()
     assigned.select("vec_id", "list_id")
       .join(dupSmall.unionByName(dupHot).distinct()
@@ -699,7 +709,17 @@ object Similarity {
     * PERSIST between ingests; here it derives inline from the same
     * fixture for oracle parity, and the codebook is the index's own
     * sample-trained one (what a shipped index carries). */
-  def semanticIncremental(s: SparkSession, dir: String): DataFrame = {
+  def semanticIncremental(s: SparkSession, dir: String): DataFrame =
+    semanticIncremental(s, dir, SemTau, SemIngestSplit, MaxSemCluster)
+
+  /** Parameterized form: `tau` the duplicate-cosine threshold,
+    * `ingestSplit` the index/batch id boundary (the harness default
+    * [[SemIngestSplit]] is a fixture stand-in — a real deployment feeds
+    * its persisted index's id horizon), `maxCluster` the hub-star cap —
+    * so the ingest operator is usable on real data without a code edit
+    * (mirrors `StreamingSemanticDedup.apply`'s tau/cap parameters). */
+  def semanticIncremental(s: SparkSession, dir: String, tau: Double,
+                          ingestSplit: Long, maxCluster: Int): DataFrame = {
     import s.implicits._
     import graft.functions.QDot
     val centRows = codebookFor(s, dir, sampled = true)
@@ -717,25 +737,25 @@ object Similarity {
     def cosine(aq: org.apache.spark.sql.Column, bq: org.apache.spark.sql.Column) =
       QDot(aq, bq).cast("double") /
         (sqrt(QDot(aq, aq).cast("double")) * sqrt(QDot(bq, bq).cast("double")))
-    val index = assigned.filter(col("vec_id") < SemIngestSplit)
-    val batch = assigned.filter(col("vec_id") >= SemIngestSplit)
+    val index = assigned.filter(col("vec_id") < ingestSplit)
+    val batch = assigned.filter(col("vec_id") >= ingestSplit)
     // per-cluster index occupancy — k rows, broadcast at every use
     val istats = index.groupBy("list_id")
       .agg(count(lit(1)).as("cn"), min("vec_id").as("hub"))
     val smallIdx = index.join(
-      broadcast(istats.filter(col("cn") <= MaxSemCluster).select("list_id")),
+      broadcast(istats.filter(col("cn") <= maxCluster).select("list_id")),
       Seq("list_id"))
     val dupSmall = batch.as("b").join(smallIdx.as("i"),
         col("b.list_id") === col("i.list_id"))
-      .filter(cosine(col("i.qv"), col("b.qv")) >= SemTau)
+      .filter(cosine(col("i.qv"), col("b.qv")) >= tau)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    val hot = istats.filter(col("cn") > MaxSemCluster).select("list_id", "hub")
+    val hot = istats.filter(col("cn") > maxCluster).select("list_id", "hub")
     val hubVecs = index.join(
         broadcast(hot.select(col("hub").as("vec_id")).distinct()), Seq("vec_id"))
       .select(col("vec_id").as("hub"), col("qv").as("hubqv"))
     val dupHot = batch.join(broadcast(hot), Seq("list_id"))
       .join(broadcast(hubVecs), Seq("hub"))
-      .filter(cosine(col("hubqv"), col("qv")) >= SemTau)
+      .filter(cosine(col("hubqv"), col("qv")) >= tau)
       .select("vec_id").distinct()
     batch.select("vec_id", "list_id")
       .join(dupSmall.unionByName(dupHot).distinct()

@@ -56,6 +56,18 @@ object StreamingNearDup {
   /** Cap on per-bucket membership state (and thus per-arrival fan-out). */
   val MaxBucket = 64
 
+  /** CHECKPOINT COMPATIBILITY: `bsig` changed from String (the raw
+    * comma-joined band values) to Long (their hash60) in round 8 — this
+    * changes the flatMapGroupsWithState KEY ENCODER, so a streaming
+    * query restarting from a pre-change checkpoint fails state-schema
+    * validation (or would mis-read state on Spark versions without the
+    * check). There is no compatibility shim: restart such queries from
+    * a fresh checkpoint (re-prime via [[withIndex]]). Also note hash60
+    * is 60-bit, so a collision can merge two unrelated buckets into
+    * spurious candidate pairs — acceptable for an LSH candidate
+    * GENERATOR (downstream verification filters them) and consistent
+    * with the batch key, but unrecoverable from the emitted pair alone,
+    * which carries no signature. */
   final case class Banded(docId: Long, band: Int, bsig: Long)
   final case class CandPair(docA: Long, docB: Long, band: Int)
   final case class BucketMembers(members: Vector[Long])

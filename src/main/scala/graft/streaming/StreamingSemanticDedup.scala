@@ -112,4 +112,37 @@ object StreamingSemanticDedup {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         handle(tau, cap))
   }
+
+  /** INDEX-PRIMED streaming semantic dedup: the streaming twin of the
+    * batch `semantic_incremental`, completing the family's withIndex
+    * surface ([[StreamingNearDup.withIndex]] is the MinHash analogue).
+    * Per-cluster member state starts PRE-POPULATED from a historical
+    * corpus (batch `index` of (vec_id, embedding) rows, assigned by the
+    * SAME codebook arithmetic and folded to capped member sets sorted by
+    * vec_id — so a saturated cluster's hub is the index minimum, exactly
+    * the batch twin's hub rule), so a streamed vector is compared
+    * against everything the corpus already contains from its very first
+    * micro-batch, while WITHIN-INDEX pairs are never emitted (they were
+    * state, not input — re-deduping the index is batch work). */
+  def withIndex(vecs: DataFrame, index: DataFrame,
+                codebook: Seq[(Long, Seq[Long])],
+                tau: Double = 0.4,
+                cap: Int = MaxClusterMembers): Dataset[SemPair] = {
+    implicit val aEnc = Encoders.product[Assigned]
+    implicit val kEnc = Encoders.scalaLong
+    implicit val pEnc = Encoders.product[SemPair]
+    implicit val sEnc = Encoders.product[ClusterMembers]
+    implicit val kvEnc = Encoders.tuple(kEnc, sEnc)
+    val initial = assigned(index, codebook).as[Assigned]
+      .groupByKey(_.cluster)
+      .mapGroups { (k, it) =>
+        (k, ClusterMembers(
+          it.map(a => (a.vecId, a.qv)).toVector.sortBy(_._1).take(cap)))
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    assigned(vecs, codebook).as[Assigned]
+      .groupByKey(_.cluster)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout(),
+        initial)(handle(tau, cap))
+  }
 }

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import StreamingNearDup.CandPair
+import StreamingSemanticDedup.SemPair
+
+/** The composed streaming curation pipeline replayed over the SAME
+  * fixture split the batch incremental operators use (index = ids <
+  * 400, ingest = ids ≥ 400), asserting the stream-side classifications
+  * reproduce `dedup_incremental` (exact|near|fresh) and
+  * `semantic_incremental` (dup|fresh) EXACTLY — the round-8 verdict's
+  * "streaming twin" done-criterion. */
+class StreamingCurationSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val Split = 400L // = Dedup.IngestSplit = Similarity.SemIngestSplit
+
+  test("streaming curation reproduces dedup_incremental + semantic_incremental") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // batch ground truth (the operators the twin must reproduce)
+    val expDocs = Dedup.dedupIncremental(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expSem = Similarity.semanticIncremental(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(expDocs.nonEmpty && expSem.nonEmpty)
+
+    val docsAll = Tables.documents(s, dir).select("doc_id", "text")
+    val vecsAll = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val indexDocs = docsAll.filter(col("doc_id") < Split)
+    val indexVecs = vecsAll.filter(col("vec_id") < Split)
+    val codebook = Similarity.codebookFor(s, dir, sampled = true)
+
+    // Equivalence premise for the SEMANTIC axis: the batch operator
+    // compares a new vector against ALL index members of its cluster
+    // only while index occupancy ≤ 100 (beyond that it degrades to the
+    // hub) — the stream side is run UNSATURATED (cap > any occupancy),
+    // so the fixture must stay under the batch threshold for the two
+    // shapes to coincide. Assert the premise rather than assume it.
+    val occupancy = StreamingSemanticDedup.assigned(indexVecs, codebook)
+      .groupBy("cluster").count().agg(org.apache.spark.sql.functions.max("count"))
+      .head().getLong(0)
+    assert(occupancy <= 100,
+      s"fixture premise broken: max index cluster occupancy $occupancy > 100 " +
+        "(batch would hub-degrade; raise the spec's caps analysis)")
+
+    val streamDocs = docsAll.filter(col("doc_id") >= Split)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val streamVecs = vecsAll.filter(col("vec_id") >= Split)
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+
+    val docIn = MemoryStream[(Long, String)]
+    val vecIn = MemoryStream[(Long, Seq[Float])]
+    val cs = StreamingCuration(
+      docIn.toDF().toDF("doc_id", "text"),
+      vecIn.toDF().toDF("vec_id", "embedding"),
+      indexDocs, indexVecs, codebook,
+      tau = 0.4, semCap = streamVecs.size + 500)
+    val qe = cs.exact.writeStream.format("memory").queryName("cur_exact")
+      .outputMode("append").start()
+    val qn = cs.near.writeStream.format("memory").queryName("cur_near")
+      .outputMode("append").start()
+    val qv = cs.semantic.writeStream.format("memory").queryName("cur_sem")
+      .outputMode("append").start()
+    try {
+      // replay the ingest in two micro-batches (state must carry across)
+      val (d1, d2) = streamDocs.splitAt(streamDocs.size / 2)
+      val (v1, v2) = streamVecs.splitAt(streamVecs.size / 2)
+      docIn.addData(d1); vecIn.addData(v1)
+      Seq(qe, qn, qv).foreach(_.processAllAvailable())
+      docIn.addData(d2); vecIn.addData(v2)
+      Seq(qe, qn, qv).foreach(_.processAllAvailable())
+
+      // a stream doc is a duplicate ON AN AXIS iff a pair surfaced whose
+      // partner is an INDEX member; pairs among stream docs are
+      // within-batch duplicates the batch operators never generate
+      val exactIds = s.table("cur_exact").as[StreamingCuration.ExactDup]
+        .collect().filter(_.partner < Split).map(_.docId).toSet
+      val nearIds = s.table("cur_near").as[CandPair]
+        .collect().filter(p => p.docA < Split && p.docB >= Split).map(_.docB).toSet
+      val semIds = s.table("cur_sem").as[SemPair]
+        .collect().filter(p => p.vecA < Split && p.vecB >= Split).map(_.vecB).toSet
+
+      val gotDocs = streamDocs.map(_._1).map { id =>
+        id -> (if (exactIds(id)) "exact"
+               else if (nearIds(id)) "near" else "fresh")
+      }.toMap
+      val gotSem = streamVecs.map(_._1).map { id =>
+        id -> (if (semIds(id)) "dup" else "fresh")
+      }.toMap
+
+      assert(gotDocs == expDocs,
+        s"doc-axis mismatch: ${(gotDocs.toSet diff expDocs.toSet).take(5)} vs " +
+          s"${(expDocs.toSet diff gotDocs.toSet).take(5)}")
+      assert(gotSem == expSem,
+        s"semantic-axis mismatch: ${(gotSem.toSet diff expSem.toSet).take(5)} vs " +
+          s"${(expSem.toSet diff gotSem.toSet).take(5)}")
+      // the replay must actually exercise the near/semantic classifiers,
+      // or the equality above could pass vacuously on an all-fresh
+      // fixture (the sf0.001 ingest half contains no cross-split EXACT
+      // duplicate — that axis is pinned by the exactWithIndex unit test
+      // below instead)
+      assert(expDocs.values.exists(_ == "near"))
+      assert(expSem.values.exists(_ == "dup"))
+    } finally { qe.stop(); qn.stop(); qv.stop() }
+  }
+
+  test("exactWithIndex: keep-first ownership, index-primed, batch-internal dups attributed to stream owner") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val index = Seq((1L, "indexed content"), (5L, "indexed content")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCuration.exactWithIndex(
+        input.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("cur_ex_unit")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "indexed content"), (11L, "fresh content"), (12L, "fresh content"))
+      q.processAllAvailable()
+      input.addData((13L, "fresh content"), (14L, "indexed content"))
+      q.processAllAvailable()
+      val got = s.table("cur_ex_unit").as[StreamingCuration.ExactDup].collect().toSet
+      // 10/14 duplicate the INDEX owner (min id 1); 11 takes ownership of
+      // the fresh hash, 12/13 duplicate it ACROSS micro-batches
+      assert(got == Set(
+        StreamingCuration.ExactDup(10L, 1L),
+        StreamingCuration.ExactDup(14L, 1L),
+        StreamingCuration.ExactDup(12L, 11L),
+        StreamingCuration.ExactDup(13L, 11L)))
+    } finally q.stop()
+  }
+}
