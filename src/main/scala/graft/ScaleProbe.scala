@@ -128,6 +128,129 @@ object ScaleProbe {
     }
   }
 
+  /** `semantic` mode: the round-8 gap — probe the semantic family
+    * (`semantic_dedup`, `semantic_incremental`, `embed_cluster_profile`)
+    * at 10× volume on the honest replica, then on a HOSTILE distribution
+    * (every embedding IDENTICAL, so k-means seeds coincide, the
+    * (d2, cent_id) tie-break sends every vector to cluster 0, and the
+    * one cluster holds the whole corpus at cosine 1.0): the hot-cluster
+    * hub-star guard must hold — wall time follows VOLUME (≈10× at 10×),
+    * never occupancy² — and the probe ASSERTS the distribution really is
+    * one total cluster and that the collapse kept exactly the hub. */
+  private def semanticProbe(spark: SparkSession, src: String, big: String): Unit = {
+    val qs = Seq("semantic_dedup", "semantic_incremental", "embed_cluster_profile")
+    def time1(n: String, dir: String): (Double, Long) = {
+      val fn = SparkEntry.queries(n)
+      fn(spark, dir).count() // warm (includes one-off memoized codebook training)
+      HarnessUtil.releaseAll(spark)
+      val t0 = System.nanoTime()
+      val rows = fn(spark, dir).count()
+      HarnessUtil.releaseAll(spark)
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"10x"}%8s ${"ratio"}%6s")
+    qs.foreach { n =>
+      val (a, _) = time1(n, src)
+      val (b, _) = time1(n, big)
+      println(f"$n%-24s $a%8.2f $b%8.2f ${b / a}%6.1f")
+    }
+    // hostile corpora: identical embeddings, 1x and 10x volume
+    for (mult <- Seq(1, 10)) {
+      val dir = s"/tmp/graft_sem_hostile_$mult"
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val base = spark.read.parquet(s"$src/embeddings.parquet")
+        val copies = spark.range(mult).select(col("id").as("copy"))
+        base.crossJoin(copies)
+          .withColumn("vec_id", col("vec_id") + col("copy") * 1000000L)
+          .withColumn("embedding",
+            expr("transform(sequence(1, 64), i -> CAST(1.0 AS FLOAT))"))
+          .drop("copy")
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+    }
+    val hostile = Seq(1, 10).map { mult =>
+      val dir = s"/tmp/graft_sem_hostile_$mult"
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      // the distribution must BE the hostile case: one cluster holds all
+      val occ = graft.ops.Similarity.semanticDedup(spark, dir)
+        .groupBy("cluster_id").count()
+        .agg(max("count")).head().getLong(0)
+      require(occ == n, s"hostile corpus not one-cluster: max occupancy $occ of $n")
+      // and the collapse must keep exactly the hub (everything else is a
+      // cosine-1.0 duplicate reached through the hub star)
+      val kept = graft.ops.Similarity.semanticDedup(spark, dir)
+        .filter(col("kept")).count()
+      require(kept == 1, s"hostile collapse kept $kept vectors, expected the hub only")
+      HarnessUtil.releaseAll(spark)
+      val (sec, _) = time1("semantic_dedup", dir)
+      println(f"semantic_dedup hostile ${mult}x: n=$n%,d one-cluster occ=$occ%,d " +
+        f"kept=$kept sec=$sec%.2f")
+      sec
+    }
+    println(f"hostile wall ratio (10x/1x, hub-star bound says ~linear): " +
+      f"${hostile(1) / hostile(0)}%.1f")
+  }
+
+  /** `skew` mode: the probe that ADJUDICATED (and removed) the former
+    * `Skew.saltedAgg` API — a hot-key (50% of all rows on ONE key)
+    * aggregation, direct groupBy vs the two-stage salted rewrite
+    * (inlined below, preserved as reproducible evidence), at 10M and
+    * 100M rows. For ALGEBRAIC aggregates Spark's map-side partial
+    * aggregation already collapses a hot key to one row PER MAP TASK
+    * before the exchange, so the hot key's reducer receives ≤ #maps rows
+    * regardless of skew — the salted form can only add a second shuffle
+    * on top of that. Measured (local[32], r9): direct 1.15 s / salted
+    * 1.21 s at 10M; direct 4.25 s / salted 5.16 s at 100M — the salted
+    * "guard rail" is strictly a regression wherever partial aggregation
+    * exists, which is every aggregate the API's own doc scoped it to
+    * (sum/count/min/max). Aggregation skew that partial aggregation
+    * canNOT absorb (per-group ORDERING, collect_list-sized state) is
+    * handled where it arises: `Prims.groupedRowNumber`'s two-phase rank
+    * and the edge-count-gated cluster paths. Join-side skew belongs to
+    * AQE's skew-join handling. */
+  private def skewProbe(spark: SparkSession): Unit = {
+    for (n <- Seq(10000000L, 100000000L)) {
+      // materialize the input ONCE (outside every timing) so both arms
+      // aggregate identical checkpointed blocks — otherwise the 100M-row
+      // generation+repartition dominates and the arms differ only in
+      // noise; median-of-3 with forced GC for the same reason
+      val df = spark.range(n).select(
+          when(pmod(col("id"), lit(2)) === 0, lit(0L))
+            .otherwise(pmod(col("id"), lit(100000L))).as("k"),
+          (col("id") % 1000).as("v"))
+        .repartition(32)
+        .localCheckpoint(true)
+      def time(label: String)(mk: => DataFrame): Unit = {
+        mk.count() // warm
+        // NOT releaseAll between samples: that would drop df's checkpoint
+        // blocks (the very input under test); the agg arms pin nothing
+        // themselves, so a forced GC alone keeps samples independent
+        System.gc()
+        val samples = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          mk.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.gc()
+          dt
+        }.sorted
+        println(f"skew n=$n%-11d $label%-8s med=${samples(1)}%6.2f s " +
+          f"(min=${samples.head}%.2f max=${samples.last}%.2f)")
+      }
+      time("direct") {
+        df.groupBy(col("k")).agg(sum("v").as("s"), count(lit(1)).as("c"))
+      }
+      time("salted") {
+        df.withColumn("__salt",
+            pmod(spark_partition_id() + monotonically_increasing_id(), lit(32)))
+          .groupBy(col("k"), col("__salt"))
+          .agg(sum("v").as("s"), count(lit(1)).as("c"))
+          .groupBy(col("k"))
+          .agg(sum("s").as("s"), sum("c").as("c"))
+      }
+      HarnessUtil.releaseAll(spark, gc = true) // now df's blocks may go
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -153,6 +276,14 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ivftrain")) {
       ivfTrainProbe(spark, src, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
+      spark.stop(); return
+    }
+    if (args.headOption.contains("semantic")) {
+      semanticProbe(spark, src, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
+      spark.stop(); return
+    }
+    if (args.headOption.contains("skew")) {
+      skewProbe(spark)
       spark.stop(); return
     }
     val out = "/tmp/graft_sf1_synth"
