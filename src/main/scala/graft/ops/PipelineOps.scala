@@ -116,9 +116,10 @@ object PipelineOps {
     * gram string + hash-table overhead: a 100M-gram benchmark suite is a
     * ~120 MB filter vs multi-GB of strings). The filter is built in one
     * distributed aggregation (`stat.bloomFilter`) and applied as the
-    * PRUNE itself — a narrow codegen scan ([[graft.functions.MightContainBloom]],
-    * the serialized filter rides the plan's reference array and Spark's
-    * task-binary broadcast) BEFORE the exact membership join, so only
+    * PRUNE itself — a narrow codegen scan
+    * ([[graft.functions.MightContainBloomBc]]: the filter ships via a
+    * `SparkContext.broadcast` handle, once per executor, deserialized
+    * once per executor) BEFORE the exact membership join, so only
     * the ~fpp fraction of non-matching grams (plus true hits) ever
     * reaches a shuffle. The exact join then removes Bloom false
     * positives, so the RESULT is bit-identical to [[decontaminate]] —
@@ -436,7 +437,7 @@ object PipelineOps {
        |  TRUE AS p50_ok, TRUE AS p95_ok
        |FROM r JOIN a USING (lang) GROUP BY r.lang ORDER BY r.lang""".stripMargin
 
-  private val PackCapacity = 1024L // context length in tokens per bin
+  private[graft] val PackCapacity = 1024L // context length in tokens per bin
 
   /** corpus_pack: sequence packing — concatenate the corpus's token
     * stream in a deterministic global order and cut it every
@@ -449,10 +450,16 @@ object PipelineOps {
     * collect, never a single-partition sort; bin assembly downstream is
     * then embarrassingly parallel by start_bin. */
   def corpusPack(s: SparkSession, dir: String): DataFrame =
-    Prims.globalPrefixSum(
-        Tables.documents(s, dir)
-          .select(col("doc_id"), expr(s"size($wordsExpr)").cast("long").as("n_tokens")),
-        "n_tokens", "cum_before", col("doc_id"))
+    corpusPackFrom(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr(s"size($wordsExpr)").cast("long").as("n_tokens")))
+
+  /** [[corpusPack]] over a bare `(doc_id, n_tokens)` frame — the packing
+    * core, factored out so PackReconcileSpec can property-check the
+    * doc-side and bin-side views against each other on generated
+    * corpora. */
+  private[graft] def corpusPackFrom(toklens: DataFrame): DataFrame =
+    Prims.globalPrefixSum(toklens, "n_tokens", "cum_before", col("doc_id"))
       .select(col("doc_id"), col("n_tokens"),
         expr(s"cum_before div $PackCapacity").as("start_bin"),
         (col("cum_before") % PackCapacity).as("start_offset"))
@@ -483,11 +490,16 @@ object PipelineOps {
     * bin id. The per-bin doc list is bounded by capacity (at most
     * capacity docs can start in one bin, plus one straddler), so the
     * collect is per-group bounded — never an unbounded collect_list. */
-  def packBins(s: SparkSession, dir: String): DataFrame = {
+  def packBins(s: SparkSession, dir: String): DataFrame =
+    packBinsFrom(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr(s"size($wordsExpr)").cast("long").as("n_tokens")))
+
+  /** [[packBins]] over a bare `(doc_id, n_tokens)` frame (see
+    * [[corpusPackFrom]]). */
+  private[graft] def packBinsFrom(toklens: DataFrame): DataFrame = {
     val placed = Prims.globalPrefixSum(
-        Tables.documents(s, dir)
-          .select(col("doc_id"), expr(s"size($wordsExpr)").cast("long").as("n_tokens"))
-          .filter(col("n_tokens") >= 1), // a 0-token doc occupies no bin
+        toklens.filter(col("n_tokens") >= 1), // a 0-token doc occupies no bin
         "n_tokens", "cum_before", col("doc_id"))
     placed
       .select(col("doc_id"), col("n_tokens"), col("cum_before"),
