@@ -87,4 +87,62 @@ class MightContainBloomSpec extends SparkSpec {
     assert(bloomed == exact, "Bloom path must be bit-identical to the exact path")
     graft.HarnessUtil.releaseAll(spark)
   }
+
+  // ---- broadcast-handle form (MightContainBloomBc) -------------------
+
+  test("bc form agrees with the literal form and the driver-side filter") {
+    val s = spark
+    import s.implicits._
+    val members = (1 to 200).map(i => s"held gram $i")
+    val probes = members ++ (1 to 500).map(i => s"fresh gram $i") ++
+      Seq("", "类别A äöü€", "a" * 500)
+    val bf = buildFilter(members)
+    val bytes = MightContainBloom.serialize(bf)
+    val bc = s.sparkContext.broadcast(bf)
+    val got = probes.toDF("g")
+      .select(col("g"),
+        MightContainBloomBc.onCol(bc, col("g")).as("viaBc"),
+        call_function("might_contain_bloom", lit(bytes), col("g")).as("viaLit"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    got.foreach { case (g, viaBc, viaLit) =>
+      assert(viaBc == viaLit, s"bc/literal disagreement on '$g'")
+      assert(viaBc == bf.mightContainString(g), s"bc disagrees with filter on '$g'")
+    }
+    members.foreach(m =>
+      assert(got.find(_._1 == m).get._2, s"bc false negative on member '$m'"))
+  }
+
+  test("bc form: codegen and interpreted paths agree; null value -> null") {
+    val s = spark
+    import s.implicits._
+    val bf = buildFilter((1 to 50).map(i => s"m$i"))
+    val bc = s.sparkContext.broadcast(bf)
+    val df = ((1 to 50).map(i => s"m$i") ++ (1 to 50).map(i => s"x$i")).toDF("g")
+    def run() = df.select(MightContainBloomBc.onCol(bc, col("g")).as("m"))
+      .collect().map(_.getBoolean(0)).toSeq
+    val prev = s.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val codegenOnly = try {
+      s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      run()
+    } finally s.conf.set("spark.sql.codegen.factoryMode", prev)
+    val interpreted = try {
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      run()
+    } finally s.conf.set("spark.sql.codegen.factoryMode", prev)
+    assert(codegenOnly == interpreted)
+    assert(codegenOnly.count(identity) >= 50) // all members hit
+    val rNull = Seq(Tuple1("a")).toDF("g")
+      .select(MightContainBloomBc.onCol(bc, lit(null).cast("string")).as("m"))
+      .collect().head
+    assert(rNull.isNullAt(0))
+  }
+
+  test("decontaminate_bloom's prune rides the broadcast handle, not a plan literal") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = graft.ops.PipelineOps.decontaminateBloom(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain_bloom_bc"),
+      "prune must be the broadcast-handle expression")
+    graft.HarnessUtil.releaseAll(spark)
+  }
 }
