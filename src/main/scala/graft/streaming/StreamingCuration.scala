@@ -26,12 +26,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * same input (they key state differently — hash, (band,bsig), cluster —
   * so they cannot share a shuffle), each an independent
   * flatMapGroupsWithState whose state was primed from the same corpus
-  * snapshot. They are exposed as three streams rather than one union:
-  * Spark's unsupported-operation checker rejects unioning multiple
-  * flatMapGroupsWithState branches into one streaming query, and three
-  * queries over one source is also the OPERATIONALLY right shape (each
-  * classifier scales, checkpoints, and restarts independently; a
-  * downstream consumer joins verdicts by doc id at its own pace).
+  * snapshot. Two shapes are offered:
+  *   - [[apply]]: three separate streams — each classifier scales,
+  *     checkpoints, and restarts independently (the operationally
+  *     conservative shape; also the only one where the semantic axis
+  *     can consume a different physical stream of (vec_id, embedding));
+  *   - [[docVerdicts]]: the doc-side classifiers (exact + near) UNIONED
+  *     into one streaming query emitting (doc_id, stage, partner) —
+  *     Spark 4 supports multiple flatMapGroupsWithState branches in one
+  *     append-mode query, and one query is the right shape when a
+  *     single sink wants the merged verdict stream
+  *     (StreamingCurationSpec runs this form against the batch
+  *     operators' classifications).
   *
   * A document is a DUPLICATE on an axis iff a pair surfaces whose
   * partner is an INDEX member (`partner < indexIdHorizon` — index ids
@@ -94,6 +100,25 @@ object StreamingCuration {
         out.result().iterator
       }
   }
+
+  /** Doc-side verdicts (exact + near) as ONE streaming query:
+    * (doc_id, stage ∈ exact|near, partner). The exact rows carry the
+    * hash owner as partner; the near rows carry the bucket co-member
+    * (`CandPair.docA`, the pair minimum). For an arrival classified
+    * against the INDEX the arrival is always the pair MAXIMUM (index
+    * ids precede stream ids), so `partner < indexIdHorizon` selects
+    * index-duplicates exactly; rows where partner is another stream doc
+    * are within-batch duplicates (and for an out-of-id-order stream
+    * pair, `doc_id` is then the remembered member, not the arrival —
+    * consumers filtering on the partner id are unaffected). */
+  def docVerdicts(docs: DataFrame, indexDocs: DataFrame,
+                  nearCap: Int = StreamingNearDup.MaxBucket): DataFrame =
+    exactWithIndex(docs, indexDocs).toDF()
+      .select(col("docId").as("doc_id"), lit("exact").as("stage"), col("partner"))
+      .unionByName(
+        StreamingNearDup.withIndex(docs, indexDocs, nearCap).toDF()
+          .select(col("docB").as("doc_id"), lit("near").as("stage"),
+            col("docA").as("partner")))
 
   /** The three classified verdict streams over one ingest source. */
   final case class CurationStreams(

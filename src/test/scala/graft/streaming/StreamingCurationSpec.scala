@@ -4,7 +4,7 @@ import graft.{SparkSpec, Tables}
 import graft.ops.{Dedup, Similarity}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
-import StreamingNearDup.CandPair
+
 import StreamingSemanticDedup.SemPair
 
 /** The composed streaming curation pipeline replayed over the SAME
@@ -56,33 +56,36 @@ class StreamingCurationSpec extends SparkSpec {
 
     val docIn = MemoryStream[(Long, String)]
     val vecIn = MemoryStream[(Long, Seq[Float])]
-    val cs = StreamingCuration(
-      docIn.toDF().toDF("doc_id", "text"),
-      vecIn.toDF().toDF("vec_id", "embedding"),
-      indexDocs, indexVecs, codebook,
-      tau = 0.4, semCap = streamVecs.size + 500)
-    val qe = cs.exact.writeStream.format("memory").queryName("cur_exact")
+    // doc axes (exact + near) as the ONE-QUERY unioned form — this is
+    // also the proof that two flatMapGroupsWithState branches compose
+    // into a single append-mode streaming query with correct state
+    val qd = StreamingCuration.docVerdicts(
+        docIn.toDF().toDF("doc_id", "text"), indexDocs)
+      .writeStream.format("memory").queryName("cur_docs")
       .outputMode("append").start()
-    val qn = cs.near.writeStream.format("memory").queryName("cur_near")
-      .outputMode("append").start()
-    val qv = cs.semantic.writeStream.format("memory").queryName("cur_sem")
+    val qv = StreamingSemanticDedup.withIndex(
+        vecIn.toDF().toDF("vec_id", "embedding"), indexVecs, codebook,
+        tau = 0.4, cap = streamVecs.size + 500)
+      .writeStream.format("memory").queryName("cur_sem")
       .outputMode("append").start()
     try {
       // replay the ingest in two micro-batches (state must carry across)
       val (d1, d2) = streamDocs.splitAt(streamDocs.size / 2)
       val (v1, v2) = streamVecs.splitAt(streamVecs.size / 2)
       docIn.addData(d1); vecIn.addData(v1)
-      Seq(qe, qn, qv).foreach(_.processAllAvailable())
+      Seq(qd, qv).foreach(_.processAllAvailable())
       docIn.addData(d2); vecIn.addData(v2)
-      Seq(qe, qn, qv).foreach(_.processAllAvailable())
+      Seq(qd, qv).foreach(_.processAllAvailable())
 
-      // a stream doc is a duplicate ON AN AXIS iff a pair surfaced whose
-      // partner is an INDEX member; pairs among stream docs are
-      // within-batch duplicates the batch operators never generate
-      val exactIds = s.table("cur_exact").as[StreamingCuration.ExactDup]
-        .collect().filter(_.partner < Split).map(_.docId).toSet
-      val nearIds = s.table("cur_near").as[CandPair]
-        .collect().filter(p => p.docA < Split && p.docB >= Split).map(_.docB).toSet
+      // a stream doc is a duplicate ON AN AXIS iff a verdict surfaced
+      // whose partner is an INDEX member; rows whose partner is another
+      // stream doc are within-batch duplicates the batch operators never
+      // generate
+      val verdicts = s.table("cur_docs").as[(Long, String, Long)].collect()
+      val exactIds = verdicts
+        .filter(v => v._2 == "exact" && v._3 < Split).map(_._1).toSet
+      val nearIds = verdicts
+        .filter(v => v._2 == "near" && v._3 < Split && v._1 >= Split).map(_._1).toSet
       val semIds = s.table("cur_sem").as[SemPair]
         .collect().filter(p => p.vecA < Split && p.vecB >= Split).map(_.vecB).toSet
 
@@ -107,7 +110,7 @@ class StreamingCurationSpec extends SparkSpec {
       // below instead)
       assert(expDocs.values.exists(_ == "near"))
       assert(expSem.values.exists(_ == "dup"))
-    } finally { qe.stop(); qn.stop(); qv.stop() }
+    } finally { qd.stop(); qv.stop() }
   }
 
   test("exactWithIndex: keep-first ownership, index-primed, batch-internal dups attributed to stream owner") {
