@@ -18,14 +18,25 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("word_count")
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics)
+          .foreach(m => { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () })
+    })
     names.foreach { n =>
       val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
         if (n == "entry") (sp, _) => SparkEntry.entry(sp)
         else SparkEntry.queries(n)
       fn(spark, sfDir).count(); HarnessUtil.releaseAll(spark)
+      Thread.sleep(100) // listener drain
+      val sb0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()
-      println(f"TIMING $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$rows")
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(100) // listener drain
+      println(f"TIMING $n%-24s $dt%8.2fs  rows=$rows  " +
+        f"shuffle=${(shuffleBytes.get() - sb0) / 1024.0 / 1024.0}%.2f MB")
       HarnessUtil.releaseAll(spark)
     }
     spark.stop()

