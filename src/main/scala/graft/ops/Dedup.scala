@@ -102,18 +102,24 @@ object Dedup {
     * [[MaxShingleDf]] and `StreamingNearDup.MaxBucket`. */
   private[graft] val MaxBandBucket = 100
 
-  /** Per-doc 16-component MinHash signature (columns mh0..mh15).
-    * The md5-based hash is computed once per DISTINCT shingle (a
-    * dictionary, joined back), not once per (doc, shingle) instance —
-    * shingles repeat across documents, and at 100 TB recomputing a
-    * cryptographic hash per instance is the dominant cost. The join
-    * shuffles on the shingle key; AQE broadcasts the dictionary when
-    * it is small. */
+  /** Per-doc 16-component MinHash signature (columns mh0..mh15), as ONE
+    * narrow projection + ONE map-side-combinable aggregation: the hash
+    * is computed per raw (doc, shingle) INSTANCE and min-aggregated
+    * straight onto the doc key. MinHash is a MIN over permuted hashes,
+    * and min is duplicate-insensitive — so neither the per-doc shingle
+    * DISTINCT nor a distinct-shingle dictionary can change any
+    * signature, and both are pure overhead: through round 9 this path
+    * shuffled the string shingle table twice (a corpus-wide distinct +
+    * a string-keyed dictionary join, rationalized as hash-once-per-
+    * distinct-shingle) before the doc aggregation; per-instance md5 is
+    * ~100 ns/shingle of embarrassingly-parallel map CPU, while those
+    * exchanges are petabyte-class at 100 TB. Partial aggregation
+    * collapses each doc to one 16-column row per map task, so the ONLY
+    * exchange moves ~one row per document. The oracle (min over the
+    * DISTINCT shingle set) is unchanged — same min, bit-for-bit. */
   private def minhashSig(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-    val dict = sh.select("s").distinct()
-      .select(col("s"), pmod(hash60(col("s")), lit(P31)).as("hm"))
-    val hs = sh.join(dict, "s").select("doc_id", "hm")
+    val hs = shingleExplodeFromToks(Prims.tokenized(docs))
+      .select(col("doc_id"), pmod(hash60(col("s")), lit(P31)).as("hm"))
     val aggs = (0 until NumHashes).map(j =>
       min(pmod(lit(aCoef(j)) * col("hm") + lit(bCoef(j)), lit(P31))).as(s"mh$j"))
     hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
