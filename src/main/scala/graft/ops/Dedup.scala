@@ -215,21 +215,22 @@ object Dedup {
   private val SimBits = 16
 
   /** 16-bit SimHash fingerprint per doc + size of its exact-fingerprint
-    * dup group. Token hash sign-votes per bit; one explode + one groupBy
-    * (map-side combinable), then a tiny self-aggregation on fingerprint. */
+    * dup group. One narrow hash projection + ONE map-side-combinable
+    * groupBy(doc_id), then a tiny self-aggregation on fingerprint: each
+    * token INSTANCE votes ±1 per bit directly into the doc's sums —
+    * integer addition is order-independent, so the totals equal the
+    * former multiplicity-weighted form bit-for-bit. (Through round 9
+    * this path pre-grouped on (doc_id, word) and joined a distinct-word
+    * dictionary — two string-keyed exchanges rationalized as
+    * hash-once-per-distinct-word; like [[minhashSig]], per-instance md5
+    * is map CPU while those exchanges are the 100 TB cost. Partial
+    * aggregation ships ~one 16-column row per doc per map task.) */
   def simhashDedup(s: SparkSession, dir: String): DataFrame = {
-    // token multiplicities first (map-side combinable), then ONE hash per
-    // distinct word via a dictionary join; votes weighted by count —
-    // identical totals, ~avg-multiplicity× fewer md5 evaluations
-    val counts = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(expr(wordsExpr)).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-    val dict = counts.select("w").distinct()
-      .select(col("w"), pmod(hash60(col("w")), lit(65536L)).as("h"))
-    val toks = counts.join(dict, "w")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
+      .select(col("doc_id"), pmod(hash60(col("w")), lit(65536L)).as("h"))
     val bitSums = (0 until SimBits).map(b =>
-      sum(col("cnt") * (shiftright(col("h"), b) % 2 * 2 - 1)).as(s"s$b"))
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
     val fp = (0 until SimBits).map(b =>
       when(col(s"s$b") >= 0, 1L << b).otherwise(0L)).reduce(_ + _)
     val withFp = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)

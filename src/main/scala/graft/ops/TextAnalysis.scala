@@ -163,24 +163,42 @@ object TextAnalysis {
 
   /** Document fingerprint: minimum of a rolling polynomial hash over
     * 4-word windows (Rabin-Karp / winnowing style), plus the size of the
-    * doc's fingerprint-collision group — a cheap near-dup prefilter. */
+    * doc's fingerprint-collision group — a cheap near-dup prefilter.
+    *
+    * The per-doc rolling min is ONE NARROW array expression (the
+    * [[winnowFps]] idiom: words → per-word hashes → windowed polynomial
+    * → array_min, all within the row), so the only exchanges left are
+    * the doc-sized fingerprint aggregation and group stats. Through
+    * round 9 this op exploded to (doc, pos) rows, joined a distinct-word
+    * dictionary (string-keyed exchange), and ran lead() windows over a
+    * per-doc sort — three corpus-token-sized shuffles replaced by map
+    * CPU; a doc with fewer than 4 words has no 4-window and is excluded,
+    * exactly as the lead-based form excluded it.
+    *
+    * The eager localCheckpoint is a REQUIRED optimizer barrier, a second
+    * species of the winnow_pairs O(n³) trap: the downstream group-size
+    * join pushes `isnotnull(fingerprint)` down, and predicate pushdown
+    * SUBSTITUTES the whole nested higher-order expression through both
+    * projections — the filter then re-evaluates the full per-word hash
+    * array for every window term, O(words²) interpreted md5 per doc
+    * (measured: 44 s vs 1.2 s for the barriered form at sf0.1; the
+    * former lead-window form was immune only because its aggregate
+    * blocked the substitution). The checkpoint holds one 16-byte row
+    * per doc. */
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(expr(wordsExpr)).as(Seq("pos", "w")))
-    // hash once per distinct word (dictionary join), not per position
-    val dict = toks.select("w").distinct()
-      .select(col("w"), pmod(hash60(col("w")), lit(P31)).as("h"))
-    val hs = toks.join(dict, "w").select("doc_id", "pos", "h")
-    val rolled = hs
-      .withColumn("h1", lead("h", 1).over(w))
-      .withColumn("h2", lead("h", 2).over(w))
-      .withColumn("h3", lead("h", 3).over(w))
-      .filter(col("h3").isNotNull)
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .filter(size(col("ws")) >= 4)
       .select(col("doc_id"),
-        pmod(col("h") * lit(FpB * FpB * FpB) + col("h1") * lit(FpB * FpB) +
-             col("h2") * lit(FpB) + col("h3"), lit(P31)).as("r"))
-    val fps = rolled.groupBy("doc_id").agg(min("r").as("fingerprint"))
+        expr(s"transform(ws, x -> pmod(hash60(x), ${P31}L))").as("hs"))
+      .select(col("doc_id"), expr(
+        s"""array_min(transform(sequence(1, size(hs) - 3),
+           |  i -> pmod(element_at(hs, i) * ${FpB * FpB * FpB}L
+           |          + element_at(hs, i + 1) * ${FpB * FpB}L
+           |          + element_at(hs, i + 2) * ${FpB}L
+           |          + element_at(hs, i + 3), ${P31}L)))""".stripMargin)
+          .as("fingerprint"))
+      .localCheckpoint(true)
     val groups = fps.groupBy("fingerprint").agg(count(lit(1)).as("n_same"))
     fps.join(groups, "fingerprint")
       .select("doc_id", "fingerprint", "n_same")

@@ -96,7 +96,7 @@ class PlanGuardSpec extends SparkSpec {
     "dedup_substring" -> 3,
     "dedup_survivors" -> 4,
     "doc_chunking" -> 1,
-    "doc_fingerprint" -> 6,
+    "doc_fingerprint" -> 2,
     "doc_len_histogram" -> 2,
     "domain_mix" -> 1,
     "domain_mix_weighted" -> 4,
@@ -130,7 +130,7 @@ class PlanGuardSpec extends SparkSpec {
     "semantic_incremental" -> 10,
     "session_window" -> 2,
     "side_output_split" -> 1,
-    "simhash_dedup" -> 8,
+    "simhash_dedup" -> 4,
     "sliding_window" -> 2,
     "source_cardinality" -> 3,
     "state_kinds" -> 4,
