@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_survivors"   -> (Dedup.dedupSurvivors _),
     "dedup_near_minhash"-> (Dedup.dedupNearMinhash _),
     "simhash_dedup"     -> (Dedup.simhashDedup _),
+    "simhash_hamming_pairs" -> (Dedup.simhashHammingPairs _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "ann_topk"          -> (Similarity.annTopK _),
     "ann_lsh_pairs"     -> (Similarity.annLshPairs _),

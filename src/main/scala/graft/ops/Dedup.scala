@@ -226,6 +226,16 @@ object Dedup {
     * is map CPU while those exchanges are the 100 TB cost. Partial
     * aggregation ships ~one 16-column row per doc per map task.) */
   def simhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val withFp = simhashFps(s, dir)
+    val groupSizes = withFp.groupBy("simhash").agg(count(lit(1)).as("n_same"))
+    withFp.join(groupSizes, "simhash")
+      .select("doc_id", "simhash", "n_same")
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, simhash) — the fingerprint core shared by [[simhashDedup]]
+    * and [[simhashHammingPairs]]. */
+  private def simhashFps(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
       .select(col("doc_id"), pmod(hash60(col("w")), lit(65536L)).as("h"))
@@ -233,31 +243,110 @@ object Dedup {
       sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
     val fp = (0 until SimBits).map(b =>
       when(col(s"s$b") >= 0, 1L << b).otherwise(0L)).reduce(_ + _)
-    val withFp = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
-    val groupSizes = withFp.groupBy("simhash").agg(count(lit(1)).as("n_same"))
-    withFp.join(groupSizes, "simhash")
-      .select("doc_id", "simhash", "n_same")
-      .orderBy("doc_id")
   }
 
-  def simhashDedupSql: String = {
+  /** Max Hamming distance for [[simhashHammingPairs]] to report a pair. */
+  private val SimHammingK = 3
+
+  /** simhash_hamming_pairs: near-duplicate PAIRS by SimHash Hamming
+    * distance ≤ [[SimHammingK]] — the search SimHash exists for (Manku
+    * et al., WWW'07 "Detecting near-duplicates for web crawling" —
+    * public paper; design re-derived, no code): exact-fingerprint
+    * grouping ([[simhashDedup]]) misses docs whose fingerprints differ
+    * in a few bits, which is precisely how SimHash encodes "nearly the
+    * same bag of tokens". Candidates come from banding the fingerprint
+    * into [[SimHammingK]]+1 = 4 sub-bands (pigeonhole: ≤ 3 differing
+    * bits cannot touch all 4 bands, so every qualifying pair shares at
+    * least one full band value) and bucket-joining on (band, value);
+    * the exact `bit_count(xor)` check then filters candidates to true
+    * ≤ K pairs. Buckets over [[MaxBandBucket]] degrade to hub-star
+    * (the family's standard cap), and a pair matching several bands is
+    * collapsed by the final distinct.
+    *
+    * Scale note: at the fixture's [[SimBits]] = 16, band values span
+    * only 4 bits, so buckets are corpus-fraction-sized and the cap
+    * does the heavy lifting; a production deployment uses a 64-bit
+    * fingerprint with 16-bit bands (the paper's configuration), where
+    * buckets are genuinely sparse — the machinery here is identical,
+    * only the two width constants change. */
+  def simhashHammingPairs(s: SparkSession, dir: String): DataFrame = {
+    // referenced by all four band projections + both join sides: pin the
+    // doc-sized (doc_id, simhash) table once; blocks free with the RDD
+    val fps = simhashFps(s, dir).localCheckpoint(true)
+    val bands = (0 until SimHammingK + 1).map { k =>
+      fps.select(col("doc_id"), col("simhash"), lit(k).as("band"),
+        expr(s"shiftright(simhash, ${4 * k}) & 15").as("bval"))
+    }.reduce(_ unionByName _)
+    val bstats = bands.groupBy("band", "bval")
+      .agg(count(lit(1)).as("bn"), min("doc_id").as("bmin"),
+        min_by(col("simhash"), col("doc_id")).as("minfp"))
+    val kept = bands.join(
+      bstats.filter(col("bn") <= MaxBandBucket).select("band", "bval"),
+      Seq("band", "bval"))
+    val full = kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+    val star = bands.join(
+        bstats.filter(col("bn") > MaxBandBucket).select("band", "bval", "bmin", "minfp"),
+        Seq("band", "bval"))
+      .filter(col("doc_id") =!= col("bmin")) // bmin is the bucket min, so doc_a < doc_b
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"),
+        expr("CAST(bit_count(minfp ^ simhash) AS BIGINT)").as("hamming"))
+    full.unionByName(star)
+      .filter(col("hamming") <= SimHammingK)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB CTE chain producing `fps(doc_id, simhash)` — the oracle twin
+    * of [[simhashFps]], shared by both SimHash oracles. */
+  private def simhashFpsCtesSql: String = {
     val sums = (0 until SimBits).map(b =>
       s"sum((h >> $b) % 2 * 2 - 1) AS s$b").mkString(",\n    ")
     val fp = (0 until SimBits).map(b =>
       s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, ${hash60Sql("w")} % 65536 AS h FROM (
        |    SELECT doc_id, unnest($wordsSql) AS w
        |    FROM documents) t),
        |sums AS (SELECT doc_id,
        |    $sums
        |  FROM toks GROUP BY doc_id),
-       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums),
+       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
+
+  def simhashDedupSql: String =
+    s"""WITH $simhashFpsCtesSql,
        |gs AS (SELECT simhash, count(*) AS n_same FROM fps GROUP BY simhash)
        |SELECT doc_id, fps.simhash, n_same FROM fps JOIN gs ON fps.simhash = gs.simhash
        |ORDER BY doc_id""".stripMargin
-  }
+
+  def simhashHammingPairsSql: String =
+    s"""WITH $simhashFpsCtesSql,
+       |bands AS (SELECT doc_id, simhash, CAST(t.band AS INT) AS band,
+       |    (simhash >> (4 * CAST(t.band AS INT))) & 15 AS bval
+       |  FROM fps, unnest(range(0, ${SimHammingK + 1})) AS t(band)),
+       |bstats AS (SELECT band, bval, count(*) AS bn, min(doc_id) AS bmin,
+       |    arg_min(simhash, doc_id) AS minfp
+       |  FROM bands GROUP BY band, bval),
+       |bk AS (SELECT bands.doc_id, bands.simhash, bands.band, bands.bval
+       |  FROM bands JOIN bstats USING (band, bval) WHERE bn <= $MaxBandBucket),
+       |fullp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |starp AS (SELECT bstats.bmin AS doc_a, bands.doc_id AS doc_b,
+       |    bit_count(xor(bstats.minfp, bands.simhash)) AS hamming
+       |  FROM bands JOIN bstats USING (band, bval)
+       |  WHERE bn > $MaxBandBucket AND bands.doc_id <> bstats.bmin)
+       |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM (SELECT * FROM fullp UNION ALL SELECT * FROM starp)
+       |WHERE hamming <= $SimHammingK
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- n-gram Jaccard -------------------------------------------------
 
@@ -892,6 +981,7 @@ object Dedup {
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "dedup_near_minhash" -> dedupNearMinhashSql,
     "simhash_dedup" -> simhashDedupSql,
+    "simhash_hamming_pairs" -> simhashHammingPairsSql,
     "ngram_jaccard" -> ngramJaccardSql,
   )
 }

@@ -131,6 +131,7 @@ class PlanGuardSpec extends SparkSpec {
     "session_window" -> 2,
     "side_output_split" -> 1,
     "simhash_dedup" -> 4,
+    "simhash_hamming_pairs" -> 5,
     "sliding_window" -> 2,
     "source_cardinality" -> 3,
     "state_kinds" -> 4,
