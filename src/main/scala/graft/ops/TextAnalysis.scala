@@ -26,30 +26,36 @@ object TextAnalysis {
   )
 
 
-  /** Language ID: score each language by stopword hits (token join against
-    * a broadcast keyword table), argmax with deterministic tie-break
-    * (higher hits, then lexicographic lang); no hits at all → 'und'. */
+  /** Language ID: score each language by stopword hits, argmax with
+    * deterministic tie-break (higher hits, then lexicographic lang); no
+    * hits at all → 'und'.
+    *
+    * ONE NARROW projection: the per-language hit counts are 5 in-row
+    * array filters against literal stopword lists, and the argmax is
+    * `array_min` over (−hits, lang) structs — Spark orders structs
+    * field-by-field, so the minimum IS "most hits, then lexicographic
+    * lang", and a zero best maps to 'und'. Through round 9 this op
+    * exploded the corpus to tokens, joined a broadcast keyword table,
+    * aggregated (doc, lang) hits, ranked them with a per-doc window, and
+    * joined back — four corpus-scale exchanges replaced by per-row map
+    * work; the winner (and therefore the oracle) is unchanged, because
+    * languages with zero hits can never out-rank a positive score and
+    * the all-zero case was already 'und'. */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val stop = StopWords.toSeq
-      .flatMap { case (l, ws) => ws.map(w => (l, w)) }
-      .toDF("cand_lang", "w")
-    val docs = Tables.documents(s, dir)
-    val toks = docs.select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
-    val scores = toks.join(broadcast(stop), "w")
-      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("hits"))
-    val winner = scores
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("hits").desc, col("cand_lang"))))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("hits"))
-    docs.select(col("doc_id"), col("lang").as("true_lang"))
-      .join(winner, Seq("doc_id"), "left")
+    val cands = StopWords.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      struct(
+        (-expr(s"size(filter(ws, w -> w IN ($inList)))").cast("long")).as("neg"),
+        lit(l).as("lang"))
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("true_lang"), expr(wordsExpr).as("ws"))
+      .withColumn("best", array_min(array(cands: _*)))
       .select(col("doc_id"),
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        col("true_lang"),
-        (coalesce(col("pred_lang"), lit("und")) === col("true_lang")).as("correct"))
+        when(col("best.neg") === 0, "und").otherwise(col("best.lang")).as("pred_lang"),
+        (-col("best.neg")).as("hits"),
+        col("true_lang"))
+      .withColumn("correct", col("pred_lang") === col("true_lang"))
       .orderBy("doc_id")
   }
 

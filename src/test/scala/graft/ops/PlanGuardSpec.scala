@@ -46,6 +46,7 @@ class PlanGuardSpec extends SparkSpec {
     * exchange. A second exchange appearing here means someone introduced
     * a shuffle into a scan-shaped operator. */
   private val narrowQueries = Seq(
+    "lang_id",
     "token_count", "quality_score", "text_normalize", "doc_chunking",
     "frame_sample", "multimodal_features", "pii_scrub", "projection",
     "filter", "string_funcs", "decimal_arith", "winnow_fingerprint")
@@ -111,7 +112,7 @@ class PlanGuardSpec extends SparkSpec {
     "group_agg" -> 2,
     "iterate_until" -> 1,
     "json_extract" -> 1,
-    "lang_id" -> 4,
+    "lang_id" -> 1,
     "last_nonnull_merge" -> 2,
     "late_split" -> 2,
     "max_min" -> 2,
