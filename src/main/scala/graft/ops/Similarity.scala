@@ -535,20 +535,12 @@ object Similarity {
     * whole profile is oracle-gated (DuckDB re-runs Lloyd bit-for-bit),
     * so a codebook or assignment regression is a hash mismatch. */
   def embedClusterProfile(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.functions.QDot
     val centRows = codebookFor(s, dir, sampled = true)
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(quantExpr).as("qv"))
-    val cents = broadcast(centRows.toDF("cent_id", "cv"))
-    val best = emb.crossJoin(cents)
-      .select(col("vec_id"), col("cent_id"),
-        (QDot(col("qv"), col("qv")) - lit(2) * QDot(col("qv"), col("cv"))
-          + QDot(col("cv"), col("cv"))).as("d2"))
-      .groupBy("vec_id")
-      .agg(min_by(struct(col("cent_id"), col("d2")), struct(col("d2"), col("cent_id"))).as("m"))
-      .select(col("m.cent_id").as("cluster_id"), col("m.d2").as("d2"))
-    best.groupBy("cluster_id")
+    // narrow argmin assignment + one k-row map-side-combinable agg: the
+    // whole profile is scan → projection → 16-row aggregation
+    assignedNarrow(s, dir, centRows)
+      .select(col("list_id").as("cluster_id"), col("d2"))
+      .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia"))
       .orderBy("cluster_id")
   }
@@ -563,6 +555,31 @@ object Similarity {
        |    FROM e, cents) WHERE rn = 1)
        |SELECT cluster_id, count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS inertia
        |FROM ad GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  /** NARROW per-row cluster assignment — `(vec_id, list_id, qv, d2)` by
+    * `array_min` over literal centroid candidate structs, the batch twin
+    * of `StreamingSemanticDedup.assigned` (same argmin, same (d2, cid)
+    * tie-break, bit-identical results): ONE projection, no crossJoin and
+    * no per-vector groupBy, so the corpus's vectors never exchange for
+    * the assignment (the former crossJoin+min_by form shuffled ~512-byte
+    * qv rows per vector into the argmin aggregation — the dominant
+    * exchange of every semantic query at corpus scale). */
+  private def assignedNarrow(s: SparkSession, dir: String,
+                             centRows: Seq[(Long, Seq[Long])]): DataFrame = {
+    import graft.functions.QDot
+    val cands = centRows.map { case (cid, cv) =>
+      struct(
+        (col("qq") - lit(2) * QDot(col("qv"), typedLit(cv))
+          + lit(cv.map(x => x * x).sum)).as("d2"),
+        lit(cid).as("cid"))
+    }
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quantExpr).as("qv"))
+      .withColumn("qq", QDot(col("qv"), col("qv")))
+      .withColumn("best", array_min(array(cands: _*)))
+      .select(col("vec_id"), col("best.cid").as("list_id"), col("qv"),
+        col("best.d2").as("d2"))
+  }
 
   /** Cosine threshold above which two same-cluster vectors are semantic
     * duplicates. Real paraphrase-dup embeddings sit near ~0.95; the
@@ -611,21 +628,13 @@ object Similarity {
     * data without a code edit. */
   def semanticDedup(s: SparkSession, dir: String,
                     tau: Double, maxCluster: Int): DataFrame = {
-    import s.implicits._
     import graft.functions.QDot
     val centRows = codebookFor(s, dir, sampled = true)
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(quantExpr).as("qv"))
-    val cents = broadcast(centRows.toDF("cent_id", "cv"))
     // referenced four times (stats, both pair sides, hub vectors): pin
-    // once at the assignment's partitioning, blocks freed with the RDD
-    val assigned = emb.crossJoin(cents)
-      .select(col("vec_id"), col("qv"), col("cent_id"),
-        (QDot(col("qv"), col("qv")) - lit(2) * QDot(col("qv"), col("cv"))
-          + QDot(col("cv"), col("cv"))).as("d2"))
-      .groupBy("vec_id")
-      .agg(min_by(struct(col("cent_id"), col("qv")), struct(col("d2"), col("cent_id"))).as("m"))
-      .select(col("vec_id"), col("m.cent_id").as("list_id"), col("m.qv").as("qv"))
+    // once, blocks freed with the RDD; the assignment itself is the
+    // narrow argmin projection — no exchange before this checkpoint
+    val assigned = assignedNarrow(s, dir, centRows)
+      .select("vec_id", "list_id", "qv")
       .localCheckpoint(true)
     def cosine(aq: org.apache.spark.sql.Column, bq: org.apache.spark.sql.Column) =
       QDot(aq, bq).cast("double") /
@@ -720,19 +729,10 @@ object Similarity {
     * (mirrors `StreamingSemanticDedup.apply`'s tau/cap parameters). */
   def semanticIncremental(s: SparkSession, dir: String, tau: Double,
                           ingestSplit: Long, maxCluster: Int): DataFrame = {
-    import s.implicits._
     import graft.functions.QDot
     val centRows = codebookFor(s, dir, sampled = true)
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(quantExpr).as("qv"))
-    val cents = broadcast(centRows.toDF("cent_id", "cv"))
-    val assigned = emb.crossJoin(cents)
-      .select(col("vec_id"), col("qv"), col("cent_id"),
-        (QDot(col("qv"), col("qv")) - lit(2) * QDot(col("qv"), col("cv"))
-          + QDot(col("cv"), col("cv"))).as("d2"))
-      .groupBy("vec_id")
-      .agg(min_by(struct(col("cent_id"), col("qv")), struct(col("d2"), col("cent_id"))).as("m"))
-      .select(col("vec_id"), col("m.cent_id").as("list_id"), col("m.qv").as("qv"))
+    val assigned = assignedNarrow(s, dir, centRows)
+      .select("vec_id", "list_id", "qv")
       .localCheckpoint(true)
     def cosine(aq: org.apache.spark.sql.Column, bq: org.apache.spark.sql.Column) =
       QDot(aq, bq).cast("double") /

@@ -32,9 +32,6 @@ class PlanGuardSpec extends SparkSpec {
     "ann_ivf_topk" -> "16-centroid codebook cross (broadcast literal)",
     "ann_ivf_recall" -> "16-centroid codebook cross (broadcast literal)",
     "ann_ivf_sampled_recall" -> "16-centroid codebook cross (broadcast literal)",
-    "embed_cluster_profile" -> "16-centroid codebook cross (broadcast literal)",
-    "semantic_dedup" -> "16-centroid codebook cross (broadcast literal)",
-    "semantic_incremental" -> "16-centroid codebook cross (broadcast literal)",
     "domain_mix_weighted" -> "1-row weight-total cross (broadcast scalar)",
     "sliding_window" -> "4-row pane-offset literal cross",
     "ann_lsh_pairs" -> "16-hyperplane literal projection cross",
@@ -102,7 +99,7 @@ class PlanGuardSpec extends SparkSpec {
     "domain_mix" -> 1,
     "domain_mix_weighted" -> 4,
     "editdist_pairs" -> 1,
-    "embed_cluster_profile" -> 3,
+    "embed_cluster_profile" -> 2,
     "enrich_dag" -> 5,
     "enrich_wide_row" -> 2,
     "filter" -> 1,
@@ -127,8 +124,8 @@ class PlanGuardSpec extends SparkSpec {
     "quantile_sketch_gate" -> 5,
     "repetition_score" -> 5,
     "rolling_sum" -> 2,
-    "semantic_dedup" -> 11,
-    "semantic_incremental" -> 10,
+    "semantic_dedup" -> 9,
+    "semantic_incremental" -> 8,
     "session_window" -> 2,
     "side_output_split" -> 1,
     "simhash_dedup" -> 4,
