@@ -247,14 +247,21 @@ object Similarity {
     var cents: Seq[(Long, Seq[Long])] =
       seeds.zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1).toSeq) }.toSeq
     for (_ <- 1 to LloydIters) {
-      val cdf = broadcast(cents.toDF("cent_id", "cv"))
-      val assigned = emb.crossJoin(cdf)
-        .select(col("vec_id"), col("qv"), col("cent_id"),
-          (QDot(col("qv"), col("qv")) - lit(2) * QDot(col("qv"), col("cv"))
-            + QDot(col("cv"), col("cv"))).as("d2"))
-        .groupBy("vec_id")
-        .agg(min_by(struct(col("cent_id"), col("qv")), struct(col("d2"), col("cent_id"))).as("m"))
-        .select(col("m.cent_id").as("list_id"), col("m.qv").as("qv"))
+      // narrow in-row argmin against the iteration's centroid literals
+      // (same (d2, cent_id) tie-break as the former crossJoin+min_by, so
+      // the trained codebook is bit-identical) — no per-vector exchange
+      // per Lloyd pass, which matters for the UNSAMPLED training variant
+      // where `emb` is the whole corpus
+      val cands = cents.map { case (cid, cv) =>
+        struct(
+          (col("qq") - lit(2) * QDot(col("qv"), typedLit(cv))
+            + lit(cv.map(x => x * x).sum)).as("d2"),
+          lit(cid).as("cid"))
+      }
+      val assigned = emb
+        .withColumn("qq", QDot(col("qv"), col("qv")))
+        .withColumn("best", array_min(array(cands: _*)))
+        .select(col("best.cid").as("list_id"), col("qv"))
       val stats = assigned
         .select(col("list_id"), posexplode(col("qv")).as(Seq("pi", "v")))
         .groupBy("list_id", "pi")
@@ -348,15 +355,11 @@ object Similarity {
       .select(col("vec_id"), expr(quantExpr).as("qv"))
     val cents = broadcast(centRows.toDF("cent_id", "cv")
       .select(col("cent_id"), col("cv")))
-    // assignment: nearest centroid by exact L2² (16 candidates, broadcast)
-    val dists = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("qv"), col("cent_id"),
-        (QDot(col("qv"), col("qv")) - lit(2) * QDot(col("qv"), col("cv"))
-          + QDot(col("cv"), col("cv"))).as("d2"))
-    val assigned = dists
-      .groupBy("vec_id")
-      .agg(min_by(struct(col("cent_id"), col("qv")), struct(col("d2"), col("cent_id"))).as("m"))
-      .select(col("vec_id"), col("m.cent_id").as("list_id"), col("m.qv").as("qv"))
+    // corpus-side assignment: the narrow in-row argmin (no crossJoin, no
+    // per-vector groupBy — see assignedNarrow); only the tiny query side
+    // below keeps the crossJoin form, which it needs for top-NProbe
+    val assigned = assignedNarrow(s, dir, centRows)
+      .select("vec_id", "list_id", "qv")
     // probe: each query visits its NProbe nearest centroid lists
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("query_v"))

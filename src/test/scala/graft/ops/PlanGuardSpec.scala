@@ -69,9 +69,9 @@ class PlanGuardSpec extends SparkSpec {
     * shuffle-BYTES column: a new exchange is caught here even when
     * sf0.1 wall-time hides it. */
   private val exchangeBudget: Map[String, Int] = Map(
-    "ann_ivf_recall" -> 7,
-    "ann_ivf_sampled_recall" -> 7,
-    "ann_ivf_topk" -> 4,
+    "ann_ivf_recall" -> 6,
+    "ann_ivf_sampled_recall" -> 6,
+    "ann_ivf_topk" -> 3,
     "ann_lsh_pairs" -> 4,
     "ann_topk" -> 2,
     "coprocess_merge" -> 2,
