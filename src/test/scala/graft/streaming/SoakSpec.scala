@@ -42,4 +42,48 @@ class SoakSpec extends SparkSpec {
       assert(out.filter("packageCode IS NULL OR busiNo IS NULL").count() == 0)
     } finally q.stop()
   }
+
+  test("curation verdicts under 2k docs across 30 micro-batches: nothing lost, nothing doubled") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val nGroups = 200
+    def text(g: Int) = s"group$g alpha$g beta$g gamma$g delta$g epsilon$g"
+    // index: one owner per group (ids 0..199)
+    val index = (0 until nGroups).map(g => (g.toLong, text(g)))
+    // stream: 5 exact copies per group + 1000 fresh singletons, shuffled
+    // deterministically and replayed in 30 chunks (group members split
+    // across chunk boundaries — state must carry)
+    val copies = for (g <- 0 until nGroups; r <- 0 until 5)
+      yield (1000L + g * 10 + r, text(g))
+    val fresh = (0 until 1000).map(i =>
+      (100000L + i, s"unique$i doc$i word${i * 7} tok${i * 13} tail$i pad$i"))
+    val stream = new scala.util.Random(42).shuffle(copies ++ fresh)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCuration.docVerdicts(
+        input.toDF().toDF("doc_id", "text"), index.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("soak_cur")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.grouped(stream.size / 30 + 1).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val verdicts = s.table("soak_cur").as[(Long, String, Long)].collect()
+      val exact = verdicts.filter(_._2 == "exact")
+      // EXACT axis, exactly-once: one verdict per copy, none for fresh,
+      // and every partner is the copy's own group owner (the index min)
+      assert(exact.length == copies.size,
+        s"expected ${copies.size} exact verdicts, got ${exact.length}")
+      assert(exact.map(_._1).toSet == copies.map(_._1).toSet)
+      exact.foreach { case (id, _, partner) =>
+        assert(partner == (id - 1000L) / 10, s"doc $id attributed to $partner")
+      }
+      // NEAR axis sanity: an exact copy shares every shingle with its
+      // owner, so each copy must also surface as a near candidate against
+      // SOME index member (hub-star may reroute the partner, never drop it)
+      val nearIds = verdicts
+        .filter(v => v._2 == "near" && v._3 < nGroups).map(_._1).toSet
+      assert(copies.map(_._1).forall(nearIds.contains))
+    } finally q.stop()
+  }
 }
