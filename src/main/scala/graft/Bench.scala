@@ -74,7 +74,7 @@ object Bench {
     // 2-decimal compact medians: at 78 queries the stdout line sits near
     // the harness's ~2,000-char tail window; a third decimal is below
     // bench noise anyway and the full-precision record is in the file
-    def r3(d: Double) = math.rint(d * 100) / 100
+    def r2(d: Double) = math.rint(d * 100) / 100
     val qs = results.map { case (k, ss, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
     val spread = results.map { case (k, ss, _) =>
       q(k) + s""":{"min":${ss.head},"med":${med(ss)},"max":${ss.last}}"""
@@ -88,15 +88,15 @@ object Bench {
     // of stdout, which has repeatedly cut the full per-query map mid-JSON
     // (BENCH_rNN.json then stores parsed:null). The FULL line (spread +
     // shuffle bytes) lands in a repo file; stdout gets a COMPACT line —
-    // 3-decimal medians, no spread/shuffle — sized to survive the tail
+    // 2-decimal medians, no spread/shuffle — sized to survive the tail
     // window, so the round snapshot parses per-query data by itself.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"BENCH_FULL write failed ($out): $e") }
-    val qsCompact = results.map { case (k, ss, _) => q(k) + ":" + r3(med(ss)) }
+    val qsCompact = results.map { case (k, ss, _) => q(k) + ":" + r2(med(ss)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"errors":$errJson,"sf":"$sfDir","full":"$out"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,"errors":$errJson,"sf":"$sfDir","full":"$out"}""")
     spark.stop()
   }
 }

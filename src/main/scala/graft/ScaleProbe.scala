@@ -171,15 +171,16 @@ object ScaleProbe {
     val hostile = Seq(1, 10).map { mult =>
       val dir = s"/tmp/graft_sem_hostile_$mult"
       val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      // the distribution must BE the hostile case: one cluster holds all
-      val occ = graft.ops.Similarity.semanticDedup(spark, dir)
-        .groupBy("cluster_id").count()
-        .agg(max("count")).head().getLong(0)
+      // assert BOTH premises from ONE pipeline execution (occupancy: one
+      // cluster holds everything; collapse: only the hub survives —
+      // everything else is a cosine-1.0 duplicate reached via the star)
+      val prof = graft.ops.Similarity.semanticDedup(spark, dir)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cn"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("k"))
+        .agg(max("cn"), sum("k")).head()
+      val (occ, kept) = (prof.getLong(0), prof.getLong(1))
       require(occ == n, s"hostile corpus not one-cluster: max occupancy $occ of $n")
-      // and the collapse must keep exactly the hub (everything else is a
-      // cosine-1.0 duplicate reached through the hub star)
-      val kept = graft.ops.Similarity.semanticDedup(spark, dir)
-        .filter(col("kept")).count()
       require(kept == 1, s"hostile collapse kept $kept vectors, expected the hub only")
       HarnessUtil.releaseAll(spark)
       val (sec, _) = time1("semantic_dedup", dir)

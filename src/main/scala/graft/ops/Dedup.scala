@@ -32,19 +32,10 @@ object Dedup {
 
   // ---- shared shingling ----------------------------------------------
 
-  /** Distinct 3-word shingles per doc (docs with <3 words have none). */
-  private[graft] def shingles(docs: DataFrame): DataFrame =
-    shinglesFromToks(Prims.tokenized(docs))
-
-  /** [[shingles]] over a pre-tokenized `(doc_id, ws)` frame — lets a
-    * composed pipeline (curate_manifest, corpus_health) feed the shingle
-    * index from ONE shared corpus-tokenize pass instead of re-splitting
-    * the text here. */
-  private[graft] def shinglesFromToks(toks: DataFrame): DataFrame =
-    shingleExplodeFromToks(toks).distinct()
-
   /** Raw (doc_id, shingle) instances, duplicates included — the narrow
-    * explode stage both shingle consumers derive from. */
+    * explode stage both shingle consumers ([[shingleHashesFromToks]] and
+    * [[minhashSig]]) derive from; each applies its own dedup discipline
+    * downstream (hash-then-distinct / duplicate-insensitive min). */
   private def shingleExplodeFromToks(toks: DataFrame): DataFrame =
     toks
       .filter(size(col("ws")) >= 3)
@@ -63,11 +54,10 @@ object Dedup {
     * 60-bit collision can merge two of a doc's shingles (perturbing that
     * doc's Jaccard denominator by 1); the oracle applies the identical
     * hash-then-distinct, so both engines see the same sets bit-for-bit
-    * regardless. ([[minhashSig]] deliberately keeps the distinct-STRING
-    * + dictionary form: hashing once per DISTINCT shingle corpus-wide is
-    * its documented trade of shuffle volume for cryptographic-hash CPU —
-    * here the hash was already per-instance, so reordering it first
-    * strictly shrinks the exchange.) */
+    * regardless. ([[minhashSig]] needs no distinct at all — min over the
+    * hash multiset equals min over the set — so it consumes the raw
+    * explode directly; this per-doc distinct exists because Jaccard
+    * denominators COUNT a doc's distinct shingles.) */
   private def shingleHashesFromToks(toks: DataFrame): DataFrame =
     shingleExplodeFromToks(toks)
       .select(col("doc_id"), hash60(col("s")).as("hs"))
@@ -599,16 +589,9 @@ object Dedup {
     * keep-list, sized like the label table itself (pair participants
     * only, orders of magnitude smaller than the corpus), so a corpus
     * frame collapses with ONE anti-join against it (AQE broadcasts it
-    * when small). Used by `curate_manifest`'s near-dup stage. */
-  private[ops] def nearDupLosers(s: SparkSession, dir: String): DataFrame =
-    clusterLabels(s, dir, SmallGraphMaxEdges)
-      .filter(col("label") =!= col("doc_id"))
-      .select("doc_id")
-
-  /** [[nearDupLosers]] over a pre-tokenized `(doc_id, ws)` frame —
-    * curate_manifest/corpus_health pass their shared (checkpointed)
-    * tokenize pass here so the cluster resolution's shingle index costs
-    * no second corpus tokenize. */
+    * when small). Takes the caller's pre-tokenized (checkpointed)
+    * `(doc_id, ws)` frame so curate_manifest/corpus_health's cluster
+    * resolution costs no second corpus tokenize. */
   private[ops] def nearDupLosersFromToks(s: SparkSession, toks: DataFrame): DataFrame =
     clusterLabelsFromToks(s, toks, SmallGraphMaxEdges)
       .filter(col("label") =!= col("doc_id"))

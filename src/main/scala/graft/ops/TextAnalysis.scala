@@ -49,7 +49,12 @@ object TextAnalysis {
         lit(l).as("lang"))
     }
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang").as("true_lang"), expr(wordsExpr).as("ws"))
+      // NULL text must classify as 'und' with 0 hits (the former
+      // join-based form got that from its left join's no-match; the
+      // oracle still does): coalesce to an empty token array so every
+      // candidate scores 0 rather than NULL-poisoning the argmin
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        coalesce(expr(wordsExpr), expr("array()").cast("array<string>")).as("ws"))
       .withColumn("best", array_min(array(cands: _*)))
       .select(col("doc_id"),
         when(col("best.neg") === 0, "und").otherwise(col("best.lang")).as("pred_lang"),
