@@ -192,6 +192,42 @@ object ScaleProbe {
       f"${hostile(1) / hostile(0)}%.1f")
   }
 
+  /** `chain` mode: pin [[graft.ops.Dedup.alternatingStar]]'s O(log n)
+    * round bound on the topology that killed the old algorithm — a
+    * single chain-shaped component whose diameter equals its node
+    * count. Min-label propagation needs DIAMETER rounds here (a 1M-node
+    * chain = 1M rounds, each re-joining the full edge set; the old
+    * 20-round guard fired at depth 21). Alternating-star must converge
+    * in ~log₂(n) rounds: the probe runs chains of 1k → 1M nodes,
+    * REQUIRES every node labeled with the component minimum, and
+    * REQUIRES the round count within 2·log₂(n)+8 — growth per 10× of
+    * diameter must stay a handful of rounds, not 10×. */
+  private def chainProbe(spark: SparkSession): Unit = {
+    println(f"${"n"}%-9s ${"diameter"}%-9s ${"rounds"}%-7s ${"sec"}%8s  bound")
+    var prevRounds = 0
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L)) {
+      val pairs = spark.range(n - 1)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val (labels, rounds) = graft.ops.Dedup.alternatingStar(pairs)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val bad = labels.filter(col("label") =!= 0L).count()
+      val total = labels.count()
+      require(bad == 0 && total == n,
+        s"chain n=$n: $bad mislabeled of $total (component min is 0)")
+      val logBound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n)) + 8
+      require(rounds <= logBound,
+        s"chain n=$n: $rounds rounds exceeds the O(log n) bound $logBound")
+      println(f"$n%-9d ${n - 1}%-9d $rounds%-7d $sec%8.2f  <= $logBound " +
+        f"(min-label: ${n - 1} rounds)")
+      require(prevRounds == 0 || rounds <= prevRounds + 6,
+        s"rounds grew $prevRounds -> $rounds across one 10x step - not log-bound")
+      prevRounds = rounds
+      HarnessUtil.releaseAll(spark)
+    }
+  }
+
   /** `skew` mode: the probe that ADJUDICATED (and removed) the former
     * `Skew.saltedAgg` API — a hot-key (50% of all rows on ONE key)
     * aggregation, direct groupBy vs the two-stage salted rewrite
@@ -281,6 +317,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("semantic")) {
       semanticProbe(spark, src, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
+      spark.stop(); return
+    }
+    if (args.headOption.contains("chain")) {
+      chainProbe(spark)
       spark.stop(); return
     }
     if (args.headOption.contains("skew")) {

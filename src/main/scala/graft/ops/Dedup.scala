@@ -437,13 +437,11 @@ object Dedup {
     *   - small graph (≤ [[SmallGraphMaxEdges]], known exactly from the
     *     checkpoint): union-find inside a single executor task — one job,
     *     no per-round shuffles;
-    *   - large graph: undirected connected components via min-label
-    *     propagation. Each round every node adopts the smallest label among
-    *     itself and its neighbors — ONE Spark job per round (the convergence
-    *     signature rides on the same action that materializes the round),
-    *     two shuffles (message join + groupBy-min), converging in
-    *     O(graph diameter) rounds (near-dup clusters are tiny, so 2–3).
-    * Both paths produce identical labels (DedupSpec asserts it). */
+    *   - large graph: undirected connected components via the two-phase
+    *     alternating-star rewrite ([[alternatingStar]]) — O(log n)
+    *     rounds on ANY topology, including the chain-shaped components
+    *     where plain min-label propagation needs diameter rounds.
+    * Both paths produce identical labels (OpsSpec asserts it). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClustersImpl(s, dir, SmallGraphMaxEdges)
 
@@ -477,7 +475,7 @@ object Dedup {
       .localCheckpoint(true)
     val edgeCount = pairs.count()
     if (edgeCount <= smallGraphMaxEdges) unionFindLabels(s, pairs)
-    else propagateLabels(pairs.repartition(pairGraphPartitions(edgeCount)))
+    else alternatingStar(pairs.repartition(pairGraphPartitions(edgeCount)))._1
   }
 
   private[graft] def dedupClustersImpl(
@@ -519,47 +517,114 @@ object Dedup {
     }.toDF("doc_id", "label")
   }
 
-  /** Large-graph path: min-label propagation, one job per round. The
-    * convergence check is a monotonicity argument — labels only ever
-    * decrease, so the (sum, count) signature is unchanged iff NO label
-    * changed — computed by the same action that materializes the round. */
-  private def propagateLabels(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var labels = pairs.select(col("doc_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+  /** Round-count guard for [[alternatingStar]]. Alternating-star
+    * converges in O(log n) rounds on any topology (Kiveris et al.), so
+    * 64 rounds covers graphs far beyond what any storage system holds
+    * (≈2⁶⁰ nodes) — unlike the former min-label propagation's 20-round
+    * cap, which a chain-shaped component of depth 21 could legitimately
+    * blow, this guard is unreachable for real data and exists solely so
+    * a logic regression fails loudly instead of looping forever. The
+    * chain probe (`ScaleProbe chain`) pins the log bound empirically:
+    * round count grows by ~1 per chain-length DOUBLING. */
+  private val StarMaxRounds = 64
+
+  /** Large-graph path: two-phase alternating-star connected components
+    * (large-star / small-star — Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14; public paper, design
+    * re-derived, no code). Min-label propagation (the pre-round-10
+    * algorithm here) needs one round per unit of component DIAMETER —
+    * a chain-shaped component at web-crawl scale blows any fixed round
+    * cap and re-joins the full edge set every round. The alternating
+    * rewrite converges in O(log n) rounds on ANY topology:
+    *   - large-star: every node attaches its LARGER neighbors to the
+    *     minimum of its neighborhood (incl. itself);
+    *   - small-star: every node attaches its smaller-or-equal
+    *     neighbors (and itself) to that minimum.
+    * Both phases preserve connectivity and monotonically flatten the
+    * graph toward the unique fixed point: one star per component,
+    * rooted at the component minimum. Each phase is a groupBy-min plus
+    * a join back on the grouping key plus a distinct — more shuffles
+    * per round than min-label's two, but the round COUNT is the scale
+    * variable and it drops from O(diameter) to O(log n).
+    *
+    * Convergence detection: an exact (count, Σu, Σv, Σxxhash64(u,v))
+    * signature rides the same action that materializes each round's
+    * cache; signature equality then triggers ONE deterministic
+    * `except`-emptiness confirm (counts already match, so one-sided
+    * emptiness ⇒ set equality) — a hash collision can never end the
+    * loop early, it only costs one extra job at the final round.
+    *
+    * Returns (labels, rounds): labels = (doc_id, label=component min)
+    * for every node of the pair graph; rounds feeds the chain probe. */
+  private[graft] def alternatingStar(pairs: DataFrame): (DataFrame, Int) = {
+    // canonical big-endpoint-first orientation, self-loops dropped —
+    // both phases below preserve this orientation, so it's established
+    // exactly once. Eager localCheckpoint, NOT persist: each round's
+    // phases reference their input ~6× (union + both join sides), so
+    // without per-round lineage truncation the logical plan grows
+    // exponentially in the round count and analysis itself dies on a
+    // 15-round graph; checkpoint blocks are round-sized (edge count ×
+    // O(log n) rounds live at once, freed by the ContextCleaner).
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .persist()
-    var prevSig: (String, Long) = null
+      .localCheckpoint(true)
+    // large-star: symmetrize, take m(u) = min(Γ(u) ∪ {u}), re-attach
+    // every LARGER neighbor v of u to m(u). Output (v, m) keeps v > m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: edges arrive big-first, so Γ(u) here is exactly the
+    // SMALLER neighbors; attach them (and u itself) to m(u) = min Γ(u).
+    // Output rows (x, m) all keep x ≥ m, self-loops filtered.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var prevSig: String = null
     var converged = false
-    var guard = 0
-    while (!converged && guard < 20) {
-      val msgs = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("label"))
-        .unionByName(labels.select("doc_id", "label"))
-      val updated = msgs.groupBy("doc_id").agg(min("label").as("label")).persist()
-      val row = updated.agg( // this ONE action materializes the round's cache
-        sum(col("label").cast("decimal(38,0)")).as("s"),
-        count(lit(1)).as("c")).head()
-      val sig = (Option(row.getDecimal(0)).fold("0")(_.toString), row.getLong(1))
-      converged = sig == prevSig
+    var rounds = 0
+    while (!converged && rounds < StarMaxRounds) {
+      // eager checkpoint materializes the round AND truncates lineage
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val row = next.agg( // cheap second action over the cached blocks
+        count(lit(1)).as("c"),
+        sum(col("u").cast("decimal(38,0)")).as("su"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("sh")).head()
+      val sig = (0 to 3).map(i => String.valueOf(row.get(i))).mkString("|")
+      converged = sig == prevSig &&
+        next.except(edges).isEmpty // deterministic confirm, final round only
       prevSig = sig
-      labels.unpersist()
-      labels = updated
-      guard += 1
+      edges = next
+      rounds += 1
     }
     require(converged,
-      s"dedupClusters: label propagation did not converge in $guard rounds " +
-        "(component diameter exceeds the guard) - raise the round cap")
-    edges.unpersist()
-    // hand back a lineage-truncated copy and drop the round cache — the
-    // cache entry must not outlive the call (materializes from the still-
-    // cached labels, so this is a cheap copy, not a recompute)
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
-    out
+      s"dedupClusters: alternating-star did not converge in $rounds rounds " +
+        "- the O(log n) bound makes this unreachable for real graphs; " +
+        "a phase rewrite has broken monotonicity")
+    // converged state is a star per component: every edge is
+    // (member, root) with root = component min, and roots never appear
+    // on the u side — so members label from their one edge and roots
+    // label as themselves.
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("label"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("label")))
+      .distinct()
+      .localCheckpoint(true)
+    (labels, rounds)
   }
 
   /** dedup_survivors: the ACTION near-dup detection exists for — the

@@ -277,11 +277,35 @@ class OpsSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select($"cluster_id", $"cluster_size", $"members")
         .as[(Long, Long, String)].collect().toSeq
-    // threshold -1 forces the large-graph min-label-propagation branch
+    // threshold -1 forces the large-graph alternating-star branch
     val distributed = rows(Dedup.dedupClustersImpl(s, dir, -1L))
     val fastPath = rows(Dedup.dedupClustersImpl(s, dir, Long.MaxValue))
     assert(distributed.nonEmpty, "fixture should contain near-dup clusters")
     assert(distributed == fastPath)
+  }
+
+  test("alternating-star converges in O(log n) rounds on a chain-shaped graph") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // a 512-node chain has diameter 511: min-label propagation (the
+    // pre-round-10 algorithm) would need 511 rounds and blow any sane
+    // guard; alternating-star must label the whole component with its
+    // minimum in ~log2(512)=9-ish rounds
+    val n = 512L
+    val pairs = s.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (labels, rounds) = Dedup.alternatingStar(pairs)
+    assert(labels.count() == n)
+    assert(labels.filter(col("label") =!= 0L).count() == 0,
+      "every chain node must label with the component minimum 0")
+    assert(rounds <= 2 * 9 + 8, s"chain-512 took $rounds rounds - not log-bound")
+    // star-shaped graph (already converged shape): must settle immediately
+    val star = s.range(1, 100).select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+    val (starLabels, starRounds) = Dedup.alternatingStar(star)
+    assert(starLabels.filter(col("label") =!= 0L).count() == 0)
+    assert(starRounds <= 3, s"pre-converged star took $starRounds rounds")
+    assert(s.sharedState.cacheManager.isEmpty,
+      "alternatingStar leaked cache entries")
   }
 
   test("no query leaves cache entries behind (session-lifetime leak guard)") {
