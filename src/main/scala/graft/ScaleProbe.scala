@@ -192,6 +192,50 @@ object ScaleProbe {
       f"${hostile(1) / hostile(0)}%.1f")
   }
 
+  /** `simwidth` mode: probe `simhash_hamming_pairs` at PRODUCTION width
+    * — 64-bit fingerprint, 4 bands × 16 bits (Manku et al.'s
+    * configuration), previously only documented. The fixture width
+    * (16-bit fp, 4-bit bands) has only 16 possible band values, so
+    * buckets are corpus-fraction-sized and the hub-star cap does the
+    * heavy lifting; at 64/16 the 65,536 band values must spread real
+    * corpora into genuinely sparse buckets. Reports, at sf0.1 and 10×:
+    * bucket count, max bucket size, hot buckets (over the cap),
+    * candidate pairs vs confirmed pairs (precision), and wall. */
+  private def simWidthProbe(spark: SparkSession, src: String, big: String): Unit = {
+    import graft.ops.Dedup
+    val (bits, k) = (64, 3)
+    val (nBands, bandBits) = (k + 1, 64 / (k + 1))
+    println(f"${"corpus"}%-7s ${"docs"}%9s ${"buckets"}%9s ${"maxbkt"}%7s " +
+      f"${"hot"}%5s ${"cands"}%10s ${"pairs"}%8s ${"prec"}%6s ${"sec"}%7s")
+    for ((label, dir) <- Seq("sf0.1" -> src, "10x" -> big)) {
+      val fps = Dedup.simhashFpsImpl(spark, dir, bits).localCheckpoint(true)
+      val n = fps.count()
+      val bands = (0 until nBands).map(b => fps.select(
+          lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), bandBits * b)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("bval")))
+        .reduce(_ unionByName _)
+      val bs = bands.groupBy("band", "bval").agg(count(lit(1)).as("bn"))
+        .localCheckpoint(true)
+      val row = bs.agg(
+        count(lit(1)).as("buckets"), max("bn").as("maxbkt"),
+        sum(when(col("bn") > 100, 1L).otherwise(0L)).as("hot"),
+        // candidate pairs the banding emits: all-pairs below the cap,
+        // hub-star (bn-1) above it — the exact generator contract
+        sum(when(col("bn") <= 100, expr("bn * (bn - 1) DIV 2"))
+          .otherwise(col("bn") - 1)).as("cands")).head()
+      graft.HarnessUtil.releaseAll(spark)
+      val t0 = System.nanoTime()
+      val pairs = Dedup.simhashHammingPairsImpl(spark, dir, bits, k).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.HarnessUtil.releaseAll(spark)
+      val cands = row.getLong(3)
+      println(f"$label%-7s $n%9d ${row.getLong(0)}%9d ${row.getLong(1)}%7d " +
+        f"${row.getLong(2)}%5d $cands%10d $pairs%8d " +
+        f"${pairs.toDouble / math.max(cands, 1)}%6.3f $sec%7.2f")
+    }
+  }
+
   /** `artifact` mode: measure the recompute the materialized pair-graph
     * artifact ([[graft.ops.Dedup.pairGraph]]) saves. The self-contained
     * cluster-family queries each pay shingle-index + pair-join (+
@@ -365,6 +409,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("artifact")) {
       artifactProbe(spark, src)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("simwidth")) {
+      simWidthProbe(spark, src, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
       spark.stop(); return
     }
     if (args.headOption.contains("skew")) {

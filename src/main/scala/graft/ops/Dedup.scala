@@ -224,15 +224,33 @@ object Dedup {
   }
 
   /** (doc_id, simhash) — the fingerprint core shared by [[simhashDedup]]
-    * and [[simhashHammingPairs]]. */
-  private def simhashFps(s: SparkSession, dir: String): DataFrame = {
+    * and [[simhashHammingPairs]], at the fixture width. */
+  private def simhashFps(s: SparkSession, dir: String): DataFrame =
+    simhashFpsImpl(s, dir, SimBits)
+
+  /** [[simhashFps]] at an arbitrary fingerprint WIDTH — the
+    * parameterized core behind the fixture-width query (16-bit,
+    * oracle-mirrored bit-for-bit: on non-negative hashes the logical
+    * shift and bitwise-OR below equal the oracle's arithmetic shift
+    * and sum of distinct powers) and the production-width probe
+    * (`ScaleProbe simwidth`: 64-bit fingerprints, Manku et al.'s
+    * configuration). The 64-bit token hash is xxhash64 — full-range,
+    * sign bit included; every bit extraction is logical-shift + mask,
+    * so a negative hash is just a 64-bit pattern, never an arithmetic
+    * value. */
+  private[graft] def simhashFpsImpl(s: SparkSession, dir: String,
+                                    bits: Int): DataFrame = {
+    require(bits == SimBits || bits == 64, s"unsupported simhash width: $bits")
+    val tokHash = if (bits == SimBits) pmod(hash60(col("w")), lit(1L << SimBits))
+                  else xxhash64(col("w"))
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
-      .select(col("doc_id"), pmod(hash60(col("w")), lit(65536L)).as("h"))
-    val bitSums = (0 until SimBits).map(b =>
-      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
-    val fp = (0 until SimBits).map(b =>
-      when(col(s"s$b") >= 0, 1L << b).otherwise(0L)).reduce(_ + _)
+      .select(col("doc_id"), tokHash.as("h"))
+    val bitSums = (0 until bits).map(b =>
+      sum(shiftrightunsigned(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
+    val fp = (0 until bits).map(b =>
+      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
   }
@@ -259,15 +277,29 @@ object Dedup {
     * only 4 bits, so buckets are corpus-fraction-sized and the cap
     * does the heavy lifting; a production deployment uses a 64-bit
     * fingerprint with 16-bit bands (the paper's configuration), where
-    * buckets are genuinely sparse — the machinery here is identical,
-    * only the two width constants change. */
-  def simhashHammingPairs(s: SparkSession, dir: String): DataFrame = {
-    // referenced by all four band projections + both join sides: pin the
+    * buckets are genuinely sparse — [[simhashHammingPairsImpl]] takes
+    * the widths as parameters and `ScaleProbe simwidth` probes the
+    * 64/16 configuration on the 10× replica. */
+  def simhashHammingPairs(s: SparkSession, dir: String): DataFrame =
+    simhashHammingPairsImpl(s, dir, SimBits, SimHammingK)
+
+  /** [[simhashHammingPairs]] at arbitrary (fingerprint width, max
+    * Hamming distance): bands = hammingK+1 equal slices of the
+    * fingerprint (pigeonhole), identical machinery at every width. */
+  private[graft] def simhashHammingPairsImpl(s: SparkSession, dir: String,
+                                             bits: Int, hammingK: Int): DataFrame = {
+    val nBands = hammingK + 1
+    val bandBits = bits / nBands
+    require(nBands * bandBits == bits,
+      s"fingerprint width $bits must split evenly into $nBands bands")
+    val bandMask = (1L << bandBits) - 1
+    // referenced by all band projections + both join sides: pin the
     // doc-sized (doc_id, simhash) table once; blocks free with the RDD
-    val fps = simhashFps(s, dir).localCheckpoint(true)
-    val bands = (0 until SimHammingK + 1).map { k =>
+    val fps = simhashFpsImpl(s, dir, bits).localCheckpoint(true)
+    val bands = (0 until nBands).map { k =>
       fps.select(col("doc_id"), col("simhash"), lit(k).as("band"),
-        expr(s"shiftright(simhash, ${4 * k}) & 15").as("bval"))
+        shiftrightunsigned(col("simhash"), bandBits * k)
+          .bitwiseAND(lit(bandMask)).as("bval"))
     }.reduce(_ unionByName _)
     val bstats = bands.groupBy("band", "bval")
       .agg(count(lit(1)).as("bn"), min("doc_id").as("bmin"),
@@ -287,7 +319,7 @@ object Dedup {
       .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"),
         expr("CAST(bit_count(minfp ^ simhash) AS BIGINT)").as("hamming"))
     full.unionByName(star)
-      .filter(col("hamming") <= SimHammingK)
+      .filter(col("hamming") <= hammingK)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
