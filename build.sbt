@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round harness snapshot keeps a ~2,000-char stdout TAIL and a
+// JSON parse of it; sbt's default LoggedOutput decorates every forked
+// line with "[info] " and appends a "[success] Total time" trailer, so
+// the bench's JSON line has never been a cleanly parseable stdout line
+// (BENCH_rNN.json stored parsed:null through round 9). StdoutOutput
+// hands the forked JVM the parent's stdout verbatim — bare lines — and
+// showSuccess drops the trailer: the LAST stdout line of a bench run is
+// now the JSON object itself.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,16 +20,53 @@ private[graft] object HarnessUtil {
     case c => c.toString
   } + "\""
 
-  /** Free everything a finished query pinned: catalog cache entries AND
-    * localCheckpoint blocks. clearCache() alone misses the latter (they
-    * are RDD-level persists, invisible to the catalog), which would
-    * leave corpus-sized blocks resident until driver GC and skew later
+  /** Data-sized `SparkContext.broadcast` handles issued by plan
+    * builders (the Bloom filter in `contaminatedViaBloom` is ~120 MB at
+    * production fpp/held-set sizes), queued here so [[releaseAll]] can
+    * destroy them EAGERLY. Without this the only reclamation path is
+    * the lazy plan becoming unreachable plus ContextCleaner/GC — a
+    * harness loop (or any long-lived session) that constructs the
+    * pipeline repeatedly stacks filter-sized broadcasts on the driver
+    * and every executor in the meantime. */
+  private val issuedBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
+
+  /** Register a broadcast for destruction at the next [[releaseAll]].
+    * Same lifetime contract as localCheckpoint blocks: the handle must
+    * not be executed again after that release. */
+  def trackBroadcast[T](bc: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] = {
+    issuedBroadcasts.add(bc)
+    bc
+  }
+
+  /** Drain the async listener bus so metrics accumulated by a
+    * SparkListener (per-query shuffle-byte deltas in Bench/Scratch) are
+    * fully delivered before the counter is read — a fixed sleep lags
+    * behind the bus under load and bleeds one query's task metrics into
+    * the next query's delta. A bus that cannot drain within 10 s is
+    * treated as drained-as-far-as-it-goes (same best-effort the sleep
+    * gave, minus the systematic lag). */
+  def drainListeners(spark: SparkSession): Unit =
+    try org.apache.spark.GraftSparkShim.waitListenerBusEmpty(spark.sparkContext, 10000L)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
+  /** Free everything a finished query pinned: catalog cache entries,
+    * localCheckpoint blocks, AND tracked data-sized broadcasts.
+    * clearCache() alone misses the latter two (RDD-level persists and
+    * broadcast blocks are invisible to the catalog), which would leave
+    * corpus-sized blocks resident until driver GC and skew later
     * timings. Only safe BETWEEN queries — a live DataFrame whose
-    * checkpoint blocks are dropped cannot recompute (lineage is
-    * truncated). */
+    * checkpoint blocks (or tracked broadcast) are dropped cannot
+    * recompute (lineage is truncated / the handle is destroyed). */
   def releaseAll(spark: SparkSession, gc: Boolean = false): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    var bc = issuedBroadcasts.poll()
+    while (bc != null) {
+      try bc.destroy()
+      catch { case scala.util.control.NonFatal(_) => () } // already cleaned: fine
+      bc = issuedBroadcasts.poll()
+    }
     // gc=true (Bench between queries): collect the freed blocks NOW so a
     // heavy query's garbage is not paid for — as a collection pause — by
     // whichever query happens to run next. Sustained cross-query heap

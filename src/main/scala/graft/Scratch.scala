@@ -29,12 +29,12 @@ object Scratch {
         if (n == "entry") (sp, _) => SparkEntry.entry(sp)
         else SparkEntry.queries(n)
       fn(spark, sfDir).count(); HarnessUtil.releaseAll(spark)
-      Thread.sleep(100) // listener drain
+      HarnessUtil.drainListeners(spark)
       val sb0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(100) // listener drain
+      HarnessUtil.drainListeners(spark)
       println(f"TIMING $n%-24s $dt%8.2fs  rows=$rows  " +
         f"shuffle=${(shuffleBytes.get() - sb0) / 1024.0 / 1024.0}%.2f MB")
       HarnessUtil.releaseAll(spark)

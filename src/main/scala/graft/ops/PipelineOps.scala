@@ -162,12 +162,13 @@ object PipelineOps {
     // id frame, which Catalyst folds to a LocalRelation
     if (nHeld == 0) return grams.filter(lit(false)).select("doc_id")
     val bloom = held.stat.bloomFilter("g", nHeld, BloomFpp)
-    // LIFETIME: one broadcast per construction, reclaimed by Spark's
-    // ContextCleaner when the returned plan is GC'd (no eager destroy is
-    // possible — the lazy plan still references it). Harness loops that
-    // rebuild this repeatedly lean on releaseAll(gc=true) between
-    // queries to keep large filters from stacking up on executors.
-    val bloomBc = s.sparkContext.broadcast(bloom)
+    // LIFETIME: one broadcast per construction, registered with
+    // HarnessUtil so releaseAll DESTROYS it once the query's action is
+    // done (same between-queries contract as the localCheckpoint above
+    // — the plan must not execute again after that release). Sessions
+    // that never call releaseAll fall back to ContextCleaner/GC
+    // reclamation when the lazy plan becomes unreachable.
+    val bloomBc = graft.HarnessUtil.trackBroadcast(s.sparkContext.broadcast(bloom))
     grams.filter(col("doc_id") >= HeldoutMax)
       // narrow codegen Bloom prune, ~fpp survivors
       .filter(graft.functions.MightContainBloomBc.onCol(bloomBc, col("g")))

@@ -1,0 +1,17 @@
+package org.apache.spark
+
+/** Bridge into `private[spark] SparkContext.listenerBus` — the harness
+  * mains attribute per-query shuffle-byte deltas via a SparkListener,
+  * and listener delivery is async: reading the counter after a fixed
+  * sleep mis-attributes one query's task metrics to the next whenever
+  * the bus lags past the sleep (it does under load). `waitUntilEmpty`
+  * is the engine's own drain primitive; it is `private[spark]`, so this
+  * one-method accessor lives in this package purely for scope — the
+  * same pattern as [[org.apache.spark.sql.GraftShim]]. */
+object GraftSparkShim {
+  /** Block until every queued listener event is dispatched, or
+    * `timeoutMs` passes (then a TimeoutException propagates — callers
+    * treat that as "drained as far as it will go"). */
+  def waitListenerBusEmpty(sc: SparkContext, timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
+}
