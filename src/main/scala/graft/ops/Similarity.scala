@@ -593,8 +593,10 @@ object Similarity {
   private val SemTau = 0.4
   /** Max members per cluster before the within-cluster comparison
     * degrades from all-pairs to hub-star — same policy and rationale as
-    * [[MaxLshBucket]] / `Dedup.MaxBandBucket`. */
-  private val MaxSemCluster = 100
+    * [[MaxLshBucket]] / `Dedup.MaxBandBucket`. Shared with the streaming
+    * twin ([[graft.streaming.StreamingSemanticDedup.MaxClusterMembers]])
+    * so the batch and online defaults cannot drift apart. */
+  private[graft] val MaxSemCluster = 100
 
   /** semantic_dedup: SemDeDup-style embedding-space deduplication
     * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

@@ -21,20 +21,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     cluster groupBy.
   *   - State is keyed by cluster id: work and memory follow cluster
   *     occupancy, never all-pairs. `cap` bounds remembered members per
-  *     cluster; beyond it arrivals compare against the HUB (minimum
-  *     remembered id) only — the same star degradation as every hot
-  *     bucket in the family, O(1) fan-out past the cap.
+  *     cluster: arrivals insert while occupancy < cap and are compared
+  *     against EVERY remembered member while occupancy ≤ cap; a cluster
+  *     is SATURATED only when occupancy EXCEEDS the cap (reachable only
+  *     via a [[withIndex]] prime whose index cluster was itself beyond
+  *     the cap), and saturated arrivals compare against the HUB (minimum
+  *     remembered id) only — the batch family's exact boundary
+  *     (`cn <= maxCluster` all-pairs / `cn > maxCluster` hub-star), so
+  *     the two sides classify identically at the cap itself. Past-cap
+  *     fan-out is O(cap · dim) per arrival with frozen state — bounded
+  *     by a constant the caller picks, never by stream volume.
   *   - The per-arrival comparison is O(cap · dim) driver-free work in
   *     the state handler; cosine arithmetic matches the batch twin's
   *     expression shape (int64 dots, double division).
   *   - State never evicts (cluster count is bounded by k, members by
-  *     cap — memory is O(k · cap · dim), a FIXED budget, unlike the
+  *     cap+1 — memory is O(k · cap · dim), a FIXED budget, unlike the
   *     unbounded-bucket near-dup case, so no horizon option is needed).
   */
 object StreamingSemanticDedup {
 
-  /** Default cap on remembered members per cluster. */
-  val MaxClusterMembers = 64
+  /** Default cap on remembered members per cluster — the batch twin's
+    * [[graft.ops.Similarity.MaxSemCluster]], shared so the defaults
+    * cannot drift (they differed 64 vs 100 through round 9, which made
+    * the two sides classify differently for occupancies in (64,100]). */
+  val MaxClusterMembers: Int = graft.ops.Similarity.MaxSemCluster
 
   final case class Assigned(vecId: Long, cluster: Long, qv: Seq[Long])
   final case class SemPair(vecA: Long, vecB: Long, cluster: Long, cosine: Double)
@@ -74,17 +84,21 @@ object StreamingSemanticDedup {
     val out = Vector.newBuilder[SemPair]
     it.toSeq.sortBy(_.vecId).foreach { v =>
       if (!members.exists(_._1 == v.vecId)) {
-        if (members.size < cap) {
+        if (members.size <= cap) {
+          // at or under the cap: compare against every remembered member
+          // (the batch small path's `cn <= maxCluster` all-pairs rule —
+          // an index cluster of EXACTLY cap members still compares fully)
           members.foreach { case (mid, mq) =>
             val c = cosine(mq, v.qv)
             if (c >= tau)
               out += SemPair(math.min(mid, v.vecId), math.max(mid, v.vecId), key, c)
           }
-          members = members :+ (v.vecId, v.qv)
+          // remember the arrival only while it keeps occupancy ≤ cap
+          if (members.size < cap) members = members :+ (v.vecId, v.qv)
         } else {
-          // saturated cluster: compare against the hub only (star
-          // degradation — the arrival stays reachable from the group,
-          // state and fan-out stay O(cap)/O(1))
+          // saturated cluster (> cap members — only a withIndex prime of
+          // an over-cap index cluster gets here): compare against the
+          // hub only, the batch hot path's `cn > maxCluster` star rule
           val (hid, hq) = members.minBy(_._1)
           val c = cosine(hq, v.qv)
           if (c >= tau)
@@ -98,8 +112,9 @@ object StreamingSemanticDedup {
 
   /** Streaming (vec_id, embedding) → semantic near-dup pairs as they
     * arrive. A pair surfaces once (clusters partition the space, unlike
-    * LSH bands); at-least-once redelivery of an over-cap arrival can
-    * re-emit its hub pair — callers dedup on (vecA, vecB) downstream. */
+    * LSH bands); at-least-once redelivery of an arrival past the cap
+    * (not remembered in state) can re-emit its pairs — callers dedup on
+    * (vecA, vecB) downstream. */
   def apply(vecs: DataFrame, codebook: Seq[(Long, Seq[Long])],
             tau: Double = 0.4,
             cap: Int = MaxClusterMembers): Dataset[SemPair] = {
@@ -118,12 +133,25 @@ object StreamingSemanticDedup {
     * surface ([[StreamingNearDup.withIndex]] is the MinHash analogue).
     * Per-cluster member state starts PRE-POPULATED from a historical
     * corpus (batch `index` of (vec_id, embedding) rows, assigned by the
-    * SAME codebook arithmetic and folded to capped member sets sorted by
-    * vec_id — so a saturated cluster's hub is the index minimum, exactly
-    * the batch twin's hub rule), so a streamed vector is compared
-    * against everything the corpus already contains from its very first
-    * micro-batch, while WITHIN-INDEX pairs are never emitted (they were
-    * state, not input — re-deduping the index is batch work). */
+    * SAME codebook arithmetic and folded to member sets sorted by
+    * vec_id), so a streamed vector is compared against everything the
+    * corpus already contains from its very first micro-batch, while
+    * WITHIN-INDEX pairs are never emitted (they were state, not input —
+    * re-deduping the index is batch work).
+    *
+    * The prime keeps cap+1 members, not cap: the one extra row is the
+    * SATURATION MARKER that lets the handler distinguish an index
+    * cluster of exactly cap members (batch: still all-pairs) from one
+    * truncated past the cap (batch: hub-star) — with it, the streamed
+    * verdicts on index↔stream pairs match `semanticIncremental` at ANY
+    * index occupancy, not just the unsaturated regime: cn ≤ cap compares
+    * the full index member set, cn > cap compares the index-minimum hub
+    * only, the identical `<=`/`>` boundary the batch operator applies.
+    * (Stream↔stream pairs are additionally emitted while occupancy stays
+    * under the cap — online ownership tracking the batch ingest form
+    * doesn't do; callers reproducing batch dispositions filter to pairs
+    * whose smaller id is an index member, as StreamingCurationSpec
+    * does.) */
   def withIndex(vecs: DataFrame, index: DataFrame,
                 codebook: Seq[(Long, Seq[Long])],
                 tau: Double = 0.4,
@@ -136,8 +164,10 @@ object StreamingSemanticDedup {
     val initial = assigned(index, codebook).as[Assigned]
       .groupByKey(_.cluster)
       .mapGroups { (k, it) =>
+        // cap+1, not cap: the extra member marks "index beyond the cap"
+        // so the handler can apply the batch <=/> boundary exactly
         (k, ClusterMembers(
-          it.map(a => (a.vecId, a.qv)).toVector.sortBy(_._1).take(cap)))
+          it.map(a => (a.vecId, a.qv)).toVector.sortBy(_._1).take(cap + 1)))
       }
       .groupByKey(_._1).mapValues(_._2)
     assigned(vecs, codebook).as[Assigned]

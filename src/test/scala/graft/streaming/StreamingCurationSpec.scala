@@ -36,18 +36,12 @@ class StreamingCurationSpec extends SparkSpec {
     val indexVecs = vecsAll.filter(col("vec_id") < Split)
     val codebook = Similarity.codebookFor(s, dir, sampled = true)
 
-    // Equivalence premise for the SEMANTIC axis: the batch operator
-    // compares a new vector against ALL index members of its cluster
-    // only while index occupancy ≤ 100 (beyond that it degrades to the
-    // hub) — the stream side is run UNSATURATED (cap > any occupancy),
-    // so the fixture must stay under the batch threshold for the two
-    // shapes to coincide. Assert the premise rather than assume it.
-    val occupancy = StreamingSemanticDedup.assigned(indexVecs, codebook)
-      .groupBy("cluster").count().agg(org.apache.spark.sql.functions.max("count"))
-      .head().getLong(0)
-    assert(occupancy <= 100,
-      s"fixture premise broken: max index cluster occupancy $occupancy > 100 " +
-        "(batch would hub-degrade; raise the spec's caps analysis)")
+    // SEMANTIC-axis equivalence needs no fixture premise: the stream
+    // side runs at the DEFAULT cap (= the batch MaxSemCluster), and the
+    // withIndex cap+1 prime applies the batch <=/> boundary exactly, so
+    // index↔stream verdicts match semantic_incremental at ANY index
+    // occupancy — saturated clusters hub-degrade identically on both
+    // sides (the r9 ADVICE cap-alignment item).
 
     val streamDocs = docsAll.filter(col("doc_id") >= Split)
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
@@ -65,7 +59,7 @@ class StreamingCurationSpec extends SparkSpec {
       .outputMode("append").start()
     val qv = StreamingSemanticDedup.withIndex(
         vecIn.toDF().toDF("vec_id", "embedding"), indexVecs, codebook,
-        tau = 0.4, cap = streamVecs.size + 500)
+        tau = 0.4)
       .writeStream.format("memory").queryName("cur_sem")
       .outputMode("append").start()
     try {
@@ -111,6 +105,50 @@ class StreamingCurationSpec extends SparkSpec {
       assert(expDocs.values.exists(_ == "near"))
       assert(expSem.values.exists(_ == "dup"))
     } finally { qd.stop(); qv.stop() }
+  }
+
+  test("docVerdicts restarts from checkpoint: verdict set identical to the uninterrupted run") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docsAll = Tables.documents(s, dir).select("doc_id", "text")
+    val indexDocs = docsAll.filter(col("doc_id") < Split)
+    // sentinel content that exists NOWHERE in the index: the batch-1
+    // arrival becomes state (hash owner / band-bucket member); its
+    // batch-2 twin can only classify correctly if that state SURVIVED
+    // the restart — the initial-state prime is applied on the first run
+    // only, so recovery is what's actually exercised here
+    val sentinel = (1 to 40).map(i => s"zqx$i").mkString(" ")
+    val half = docsAll.filter(col("doc_id") >= Split)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1).splitAt(50)
+    val d1 = half._1 :+ (900001L, sentinel)
+    val d2 = half._2 :+ (900002L, sentinel)
+
+    val base = java.nio.file.Files.createTempDirectory("cur_restart").toString
+    def run(tag: String, interrupt: Boolean): Set[(Long, String, Long)] = {
+      val in = MemoryStream[(Long, String)]
+      def start() = StreamingCuration.docVerdicts(
+          in.toDF().toDF("doc_id", "text"), indexDocs)
+        .writeStream.format("parquet").option("path", s"$base/out$tag")
+        .option("checkpointLocation", s"$base/cp$tag")
+        .outputMode("append").start()
+      val q1 = start()
+      in.addData(d1); q1.processAllAvailable()
+      if (interrupt) q1.stop()
+      in.addData(d2)
+      val q2 = if (interrupt) start() else q1 // restart from the SAME checkpoint
+      q2.processAllAvailable(); q2.stop()
+      s.read.parquet(s"$base/out$tag").as[(Long, String, Long)].collect().toSet
+    }
+    val expected = run("A", interrupt = false)
+    val got = run("B", interrupt = true)
+    assert(got == expected,
+      s"restart diverged: ${(got diff expected).take(5)} vs ${(expected diff got).take(5)}")
+    // the cross-restart sentinel must have classified on BOTH branches'
+    // recovered state: exact (hash owner 900001 remembered pre-restart)
+    // and near (identical text ⇒ every band bucket holds 900001)
+    assert(got.contains((900002L, "exact", 900001L)))
+    assert(got.contains((900002L, "near", 900001L)))
   }
 
   test("exactWithIndex: keep-first ownership, index-primed, batch-internal dups attributed to stream owner") {

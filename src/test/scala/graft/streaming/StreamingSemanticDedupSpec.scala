@@ -46,7 +46,7 @@ class StreamingSemanticDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("saturated cluster degrades to hub-star pairs with capped state") {
+  test("cluster past the cap freezes state: arrivals fan out O(cap), are not remembered") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -56,12 +56,45 @@ class StreamingSemanticDedupSpec extends SparkSpec {
       .writeStream.format("memory").queryName("ssd_cap")
       .outputMode("append").start()
     try {
-      // four near-identical vectors, cap 2: 1/2 pair fully; 3/4 each
-      // emit only the (hub=1, newcomer) star pair
+      // four near-identical vectors, cap 2: 1/2 insert and pair fully;
+      // 3/4 arrive at occupancy == cap — still compared against BOTH
+      // remembered members (the batch `cn <= maxCluster` boundary) but
+      // never remembered themselves, so (3,4) is NOT emitted: state
+      // froze at {1,2}
       input.addData((1L to 4L).map(i => (i, v(0 -> 1.0f, 1 -> (0.001f * i)))): _*)
       q.processAllAvailable()
       val got = s.table("ssd_cap").as[SemPair].collect().map(p => (p.vecA, p.vecB)).toSet
-      assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L)), s"got $got")
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)), s"got $got")
     } finally q.stop()
+  }
+
+  test("withIndex cap boundary: index AT the cap compares fully, BEYOND it hubs (batch <=/> rule)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // stream vector 10 is a near-copy of index member 2 (orthogonal to
+    // member 1 = the hub) — it pairs iff the NON-HUB member is compared
+    def run(indexIds: Seq[Long], name: String): Set[(Long, Long)] = {
+      val index = indexIds.map {
+        case 1L => (1L, v(0 -> 1.0f))
+        case i  => (i, v(1 -> 1.0f, 0 -> (0.001f * i)))
+      }.toDF("vec_id", "embedding")
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingSemanticDedup.withIndex(
+          input.toDF().toDF("vec_id", "embedding"), index, codebook,
+          tau = 0.4, cap = 2)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData((10L, v(1 -> 0.999f)))
+        q.processAllAvailable()
+        s.table(name).as[SemPair].collect().map(p => (p.vecA, p.vecB)).toSet
+      } finally q.stop()
+    }
+    // occupancy 2 == cap: batch still all-pairs — member 2 is compared
+    assert(run(Seq(1L, 2L), "ssd_at_cap") == Set((2L, 10L)))
+    // occupancy 3 > cap: hub-star — only member 1 (index min, orthogonal
+    // to the arrival) is compared, so nothing pairs
+    assert(run(Seq(1L, 2L, 3L), "ssd_over_cap") == Set.empty[(Long, Long)])
   }
 }
