@@ -99,7 +99,9 @@ class StreamingNearDupSpec extends SparkSpec {
 
     // A ProcessingTimeTimeout query runs continuous micro-batches to fire
     // its timers (default trigger), so processAllAvailable never observes
-    // a quiet point and can hang — the spec POLLS the sink instead.
+    // a quiet point and can hang — the spec POLLS the sink instead, and
+    // tears down with SparkSpec.quietStop (the 200 ms trigger below
+    // gives it an idle window to aim for).
     def pairsIn(table: String): Set[(Long, Long)] =
       s.table(table).as[CandPair].collect().toSet.map {
         (p: CandPair) => (p.docA, p.docB) }
@@ -118,6 +120,7 @@ class StreamingNearDupSpec extends SparkSpec {
     val q1 = StreamingNearDup(in1.toDF().toDF("doc_id", "text"),
         horizon = Some("10 minutes"))
       .writeStream.format("memory").queryName("snd_h1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
       .outputMode("append").start()
     try {
       in1.addData((1L, txt), (2L, txt))
@@ -126,7 +129,7 @@ class StreamingNearDupSpec extends SparkSpec {
       val got = awaitPairs("snd_h1", Set((1L, 2L), (1L, 3L), (2L, 3L)))
       assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)),
         s"pairs within the horizon must be unaffected, got $got")
-    } finally q1.stop()
+    } finally quietStop(q1)
 
     // PAST the horizon (1 second, then a 5 s idle gap during which the
     // continuously-triggering engine fires the timer): the bucket is
@@ -136,6 +139,7 @@ class StreamingNearDupSpec extends SparkSpec {
     val q2 = StreamingNearDup(in2.toDF().toDF("doc_id", "text"),
         horizon = Some("1 second"))
       .writeStream.format("memory").queryName("snd_h2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
       .outputMode("append").start()
     try {
       in2.addData((1L, txt), (2L, txt))
@@ -146,7 +150,7 @@ class StreamingNearDupSpec extends SparkSpec {
       val got = awaitPairs("snd_h2", Set((1L, 2L), (3L, 4L)))
       assert(got == Set((1L, 2L), (3L, 4L)),
         s"evicted bucket must forget members 1/2 but keep pairing fresh ones, got $got")
-    } finally q2.stop()
+    } finally quietStop(q2)
   }
 
   test("bucket cap degrades to star pairs: capped state, full fan-out kept linear") {
