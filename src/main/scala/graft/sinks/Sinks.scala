@@ -51,6 +51,22 @@ object Sinks {
       .writeStream.format("kafka")
       .options(kafkaOptions(brokers, topic, checkpoint))
 
+  /** K3 streaming leg: ES-upsert sink for a streaming Dataset — each
+    * micro-batch rides [[EsBulkSink.write]] (executor-side per-partition
+    * bulks under the retry policy), mirroring the reference's DAG tail
+    * where the enriched waybill stream lands in an index
+    * (main/HelloWorldFlink.java:203-250). foreachBatch is the Spark
+    * shape for a sink with its own client machinery: Spark replays a
+    * failed micro-batch (at-least-once), and docAsUpsert keying makes
+    * the replay idempotent — the same exactly-once-by-idempotence
+    * closure the Kafka writer documents. */
+  def esStream[T](ds: Dataset[T], sink: EsBulkSink,
+                  checkpoint: String): DataStreamWriter[T] =
+    ds.writeStream
+      .foreachBatch((batch: Dataset[T], _: Long) => sink.write(batch.toDF()))
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
   /** One ES-style upsert action (docAsUpsert keyed by id,
     * reference: main/HelloWorldFlink.java:212-222). */
   final case class Upsert(index: String, id: String, docJson: String)
