@@ -372,6 +372,102 @@ object ScaleProbe {
     }
   }
 
+  /** `aqeskew` mode: the evidence the saltedAgg adjudication deferred to
+    * — JOIN-side skew is AQE's job, so show AQE actually doing it on a
+    * hostile shape, and show where the ENGINE's own joins stand. Arm 1:
+    * a 20M-row fact with 50% of rows on ONE key, sort-merge-joined to a
+    * dim side too large to broadcast; with skew-join handling ON the
+    * final adaptive plan must carry `skew=true` (asserted, not eyeballed)
+    * and the wall is compared against the identical join with skew
+    * handling OFF (one reducer sorts+joins the hot key alone). The
+    * skewed-partition THRESHOLD is scaled to probe hardware (the default
+    * 256 MB is production-executor sizing; the hot partition here is
+    * ~150 MB of join input — at 100 TB the defaults fire unmodified, and
+    * the knob is per-deployment sizing, not semantics). Arm 2: the
+    * engine's real data-sized joins (decontaminate's confirm join, the
+    * minhash bucket join) are executed as-shipped and their JOIN NODE
+    * TYPES printed from the executed plan — the family's broadcast
+    * (results-sized confirm) and df-capped/hub-starred bucket keys mean
+    * skew never reaches a sort-merge reducer in the first place; AQE is
+    * the backstop for shapes the caps don't pre-bound, not the first
+    * line of defense. */
+  private def aqeSkewProbe(spark: SparkSession, src: String): Unit = {
+    val n = 20000000L
+    val dimN = 2000000L
+    // v is a HASH, not the sequential id: a constant hot key + sequential
+    // payload lz4-compresses ~10x in the shuffle, and AQE's skew detector
+    // reads COMPRESSED map-output sizes — the hostile partition must be
+    // hostile in bytes, not just rows
+    val fact = spark.range(n).select(
+        when(pmod(col("id"), lit(2)) === 0, lit(0L))
+          .otherwise(pmod(col("id"), lit(dimN))).as("k"),
+        xxhash64(col("id")).as("v"))
+      .repartition(32).localCheckpoint(true)
+    val dim = spark.range(dimN).select(col("id").as("k"),
+        expr("repeat('x', 64)").as("pad"))
+      .repartition(32).localCheckpoint(true)
+    // the aggregate must consume BOTH sides' payloads: summing only the
+    // dim pad lets column pruning strip v from the fact shuffle, whose
+    // hot partition then holds nothing but the constant key — which
+    // compresses below any skew threshold
+    // v is reduced modulo AFTER the join (so the full random long still
+    // rides the shuffle) and bounded before summing — 20M full-range
+    // longs overflow an ANSI sum
+    def join() = fact.join(dim, Seq("k"))
+      .select(sum(pmod(col("v"), lit(1000L)) + length(col("pad"))).as("s"))
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def arm(label: String, skewOn: Boolean): (Double, String) = {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      // probe-hardware sizing of the production-default 256m / 64m knobs
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      val df = join()
+      df.collect() // warm + finalizes the adaptive plan
+      System.gc()
+      val samples = (1 to 3).map { _ =>
+        val d = join()
+        val t0 = System.nanoTime()
+        d.collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.gc(); dt
+      }.sorted
+      val plan = df.queryExecution.executedPlan.toString
+      println(f"aqeskew $label%-9s med=${samples(1)}%6.2f s " +
+        f"(min=${samples.head}%.2f max=${samples.last}%.2f) " +
+        s"skewNodes=${plan.split('\n').count(_.contains("skew=true"))}")
+      (samples(1), plan)
+    }
+    val (offSec, offPlan) = arm("skew-off", skewOn = false)
+    val (onSec, onPlan) = arm("skew-on", skewOn = true)
+    if (!onPlan.contains("skew=true"))
+      println("aqeskew DEBUG skew-on plan:\n" + onPlan)
+    require(offPlan.contains("SortMergeJoin"),
+      "probe premise broken: the hostile join did not sort-merge (dim side broadcast?)")
+    require(onPlan.contains("skew=true"),
+      "AQE did NOT mark the 50%-hot-key join skewed — threshold sizing is off")
+    require(!offPlan.contains("skew=true"), "skew-off arm unexpectedly split")
+    println(f"aqeskew summary: skew-on $onSec%.2f s vs skew-off $offSec%.2f s " +
+      f"(${offSec / onSec}%.2fx) - AQE split the hot partition (skew=true in plan)")
+    saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    HarnessUtil.releaseAll(spark, gc = true)
+    // arm 2: the engine's own join shapes, as shipped
+    for (q <- Seq("decontaminate", "dedup_near_minhash")) {
+      val df = SparkEntry.queries(q)(spark, src)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      def cnt(s: String) = plan.split('\n').count(_.contains(s))
+      println(s"aqeskew engine-shape $q: broadcastHashJoin=${cnt("BroadcastHashJoin")} " +
+        s"sortMergeJoin=${cnt("SortMergeJoin")} skewMarked=${cnt("skew=true")}")
+      HarnessUtil.releaseAll(spark)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -417,6 +513,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("skew")) {
       skewProbe(spark)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("aqeskew")) {
+      aqeSkewProbe(spark, src)
       spark.stop(); return
     }
     val out = "/tmp/graft_sf1_synth"
