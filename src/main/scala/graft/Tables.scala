@@ -36,19 +36,35 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects natively
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a long of nanos via the legacy conf
-    * and convert to a microsecond TimestampType here, so every downstream
-    * operator sees a normal timestamp column. Truncation (ns -> us) matches
-    * DuckDB's `epoch_us(CAST(ts AS TIMESTAMP))` used by the oracles.
+  /** `events.ts` has shipped under two physical parquet types across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects natively with
+    * [PARQUET_TYPE_ILLEGAL]) and plain timestamp[us]. Adapt to whichever is on
+    * disk and normalize to a microsecond TimestampType (session tz is UTC in
+    * all graft entrypoints), so every downstream operator sees one shape:
+    *   - TIMESTAMP(NANOS): read as BIGINT nanos via the legacy conf, truncate
+    *     ns -> us. Matches DuckDB's `epoch_us(CAST(ts AS TIMESTAMP))` oracles.
+    *   - timestamp[us] without tz (Spark: TIMESTAMP_NTZ): cast to
+    *     TimestampType — identical epoch micros under UTC session tz.
+    *   - timestamp[us] with tz: already TimestampType, pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // NOTE: this flips a session-wide legacy conf and leaves it set (the
-    // flag is consulted lazily at scan time, so a set/restore around the
-    // read would race with execution). Side effect: other TIMESTAMP(NANOS)
-    // parquet reads in the session also come back as BIGINT nanos.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try apply(s, d, "events")
+      catch {
+        // Only flip the session-wide legacy conf when the file really is
+        // TIMESTAMP(NANOS); it's consulted lazily at scan time, so it must
+        // stay set for the lifetime of this DataFrame.
+        case e: Exception
+            if e.getMessage != null && e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          apply(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other            => sys.error(s"events.ts: unexpected type $other")
+    }
   }
 }
