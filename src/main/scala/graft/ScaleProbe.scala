@@ -312,6 +312,72 @@ object ScaleProbe {
     }
   }
 
+  /** `stargate` mode: run [[graft.ops.Dedup.alternatingStar]] on a graph
+    * ABOVE the [[graft.ops.Dedup.SmallGraphMaxEdges]] size gate — the
+    * regime where `labelsFromPairs` actually routes to the distributed
+    * path in production (OpsSpec only forces the path on small graphs).
+    * The graph mixes the three topologies that stress CC differently,
+    * each ~1.5M edges (total ≈ 4.5M > the 4M gate), with ANALYTIC
+    * ground-truth labels:
+    *   - a 1.5M-node chain (diameter = n: the shape that killed
+    *     min-label propagation) — component min 0;
+    *   - a 1.5M-leaf star (max-degree hub: the skew shape) — min = hub;
+    *   - a 1.5M-node binary tree (log diameter, branching) — min = root.
+    * Asserts: every node of all three components carries its component
+    * minimum; round count ≤ [[graft.ops.Dedup.StarMaxRounds]] and within
+    * the 2·log₂(maxComponent)+8 empirical bound the chain probe pins;
+    * and label agreement with the single-task union-find
+    * ([[graft.ops.Dedup.unionFindLabels]]) re-resolving the star
+    * component — the two size-gated paths must agree above and below
+    * the gate. */
+  private def starGateProbe(spark: SparkSession): Unit = {
+    import graft.ops.Dedup
+    val n = 1500000L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val hub = 10000000L
+    val star = spark.range(n)
+      .select(lit(hub).as("doc_a"), (col("id") + hub + 1).as("doc_b"))
+    val root = 20000000L
+    val tree = spark.range(1, n)
+      .select((col("id") + root).as("doc_a"),
+        (expr("(id - 1) DIV 2") + root).as("doc_b"))
+    val pairs = chain.unionByName(star).unionByName(tree)
+      .repartition(32).localCheckpoint(true)
+    val edges = pairs.count()
+    require(edges > Dedup.SmallGraphMaxEdges,
+      s"probe premise broken: $edges edges does not exceed the " +
+        s"${Dedup.SmallGraphMaxEdges}-edge gate")
+    val parts = Dedup.pairGraphPartitions(edges)
+    val t0 = System.nanoTime()
+    val (labels, rounds) = Dedup.alternatingStar(pairs.repartition(parts))
+    val sec = (System.nanoTime() - t0) / 1e9
+    val expected = when(col("doc_id") < n, lit(0L))
+      .when(col("doc_id") < root, lit(hub))
+      .otherwise(lit(root))
+    val bad = labels.filter(col("label") =!= expected).count()
+    val total = labels.count()
+    require(bad == 0 && total == 3 * n + 1,
+      s"stargate: $bad mislabeled of $total (expected ${3 * n + 1} nodes, 0 bad)")
+    val logBound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n)) + 8
+    require(rounds <= Dedup.StarMaxRounds && rounds <= logBound,
+      s"stargate: $rounds rounds exceeds bound min($logBound, ${Dedup.StarMaxRounds})")
+    // gate-agreement arm: union-find (the below-gate path) re-resolves
+    // the star component; its labels must match the distributed result
+    val starEdges = pairs.filter(col("doc_a") === hub)
+    val uf = Dedup.unionFindLabels(spark, starEdges)
+      .withColumnRenamed("label", "uf_label")
+    val disagree = labels
+      .filter(col("doc_id") >= hub && col("doc_id") < root)
+      .join(uf, "doc_id")
+      .filter(col("label") =!= col("uf_label")).count()
+    require(disagree == 0, s"stargate: $disagree union-find disagreements on the star")
+    println(f"stargate: edges=$edges%,d (> gate ${Dedup.SmallGraphMaxEdges}%,d) " +
+      f"parts=$parts rounds=$rounds (bound min($logBound, ${Dedup.StarMaxRounds})) " +
+      f"nodes=$total%,d mislabeled=$bad union-find-disagree=$disagree sec=$sec%.1f")
+    HarnessUtil.releaseAll(spark)
+  }
+
   /** `skew` mode: the probe that ADJUDICATED (and removed) the former
     * `Skew.saltedAgg` API — a hot-key (50% of all rows on ONE key)
     * aggregation, direct groupBy vs the two-stage salted rewrite
@@ -477,9 +543,6 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // events.parquet is TIMESTAMP(NANOS): read as long ns (the replica
-    // then carries a plain BIGINT ts, which Tables.events handles)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = "/root/testdata/sf0.1"
     if (args.headOption.contains("density")) {
       val qs = if (args.length > 1) args.drop(1).toSeq
@@ -509,6 +572,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("simwidth")) {
       simWidthProbe(spark, src, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
+      spark.stop(); return
+    }
+    if (args.headOption.contains("stargate")) {
+      starGateProbe(spark)
       spark.stop(); return
     }
     if (args.headOption.contains("skew")) {

@@ -460,7 +460,7 @@ object Dedup {
     * comfortably one task. The pair graph is orders of magnitude smaller
     * than the corpus (only near-dup survivors), so even multi-TB corpora
     * often land under this; the distributed loop is the path beyond it. */
-  private val SmallGraphMaxEdges = 4L * 1024 * 1024
+  private[graft] val SmallGraphMaxEdges = 4L * 1024 * 1024
 
   /** Resolve near-dup candidate pairs into CLUSTERS with a canonical
     * (minimum) doc id — the step that turns pair detection into actual
@@ -535,7 +535,7 @@ object Dedup {
   /** Small-graph path: classic union-find with path compression in ONE
     * executor task (not the driver). Output: (doc_id, label=min of its
     * component). */
-  private def unionFindLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+  private[graft] def unionFindLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
     pairs.as[(Long, Long)].repartition(1).mapPartitions { it =>
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -570,7 +570,7 @@ object Dedup {
     * a logic regression fails loudly instead of looping forever. The
     * chain probe (`ScaleProbe chain`) pins the log bound empirically:
     * round count grows by ~1 per chain-length DOUBLING. */
-  private val StarMaxRounds = 64
+  private[graft] val StarMaxRounds = 64
 
   /** Large-graph path: two-phase alternating-star connected components
     * (large-star / small-star — Kiveris et al., "Connected Components
