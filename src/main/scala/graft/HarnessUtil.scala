@@ -39,6 +39,17 @@ private[graft] object HarnessUtil {
     bc
   }
 
+  /** Snapshot of broadcasts tracked but not yet destroyed (test hook for
+    * the Bloom-broadcast lifecycle spec — a construction that stacked a
+    * second filter broadcast, or a release that failed to drain, shows
+    * up here). */
+  private[graft] def pendingBroadcasts: Seq[org.apache.spark.broadcast.Broadcast[_]] = {
+    val it = issuedBroadcasts.iterator()
+    val buf = Seq.newBuilder[org.apache.spark.broadcast.Broadcast[_]]
+    while (it.hasNext) buf += it.next()
+    buf.result()
+  }
+
   /** Drain the async listener bus so metrics accumulated by a
     * SparkListener (per-query shuffle-byte deltas in Bench/Scratch) are
     * fully delivered before the counter is read — a fixed sleep lags

@@ -128,7 +128,28 @@ object PipelineOps {
     * own premise the held set exceeds broadcast size, so it must be a
     * shuffle join — over the Bloom-thinned gram stream, whose volume is
     * ~fpp·corpus + true hits, not the corpus (AQE still broadcasts it
-    * when a small fixture makes that cheaper). */
+    * when a small fixture makes that cheaper).
+    *
+    * BROADCAST LIFETIME CONTRACT: each construction of this query
+    * allocates exactly ONE filter-sized `SparkContext.broadcast`
+    * (~120 MB at production held-set sizes) and registers it with
+    * [[graft.HarnessUtil.trackBroadcast]]. A caller that constructs the
+    * query repeatedly (a bench loop, a session re-planning per batch of
+    * corpus shards) MUST call `HarnessUtil.releaseAll` once the query's
+    * action has completed — that destroys the filter on the driver and
+    * every executor immediately, and the constructed plan must not be
+    * executed again afterwards. A session that never releases does not
+    * leak unboundedly: once the plan becomes unreachable, Spark's
+    * ContextCleaner reclaims the broadcast with GC — but reclamation is
+    * then GC-paced, so N constructions can transiently hold N filters.
+    * The eager release is the contract; the cleaner is the backstop.
+    * BloomBroadcastLifecycleSpec pins both halves (exactly one tracked
+    * broadcast per construction; zero live filter blocks after each
+    * release, across repeated constructions). No streaming path
+    * constructs this query per micro-batch today — the streaming
+    * curation legs reuse one batch-constructed plan; if a per-batch
+    * construction is ever added, destroy-after-action inside
+    * `foreachBatch` is the required shape. */
   def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val grams = wordGrams(Tables.documents(s, dir), ContamGram)
     Tables.documents(s, dir)

@@ -14,4 +14,16 @@ object GraftSparkShim {
     * treat that as "drained as far as it will go"). */
   def waitListenerBusEmpty(sc: SparkContext, timeoutMs: Long): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMs)
+
+  /** Distinct broadcast ids with at least one live block in the block
+    * manager — the ground truth for "is this broadcast's data actually
+    * resident". `BlockManagerMaster` is `private[spark]`; the broadcast
+    * lifecycle spec asserts against this, not against our own tracking
+    * queue, so a destroy that silently stopped reaching the block
+    * manager would still fail the spec. */
+  def liveBroadcastIds(sc: SparkContext): Set[Long] =
+    sc.env.blockManager.master
+      .getMatchingBlockIds(_.isInstanceOf[storage.BroadcastBlockId],
+        askStorageEndpoints = true)
+      .collect { case storage.BroadcastBlockId(id, _) => id }.toSet
 }
