@@ -52,6 +52,7 @@ object SparkEntry {
     "state_kinds"       -> (EnrichJoin.stateKinds _),
     "enrich_wide_row"   -> (EnrichJoin.enrichWideRow _),
     "funnel"            -> (EnrichJoin.funnel _),
+    "asof_attribution"  -> (EnrichJoin.asofAttribution _),
     // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
     "dedup_exact"       -> (Dedup.dedupExact _),
     "dedup_substring"   -> (Dedup.dedupSubstring _),
@@ -327,5 +328,6 @@ object SparkEntry {
   ) ++ Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
     Multimodal.oracles ++ PipelineOps.oracles ++ Map(
       "enrich_dag" -> graft.streaming.EnrichDag.enrichDagSql,
-      "funnel" -> EnrichJoin.funnelSql)
+      "funnel" -> EnrichJoin.funnelSql,
+      "asof_attribution" -> EnrichJoin.asofAttributionSql)
 }

@@ -120,6 +120,73 @@ object EnrichJoin {
       |  AS funnel_depth
       |FROM f ORDER BY user_id""".stripMargin
 
+  /** As-of join (extension): last-touch ATTRIBUTION — each 'purchase'
+    * event joined to the most recent PRECEDING 'view'/'click' ("touch")
+    * of the same user. The as-of join is the classic operator neither
+    * engine surfaces natively (the reference's join API is equi-only —
+    * SURVEY §4; Spark has no asof relation either), and the one the
+    * 100 TB brief names explicitly.
+    *
+    * "Preceding" is the (ts_us, event_id) TOTAL order: a touch at the
+    * same microsecond as the purchase counts when its id is smaller.
+    * Ids are unique, so the order is total and tie-handling is
+    * bit-identical on both engines — the reason the oracle mirrors this
+    * window form rather than DuckDB's native ASOF JOIN, whose
+    * same-timestamp tie choice is unspecified.
+    *
+    * Spark-first shape: NOT a join at all. Union is already present in
+    * the one events scan; tag touches, then
+    * `last(touch-attr, ignoreNulls) OVER (PARTITION BY user ORDER BY
+    * ts, id ROWS UNBOUNDED PRECEDING .. 1 PRECEDING)` carries the
+    * latest touch forward and the purchase filter keeps the joined
+    * rows. ONE hash exchange on user_id + one within-partition sort —
+    * the same cost as the keyed-state pass a Flink CoProcess
+    * attribution pays, and strictly less than a literal as-of join
+    * plan (range sort-merge + per-row backward scan). At 100 TB users
+    * number in the billions (parallelism is free) and one user's event
+    * history is human-bounded, so no partition funnels a corpus share
+    * into one task; all three touch attributes ride ONE window node
+    * (one sort, three running values). */
+  def asofAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochUs(col("ts")).as("ts_us"), col("value"))
+    val isTouch = col("event_type") =!= "purchase"
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("touch_id", last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("touch_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_ts_us", last(when(isTouch, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"), col("value").as("purchase_value"),
+        col("touch_id"), col("touch_type"), col("touch_ts_us"),
+        (col("ts_us") - col("touch_ts_us")).as("lag_us"))
+      .orderBy("purchase_id")
+  }
+
+  def asofAttributionSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |w AS (SELECT *,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+      |      OVER win AS touch_id,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER win AS touch_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN ts_us END IGNORE NULLS)
+      |      OVER win AS touch_ts_us
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+      |  value AS purchase_value, touch_id, touch_type, touch_ts_us,
+      |  ts_us - touch_ts_us AS lag_us
+      |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+
   /** E3/J2/J3 flagship: the six-source progressive enrichment into one wide
     * row (reference: test/StateTest.java:638-873 → BdWaybillOrder), mapped
     * onto the star schema: orders progressively widened with customer,

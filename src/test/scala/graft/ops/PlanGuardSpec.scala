@@ -74,6 +74,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_ivf_topk" -> 3,
     "ann_lsh_pairs" -> 4,
     "ann_topk" -> 2,
+    "asof_attribution" -> 2,
     "coprocess_merge" -> 2,
     "corpus_health" -> 7,
     "corpus_pack" -> 1,
