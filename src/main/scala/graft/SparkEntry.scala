@@ -53,6 +53,7 @@ object SparkEntry {
     "enrich_wide_row"   -> (EnrichJoin.enrichWideRow _),
     "funnel"            -> (EnrichJoin.funnel _),
     "asof_attribution"  -> (EnrichJoin.asofAttribution _),
+    "interval_join"     -> (EnrichJoin.intervalJoin _),
     // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
     "dedup_exact"       -> (Dedup.dedupExact _),
     "dedup_substring"   -> (Dedup.dedupSubstring _),
@@ -329,5 +330,6 @@ object SparkEntry {
     Multimodal.oracles ++ PipelineOps.oracles ++ Map(
       "enrich_dag" -> graft.streaming.EnrichDag.enrichDagSql,
       "funnel" -> EnrichJoin.funnelSql,
-      "asof_attribution" -> EnrichJoin.asofAttributionSql)
+      "asof_attribution" -> EnrichJoin.asofAttributionSql,
+      "interval_join" -> EnrichJoin.intervalJoinSql)
 }

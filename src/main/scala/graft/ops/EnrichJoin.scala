@@ -168,6 +168,56 @@ object EnrichJoin {
       .orderBy("purchase_id")
   }
 
+  /** Interval-join horizon: purchases within ONE HOUR after a click. */
+  private val IntervalUs = 3600000000L
+
+  /** Interval join (extension): every (click, purchase) pair of the
+    * same user with `click.ts <= purchase.ts <= click.ts + 1h` — the
+    * DataStream `intervalJoin` semantics Flink offers but the
+    * reference never exercises (SURVEY §4: equi-only), and the "range
+    * join" of the 100 TB brief. A literal range-predicate join is a
+    * cartesian per user; the scalable shape BUCKETS time by the
+    * interval length and equi-joins on (user, bucket): a click in
+    * bucket b can only pair with purchases in [b, b+1], so the
+    * purchase side probes its own bucket and the one below via a
+    * 2-element explode, the join is pure equi (Catalyst shuffles on
+    * the compound key, never a theta-join), and the exact range filter
+    * prunes the candidates. Each pair matches in EXACTLY one probe
+    * (the click's own bucket), so no dedup pass is needed. The
+    * interval length = the bucket width is the skew knob: candidates
+    * per task are bounded by per-user-per-hour activity, not corpus
+    * volume. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochUs(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_ts_us"),
+        expr(s"ts_us div ${IntervalUs}L").as("b"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_ts_us"),
+        explode(expr(s"array(ts_us div ${IntervalUs}L, ts_us div ${IntervalUs}L - 1)")).as("b"))
+    clicks.join(purchases, Seq("user_id", "b"))
+      .filter(col("purchase_ts_us") >= col("click_ts_us") &&
+        col("purchase_ts_us") <= col("click_ts_us") + IntervalUs)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_ts_us") - col("click_ts_us")).as("gap_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  def intervalJoinSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+       |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       |  p.ts_us - c.ts_us AS gap_us
+       |FROM e c JOIN e p
+       |  ON c.user_id = p.user_id
+       | AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + $IntervalUs
+       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+       |ORDER BY click_id, purchase_id""".stripMargin
+
   def asofAttributionSql: String =
     """WITH e AS (SELECT event_id, user_id, event_type,
       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value

@@ -108,6 +108,7 @@ class PlanGuardSpec extends SparkSpec {
     "frame_sample" -> 1,
     "funnel" -> 2,
     "group_agg" -> 2,
+    "interval_join" -> 1,
     "iterate_until" -> 1,
     "json_extract" -> 1,
     "lang_id" -> 1,
