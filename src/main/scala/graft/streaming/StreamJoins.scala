@@ -40,4 +40,33 @@ object StreamJoins {
       .withColumn("window_start", col("window.start").cast("long"))
       .drop("window")
   }
+
+  /** Streaming INTERVAL join — the live form of
+    * [[graft.ops.EnrichJoin.intervalJoin]] and the semantics of Flink's
+    * DataStream `intervalJoin` (right rows within
+    * `[left.ts + lowerUs, left.ts + upperUs]` of a same-key left row).
+    *
+    * Spark-first: NOT a custom state machine. A watermarked
+    * stream-stream equi-join whose extra predicate is a TIME-RANGE
+    * between the two event-time columns is exactly the shape Structured
+    * Streaming derives state bounds from: each side buffers only rows
+    * the range + the other side's watermark can still match, then
+    * evicts — Flink's two-sided interval buffer, implemented by the
+    * engine. Matches emit immediately (inner join does not wait for the
+    * watermark; the watermark only bounds state).
+    *
+    * Column names must be disjoint across the two sides (stream-stream
+    * joins cannot alias-disambiguate shared names at state-store level);
+    * the caller passes each side's key and event-time column explicitly.
+    * State scales with per-key traffic inside one interval — the same
+    * bound as the batch form's bucket occupancy. */
+  def intervalJoin(left: DataFrame, lKey: String, lTs: String,
+                   right: DataFrame, rKey: String, rTs: String,
+                   lowerUs: Long, upperUs: Long, delay: String): DataFrame =
+    left.withWatermark(lTs, delay)
+      .join(right.withWatermark(rTs, delay),
+        col(lKey) === col(rKey) &&
+          expr(s"$rTs >= $lTs + INTERVAL $lowerUs MICROSECOND") &&
+          expr(s"$rTs <= $lTs + INTERVAL $upperUs MICROSECOND"),
+        "inner")
 }
