@@ -39,6 +39,71 @@ class PropsSpec extends AnyFunSuite {
     })
   }
 
+  /** As-of attribution state machine: folding [[graft.streaming.AsofState.handle]]
+    * over ANY micro-batch chunking of the (ts, id)-ordered event stream
+    * must equal the brute-force argmax (latest prior touch per
+    * purchase) — the chunk-INVARIANCE AsofStreamSpec samples at one
+    * chunk size, here at 200 random (events, chunking) pairs with
+    * deliberately colliding timestamps. */
+  test("property: as-of state machine is micro-batch-chunking invariant") {
+    import graft.streaming.AsofState
+    import graft.streaming.AsofState.{Ev, Touch}
+    import org.apache.spark.api.java.{Optional => JOpt}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val evGen = for {
+      n <- Gen.choose(1, 40)
+      tss <- Gen.listOfN(n, Gen.choose(0L, 12L)) // dense -> many ts collisions
+      types <- Gen.listOfN(n, Gen.oneOf("view", "click", "purchase"))
+    } yield tss.zip(types).zipWithIndex.map { case ((ts, t), i) =>
+      Ev(eventId = i.toLong, userId = 1L, eventType = t, tsUs = ts, value = i * 0.5)
+    }
+    val gen = for {
+      evs <- evGen
+      chunk <- Gen.choose(1, 7)
+    } yield (evs, chunk)
+    check(Prop.forAll(gen) { case (evs, chunk) =>
+      val ordered = evs.sortBy(e => (e.tsUs, e.eventId))
+      var state = Option.empty[Touch]
+      val folded = ordered.grouped(chunk).flatMap { batch =>
+        val st = org.apache.spark.sql.streaming.TestGroupState.create[Touch](
+          state.map(JOpt.of[Touch]).getOrElse(JOpt.empty[Touch]()),
+          GroupStateTimeout.NoTimeout, batchProcessingTimeMs = 0L,
+          eventTimeWatermarkMs = JOpt.empty[Long](), hasTimedOut = false)
+        val out = AsofState.handle(1L, batch.iterator, st).toList
+        if (st.exists) state = Some(st.get)
+        out
+      }.toList
+      val brute = ordered.filter(_.eventType == "purchase").map { p =>
+        val t = evs.filter(e => e.eventType != "purchase" &&
+          (e.tsUs < p.tsUs || (e.tsUs == p.tsUs && e.eventId < p.eventId)))
+          .sortBy(e => (e.tsUs, e.eventId)).lastOption
+        (p.eventId, t.map(_.eventId), t.map(_.eventType), t.map(p.tsUs - _.tsUs))
+      }
+      folded.map(a => (a.purchaseId, a.touchId, a.touchType, a.lagUs)) == brute
+    })
+  }
+
+  /** Interval-join bucketing (EnrichJoin.intervalJoin): for any in-range
+    * (click, purchase) pair the purchase's two bucket probes contain the
+    * click's bucket (completeness — no pair can be missed), and the two
+    * probes are distinct so a pair can never match twice (uniqueness —
+    * no dedup pass needed). */
+  test("property: interval bucketing is complete and match-once") {
+    val H = 3600000000L
+    val gen = for {
+      c <- Gen.choose(0L, 10L * 365 * 24 * H / H * H) // ~10 years of us
+      delta <- Gen.choose(-2 * H, 3 * H) // straddle the in-range boundary
+    } yield (c, c + delta)
+    check(Prop.forAll(gen) { case (cTs, pTs) =>
+      (pTs < 0) || {
+        val cb = cTs / H
+        val probes = Set(pTs / H, pTs / H - 1)
+        val inRange = pTs >= cTs && pTs <= cTs + H
+        (!inRange || probes.contains(cb)) && probes.size == 2
+      }
+    })
+  }
+
   /** Tumbling window assignment: every ts lands in exactly the bucket
     * containing it (reference fire/drop arithmetic,
     * test/EventTimeTest.java:166-178). */
