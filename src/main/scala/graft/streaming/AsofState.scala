@@ -22,10 +22,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * arrival order; ACROSS micro-batches the stream must be fed in order
   * — an append-mode attribution cannot retract a purchase already
   * emitted when an older touch straggles in later. A deployment with
-  * real cross-batch disorder bounds it with a watermark and buffers
-  * events one horizon long in state before attributing (the
-  * EventWindowState pattern); the fixture streams are in-order, so
-  * this twin keeps the reference's simple per-event semantics. */
+  * real cross-batch disorder uses [[AsofEventTime]] instead: the same
+  * touch machine behind a watermark-horizon buffer
+  * (AsofEventTimeSpec pins it batch-identical on a ±15 min-jittered
+  * feed); this twin keeps the reference's simple per-event semantics
+  * for in-order streams. */
 object AsofState {
 
   final case class Ev(eventId: Long, userId: Long, eventType: String,
@@ -35,7 +36,7 @@ object AsofState {
       purchaseTsUs: Long, purchaseValue: Double, touchId: Option[Long],
       touchType: Option[String], touchTsUs: Option[Long], lagUs: Option[Long])
 
-  private def before(a: Touch, ts: Long, id: Long): Boolean =
+  private[streaming] def before(a: Touch, ts: Long, id: Long): Boolean =
     a.tsUs < ts || (a.tsUs == ts && a.id < id)
 
   def handle(key: Long, events: Iterator[Ev],
