@@ -68,6 +68,7 @@ object SparkEntry {
     "ann_topk"          -> (Similarity.annTopK _),
     "ann_lsh_pairs"     -> (Similarity.annLshPairs _),
     "cosine_near_dup"   -> (Similarity.cosineNearDup _),
+    "decontaminate_semantic" -> (Similarity.decontaminateSemantic _),
     "ann_ivf_topk"      -> (Similarity.annIvfTopK _),
     "ann_ivf_recall"    -> (Similarity.annIvfRecall _),
     "ann_ivf_sampled_recall" -> (Similarity.annIvfSampledRecall _),

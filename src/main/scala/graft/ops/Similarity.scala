@@ -207,6 +207,68 @@ object Similarity {
        |FROM pairs JOIN norms na ON vec_a = na.vec_id JOIN norms nb ON vec_b = nb.vec_id
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Held-out prefix for semantic decontamination (mirrors
+    * PipelineOps.HeldoutMax for the verbatim path: vec_id < 10 stands
+    * in for the benchmark suite's embeddings). */
+  private val HeldVecMax = 10L
+
+  /** Max-cosine threshold above which a corpus vector counts as a
+    * semantic duplicate of a held-out item. On the fixture the max
+    * cosine vs the held set spans ~0.00–0.49 (p99 ≈ 0.39), so 0.35
+    * flags a real tail without emptying the corpus — discriminative in
+    * both directions. */
+  private val SemContamTau = 0.35
+
+  /** decontaminate_semantic: drop every corpus embedding whose cosine
+    * against ANY held-out embedding reaches [[SemContamTau]] — the
+    * EMBEDDING-level companion of `decontaminate`'s verbatim n-gram
+    * overlap (a paraphrased benchmark item shares no 8-gram but sits
+    * at high cosine; production suites scrub both). Emits surviving
+    * vec_ids.
+    *
+    * Scale shape: the held side is a benchmark suite — thousands of
+    * vectors against a corpus of billions — so it BROADCASTS and the
+    * corpus streams through one narrow scan (|held| qdot products per
+    * row, linear like the `ann_topk` baseline, no corpus shuffle; the
+    * only exchanges are the results-sized distinct and the final
+    * anti-join). A held set too large to broadcast takes the IVF route
+    * instead: assign both sides to the sample-trained codebook and
+    * compare within probed cells ([[annIvfTopK]]'s machinery).
+    * Cosine = int64-exact quantized dot over one deterministic double
+    * division, the same expression shape as [[cosineNearDup]] — the
+    * threshold compare is therefore bit-identical on both engines. */
+  def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quantExpr).as("qv"))
+    val held = emb.filter(col("vec_id") < HeldVecMax)
+      .select(col("vec_id").as("h_id"), col("qv").as("hv"))
+    val corpus = emb.filter(col("vec_id") >= HeldVecMax)
+    val cos = graft.functions.QDot(col("qv"), col("hv")).cast("double") /
+      (sqrt(graft.functions.QDot(col("qv"), col("qv")).cast("double")) *
+        sqrt(graft.functions.QDot(col("hv"), col("hv")).cast("double")))
+    val contaminated = corpus.crossJoin(broadcast(held))
+      .filter(cos >= SemContamTau)
+      .select("vec_id").distinct()
+    corpus.select("vec_id")
+      .join(contaminated, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  def decontaminateSemanticSql: String = {
+    def dot(x: String, y: String) =
+      s"CAST(list_sum(list_transform(range(1, $Dim + 1), i -> $x[i] * $y[i])) AS BIGINT)"
+    val cos = s"CAST(${dot("c.qv", "h.hv")} AS DOUBLE) / " +
+      s"(sqrt(CAST(${dot("c.qv", "c.qv")} AS DOUBLE)) * sqrt(CAST(${dot("h.hv", "h.hv")} AS DOUBLE)))"
+    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+       |held AS (SELECT vec_id AS h_id, qv AS hv FROM e WHERE vec_id < $HeldVecMax),
+       |c AS (SELECT vec_id, qv FROM e WHERE vec_id >= $HeldVecMax),
+       |contaminated AS (SELECT DISTINCT c.vec_id FROM c, held h
+       |  WHERE $cos >= $SemContamTau)
+       |SELECT vec_id FROM c
+       |WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ---- IVF (inverted-file) ANN — the production scale path -----------
 
   private val NumCentroids = 16
@@ -808,6 +870,7 @@ object Similarity {
     "ann_topk" -> annTopKSql,
     "ann_lsh_pairs" -> annLshPairsSql,
     "cosine_near_dup" -> cosineNearDupSql,
+    "decontaminate_semantic" -> decontaminateSemanticSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_recall" -> annIvfRecallSql,
     "ann_ivf_sampled_recall" -> annIvfSampledRecallSql,

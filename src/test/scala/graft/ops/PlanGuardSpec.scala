@@ -36,6 +36,7 @@ class PlanGuardSpec extends SparkSpec {
     "sliding_window" -> "4-row pane-offset literal cross",
     "ann_lsh_pairs" -> "16-hyperplane literal projection cross",
     "cosine_near_dup" -> "16-hyperplane literal projection cross",
+    "decontaminate_semantic" -> "held benchmark embeddings × corpus: broadcast bounded held set",
   )
 
   /** Queries that are BY DESIGN one narrow map stage: the only exchange
@@ -88,6 +89,7 @@ class PlanGuardSpec extends SparkSpec {
     "decimal_arith" -> 1,
     "decontaminate" -> 3,
     "decontaminate_bloom" -> 3,
+    "decontaminate_semantic" -> 3,
     "dedup_clusters" -> 1,
     "dedup_exact" -> 2,
     "dedup_incremental" -> 7,
