@@ -54,6 +54,8 @@ object SparkEntry {
     "funnel"            -> (EnrichJoin.funnel _),
     "asof_attribution"  -> (EnrichJoin.asofAttribution _),
     "interval_join"     -> (EnrichJoin.intervalJoin _),
+    "cohort_retention"  -> (EventAnalytics.cohortRetention _),
+    "debounce"          -> (EventAnalytics.debounce _),
     // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
     "dedup_exact"       -> (Dedup.dedupExact _),
     "dedup_substring"   -> (Dedup.dedupSubstring _),
@@ -332,5 +334,7 @@ object SparkEntry {
       "enrich_dag" -> graft.streaming.EnrichDag.enrichDagSql,
       "funnel" -> EnrichJoin.funnelSql,
       "asof_attribution" -> EnrichJoin.asofAttributionSql,
-      "interval_join" -> EnrichJoin.intervalJoinSql)
+      "interval_join" -> EnrichJoin.intervalJoinSql,
+      "cohort_retention" -> EventAnalytics.cohortRetentionSql,
+      "debounce" -> EventAnalytics.debounceSql)
 }

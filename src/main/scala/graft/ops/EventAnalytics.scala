@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Prims._
+
+/** Event-analytics extensions over the `events` stream table — the
+  * product-analytics queries a user of the reference (a real-time event
+  * analytics engine) runs beside the funnel: cohort retention and
+  * debounce. Both are compositions of audited primitives (keyed
+  * aggregation, keyed window lag), all integer-exact.
+  */
+object EventAnalytics {
+
+  private val DayUs = 86400000000L
+
+  /** cohort_retention: the classic retention matrix — users cohorted by
+    * FIRST-signup day, counted (distinct) on each later day they
+    * purchased. `days_since` 0 means a purchase on the cohort day
+    * itself; `n_cohort` rides along so a consumer derives the retention
+    * rate from two exact integers instead of a pre-divided double.
+    *
+    * Scale shape: first-signup is a map-side-combinable min per user;
+    * the activity join shuffles both sides on user_id (billions of
+    * users — the natural key); the (cohort, day) matrix is
+    * date-range-sized. The per-(cohort, days_since) distinct goes
+    * through a plain distinct-then-count (two map-combinable
+    * aggregations), never a countDistinct over a skewed window. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        epochUs(col("ts")).as("ts_us"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("s_ts"))
+      .select(col("user_id"), expr(s"s_ts div ${DayUs}L").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_cohort")) // user_id already unique here
+    val active = cohorts
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr(s"ts_us div ${DayUs}L").as("p_day")),
+        "user_id")
+      .filter(col("p_day") >= col("cohort_day"))
+      .select(col("cohort_day"), (col("p_day") - col("cohort_day")).as("days_since"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "days_since").agg(count(lit(1)).as("n_active"))
+    active.join(sizes, "cohort_day")
+      .select("cohort_day", "days_since", "n_active", "n_cohort")
+      .orderBy("cohort_day", "days_since")
+  }
+
+  def cohortRetentionSql: String =
+    s"""WITH e AS (SELECT user_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+       |cohorts AS (SELECT user_id, min(ts_us) // $DayUs AS cohort_day
+       |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+       |sizes AS (SELECT cohort_day, count(*) AS n_cohort
+       |  FROM cohorts GROUP BY cohort_day),
+       |active AS (SELECT cohort_day, p_day - cohort_day AS days_since,
+       |    count(DISTINCT c.user_id) AS n_active
+       |  FROM cohorts c JOIN (
+       |    SELECT user_id, ts_us // $DayUs AS p_day FROM e
+       |    WHERE event_type = 'purchase') p
+       |  ON c.user_id = p.user_id
+       |  WHERE p_day >= cohort_day
+       |  GROUP BY 1, 2)
+       |SELECT cohort_day, days_since, n_active, n_cohort
+       |FROM active JOIN sizes USING (cohort_day)
+       |ORDER BY cohort_day, days_since""".stripMargin
+
+  /** Debounce gap: a repeat of the same (user, event_type) within 6 h
+    * of its predecessor is suppressed. */
+  private val DebounceUs = 21600000000L
+
+  /** debounce: keep each (user, event_type)'s event only when it starts
+    * a new session — i.e. arrives more than [[DebounceUs]] after the
+    * PREVIOUS event of that key in (ts, id) order (Flink session-window
+    * semantics, gap = [[DebounceUs]]; the kept rows are exactly the
+    * session heads, so suppression chains: a burst of repeats within
+    * the gap keeps only its first event). One keyed window lag — a
+    * single hash exchange + sort; per-(user, type) partitions are
+    * human-activity-bounded, the same posture as the as-of window. */
+  def debounce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochUs(col("ts")).as("ts_us"), col("value"))
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    ev.withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .filter(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > DebounceUs)
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+      .orderBy("event_id")
+  }
+
+  def debounceSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+       |l AS (SELECT *, lag(ts_us) OVER (
+       |    PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS prev_ts
+       |  FROM e)
+       |SELECT event_id, user_id, event_type, ts_us, value FROM l
+       |WHERE prev_ts IS NULL OR ts_us - prev_ts > $DebounceUs
+       |ORDER BY event_id""".stripMargin
+}

@@ -76,7 +76,9 @@ class PlanGuardSpec extends SparkSpec {
     "ann_lsh_pairs" -> 4,
     "ann_topk" -> 2,
     "asof_attribution" -> 2,
+    "cohort_retention" -> 5,
     "coprocess_merge" -> 2,
+    "debounce" -> 2,
     "corpus_health" -> 7,
     "corpus_pack" -> 1,
     "corpus_shuffle" -> 1,
