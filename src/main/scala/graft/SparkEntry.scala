@@ -56,6 +56,7 @@ object SparkEntry {
     "interval_join"     -> (EnrichJoin.intervalJoin _),
     "cohort_retention"  -> (EventAnalytics.cohortRetention _),
     "debounce"          -> (EventAnalytics.debounce _),
+    "events_rollup"     -> (EventAnalytics.eventsRollup _),
     // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
     "dedup_exact"       -> (Dedup.dedupExact _),
     "dedup_substring"   -> (Dedup.dedupSubstring _),
@@ -336,5 +337,6 @@ object SparkEntry {
       "asof_attribution" -> EnrichJoin.asofAttributionSql,
       "interval_join" -> EnrichJoin.intervalJoinSql,
       "cohort_retention" -> EventAnalytics.cohortRetentionSql,
-      "debounce" -> EventAnalytics.debounceSql)
+      "debounce" -> EventAnalytics.debounceSql,
+      "events_rollup" -> EventAnalytics.eventsRollupSql)
 }

@@ -69,6 +69,32 @@ object EventAnalytics {
        |FROM active JOIN sizes USING (cohort_day)
        |ORDER BY cohort_day, days_since""".stripMargin
 
+  /** events_rollup: the multi-level aggregate surface — event counts
+    * and exact value sums by (event_type, day) with ROLLUP subtotals
+    * (per-type totals and the grand total in the same result). Spark's
+    * `rollup` and DuckDB's `GROUP BY ROLLUP` both emit NULL for
+    * rolled-up group columns; the ORDER BY pins NULLS FIRST explicitly
+    * on both engines (Spark's ascending default; DuckDB defaults NULLS
+    * LAST) so the row order — and therefore the driver's hash — can
+    * never depend on an engine default. Scale: rollup is one
+    * aggregation with a grouping-set expand (×3 here), map-side
+    * combinable; day cardinality bounds the result. */
+  def eventsRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+        col("value"))
+      .rollup("event_type", "day")
+      .agg(count(lit(1)).as("n"), sumDec2(col("value")).as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+
+  def eventsRollupSql: String =
+    s"""SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // $DayUs AS day,
+       |  count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events
+       |GROUP BY ROLLUP (event_type, day)
+       |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
   /** Debounce gap: a repeat of the same (user, event_type) within 6 h
     * of its predecessor is suppressed. */
   private val DebounceUs = 21600000000L

@@ -106,6 +106,7 @@ class PlanGuardSpec extends SparkSpec {
     "editdist_pairs" -> 1,
     "embed_cluster_profile" -> 2,
     "enrich_dag" -> 5,
+    "events_rollup" -> 2,
     "enrich_wide_row" -> 2,
     "filter" -> 1,
     "fold_cumsum" -> 2,
