@@ -100,27 +100,35 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"BENCH_FULL write failed ($out): $e") }
-    val qsCompact = results.map { case (k, ss, _) => q(k) + ":" + r2(med(ss)) }
-      .mkString("{", ",", "}")
     // the 5 most expensive queries get full [min,med,max,shuffleMB]
     // inline — the judge's design-for-scale audit reads exactly these;
-    // the other queries' spread/shuffle live in the full record. The
-    // top5 block is ADAPTIVE: at 78 queries the medians alone sit near
-    // 1,800 chars and the tail window is ~2,000, so the block is
-    // included only while the whole line stays ≤ 1,900 chars — a line
-    // that overflows the window is truncated at its HEAD and parses as
-    // nothing, which is worse than a line with medians only.
+    // the other queries' spread/shuffle live in the full record.
     val top5 = results.filter(_._2.head >= 0).sortBy(t => -med(t._2)).take(5)
       .map { case (k, ss, sb) =>
         q(k) + s":[${r2(ss.head)},${r2(med(ss))},${r2(ss.last)}," +
           s"${math.rint(sb / 1024.0 / 1024.0 * 10) / 10}]"
       }.mkString("{", ",", "}")
-    def compactLine(withTop5: Boolean): String = {
-      val t5 = if (withTop5) s""","top5_min_med_max_shufMB":$top5""" else ""
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact$t5,"errors":$errJson,"sf":"$sfDir","full":"$out"}"""
+    // STAGED compaction: the harness keeps only a ~2,000-char stdout
+    // tail, and a line that overflows it is truncated at its HEAD and
+    // parses as nothing. At 78 queries the per-query medians alone sat
+    // near 1,800 chars; the fleet has since grown past the budget, so
+    // the stdout line now keeps the MOST EXPENSIVE K queries (largest K
+    // that fits 1,900 chars, found by trying K downward) and folds the
+    // cheap tail into one "omitted":{n,sec} rollup — total, errors, and
+    // the top5 detail block always survive, and the full per-query
+    // record is in the file either way.
+    val byCost = results.sortBy(t => -med(t._2))
+    def lineFor(keep: Int): String = {
+      val kept = byCost.take(keep)
+      val rest = byCost.drop(keep)
+      val qs = kept.sortBy(_._1).map { case (k, ss, _) => q(k) + ":" + r2(med(ss)) }
+        .mkString("{", ",", "}")
+      val om = if (rest.isEmpty) ""
+        else s""","omitted":{"n":${rest.length},"sec":${r2(rest.map(t => med(t._2)).filter(_ >= 0).sum)}}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$om,"top5_min_med_max_shufMB":$top5,"errors":$errJson,"sf":"$sfDir","full":"$out"}"""
     }
-    val full = compactLine(withTop5 = true)
-    println(if (full.length <= 1900) full else compactLine(withTop5 = false))
+    println((results.length to 1 by -1).view.map(lineFor)
+      .find(_.length <= 1900).getOrElse(lineFor(1)))
     spark.stop()
   }
 }
