@@ -57,6 +57,8 @@ object SparkEntry {
     "cohort_retention"  -> (EventAnalytics.cohortRetention _),
     "debounce"          -> (EventAnalytics.debounce _),
     "events_rollup"     -> (EventAnalytics.eventsRollup _),
+    "tpch_q3"           -> (EnrichJoin.tpchQ3 _),
+    "tpch_q5"           -> (EnrichJoin.tpchQ5 _),
     // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
     "dedup_exact"       -> (Dedup.dedupExact _),
     "dedup_substring"   -> (Dedup.dedupSubstring _),
@@ -338,5 +340,7 @@ object SparkEntry {
       "interval_join" -> EnrichJoin.intervalJoinSql,
       "cohort_retention" -> EventAnalytics.cohortRetentionSql,
       "debounce" -> EventAnalytics.debounceSql,
-      "events_rollup" -> EventAnalytics.eventsRollupSql)
+      "events_rollup" -> EventAnalytics.eventsRollupSql,
+      "tpch_q3" -> EnrichJoin.tpchQ3Sql,
+      "tpch_q5" -> EnrichJoin.tpchQ5Sql)
 }

@@ -237,6 +237,108 @@ object EnrichJoin {
       |  ts_us - touch_ts_us AS lag_us
       |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
 
+  /** Date literal splitting the order/ship timeline for [[tpchQ3]]
+    * (orders span 1995-2001 in the fixture; mid-range keeps both filter
+    * sides selective). */
+  private val Q3Cut = "1998-06-01"
+
+  /** tpch_q3 (extension): the TPC-H Q3 "shipping priority" shape — top
+    * 10 not-yet-shipped orders by revenue for one market segment. The
+    * classic Catalyst showcase on the star schema: both filters push to
+    * the parquet scans (`PushedFilters` on o_orderdate / l_shipdate /
+    * c_mktsegment), the segment-thinned customer side broadcasts under
+    * AQE, orders⋈lineitem shuffles on the orderkey (both huge at
+    * 100 TB — the natural key), and the top-10 runs as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of 10
+    * rows, never a global sort). Revenue aggregates in DECIMAL and
+    * surfaces as double (house determinism rule); ties break on
+    * l_orderkey so LIMIT is deterministic cross-engine. */
+  def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit(Q3Cut).cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        epochUs(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+        col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit(Q3Cut).cast("timestamp_ntz"))
+      .select(col("l_orderkey"),
+        (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("rev"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_date_us", "o_orderpriority")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_date_us", "o_orderpriority")
+  }
+
+  def tpchQ3Sql: String =
+    s"""SELECT l_orderkey,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_date_us, o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '$Q3Cut'
+       |  AND l_shipdate > TIMESTAMP '$Q3Cut'
+       |GROUP BY 1, 3, 4
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** tpch_q5 (extension): the TPC-H Q5 "local supplier volume" shape —
+    * revenue per nation of one region, counted only where customer and
+    * supplier share the nation. The dim chain (region → nation →
+    * supplier) is explicitly broadcast — metadata-sized at any corpus
+    * scale — so the only shuffles are the fact-side
+    * lineitem⋈orders⋈customer equi-joins on their natural keys; the
+    * same-nation constraint rides the broadcast supplier join as a
+    * second equi-condition, never a post-join filter over a wider
+    * cross. */
+  def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("rev"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def tpchQ5Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** E3/J2/J3 flagship: the six-source progressive enrichment into one wide
     * row (reference: test/StateTest.java:638-873 → BdWaybillOrder), mapped
     * onto the star schema: orders progressively widened with customer,

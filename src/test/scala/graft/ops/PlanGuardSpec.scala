@@ -145,6 +145,8 @@ class PlanGuardSpec extends SparkSpec {
     "text_normalize" -> 1,
     "tfidf_top_terms" -> 5,
     "token_count" -> 1,
+    "tpch_q3" -> 1,
+    "tpch_q5" -> 2,
     "train_val_split" -> 2,
     "trigger_evictor" -> 2,
     "tumbling_window" -> 2,
@@ -175,6 +177,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(diffs.isEmpty,
       "exchange-count drift (regenerate via Test/runMain graft.ops.DumpExchangeBudgets " +
         s"and justify):\n  ${diffs.mkString("\n  ")}")
+  }
+
+  test("every query has an oracle and every oracle has a query") {
+    // the driver's correctness gate only checks queries present in BOTH
+    // maps, so a forgotten oracle silently downgrades a query to
+    // rows-only — pin full two-way coverage (a deliberately rows-only
+    // op would be excluded here by name, with its reason)
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val noQuery = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(noOracle.isEmpty && noQuery.isEmpty,
+      s"query/oracle drift: missing oracle for $noOracle; orphan oracle for $noQuery")
+  }
+
+  test("tpch_q3: date and segment filters reach the parquet scans") {
+    val plan = SparkEntry.queries("tpch_q3")(spark, dir)
+      .queryExecution.executedPlan.toString
+    Seq("LessThan(o_orderdate", "GreaterThan(l_shipdate", "EqualTo(c_mktsegment,BUILDING)")
+      .foreach(f => assert(plan.contains(f),
+        s"filter not pushed to scan: $f\n${plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}"))
+    graft.HarnessUtil.releaseAll(spark)
   }
 
   test("no query plans a CartesianProduct; BNLJ only on bounded literal sides") {
