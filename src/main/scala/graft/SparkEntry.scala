@@ -59,6 +59,10 @@ object SparkEntry {
     "events_rollup"     -> (EventAnalytics.eventsRollup _),
     "tpch_q3"           -> (EnrichJoin.tpchQ3 _),
     "tpch_q5"           -> (EnrichJoin.tpchQ5 _),
+    "tpch_q6"           -> (Tpch.tpchQ6 _),
+    "tpch_q10"          -> (Tpch.tpchQ10 _),
+    "tpch_q14"          -> (Tpch.tpchQ14 _),
+    "tpch_q18"          -> (Tpch.tpchQ18 _),
     // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
     "dedup_exact"       -> (Dedup.dedupExact _),
     "dedup_substring"   -> (Dedup.dedupSubstring _),
@@ -342,5 +346,9 @@ object SparkEntry {
       "debounce" -> EventAnalytics.debounceSql,
       "events_rollup" -> EventAnalytics.eventsRollupSql,
       "tpch_q3" -> EnrichJoin.tpchQ3Sql,
-      "tpch_q5" -> EnrichJoin.tpchQ5Sql)
+      "tpch_q5" -> EnrichJoin.tpchQ5Sql,
+      "tpch_q6" -> Tpch.tpchQ6Sql,
+      "tpch_q10" -> Tpch.tpchQ10Sql,
+      "tpch_q14" -> Tpch.tpchQ14Sql,
+      "tpch_q18" -> Tpch.tpchQ18Sql)
 }

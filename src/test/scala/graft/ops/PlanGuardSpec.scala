@@ -145,8 +145,12 @@ class PlanGuardSpec extends SparkSpec {
     "text_normalize" -> 1,
     "tfidf_top_terms" -> 5,
     "token_count" -> 1,
+    "tpch_q10" -> 1,
+    "tpch_q14" -> 1,
+    "tpch_q18" -> 1,
     "tpch_q3" -> 1,
     "tpch_q5" -> 2,
+    "tpch_q6" -> 1,
     "train_val_split" -> 2,
     "trigger_evictor" -> 2,
     "tumbling_window" -> 2,
@@ -196,6 +200,34 @@ class PlanGuardSpec extends SparkSpec {
     Seq("LessThan(o_orderdate", "GreaterThan(l_shipdate", "EqualTo(c_mktsegment,BUILDING)")
       .foreach(f => assert(plan.contains(f),
         s"filter not pushed to scan: $f\n${plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}"))
+    graft.HarnessUtil.releaseAll(spark)
+  }
+
+  test("tpch_q6: all three predicates reach the lineitem scan; 4-column ReadSchema") {
+    val qe = SparkEntry.queries("tpch_q6")(spark, dir).queryExecution
+    // the executedPlan's one-line scan summary truncates PushedFilters;
+    // formatted mode prints the full list
+    val formatted = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("GreaterThanOrEqual(l_shipdate", "GreaterThanOrEqual(l_discount,0.05)",
+      "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24.0)")
+      .foreach(f => assert(formatted.contains(f),
+        s"filter not pushed to scan: $f\n${formatted.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}"))
+    // column pruning: the scan must read only the 4 referenced columns of 11
+    val readSchema = formatted.linesIterator.filter(_.contains("ReadSchema")).mkString
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .foreach(c => assert(readSchema.contains(c), s"pruned too far: $c missing from $readSchema"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"scan reads unreferenced columns: $readSchema")
+    graft.HarnessUtil.releaseAll(spark)
+  }
+
+  test("tpch_q18: the HAVING aggregate broadcasts back; facts shuffle once") {
+    val plan = SparkEntry.queries("tpch_q18")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"filtered aggregate should re-join as a broadcast build side:\n$plan")
+    assert(PlanGuardSpec.shuffleExchanges(plan) == 1,
+      "q18 must shuffle lineitem once (the orderkey aggregation), never the probe path")
     graft.HarnessUtil.releaseAll(spark)
   }
 
