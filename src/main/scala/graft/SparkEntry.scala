@@ -57,6 +57,8 @@ object SparkEntry {
     "cohort_retention"  -> (EventAnalytics.cohortRetention _),
     "debounce"          -> (EventAnalytics.debounce _),
     "events_rollup"     -> (EventAnalytics.eventsRollup _),
+    "sessionize"        -> (EventAnalytics.sessionize _),
+    "user_journey"      -> (EventAnalytics.userJourney _),
     "tpch_q3"           -> (EnrichJoin.tpchQ3 _),
     "tpch_q5"           -> (EnrichJoin.tpchQ5 _),
     "tpch_q6"           -> (Tpch.tpchQ6 _),
@@ -345,6 +347,8 @@ object SparkEntry {
       "cohort_retention" -> EventAnalytics.cohortRetentionSql,
       "debounce" -> EventAnalytics.debounceSql,
       "events_rollup" -> EventAnalytics.eventsRollupSql,
+      "sessionize" -> EventAnalytics.sessionizeSql,
+      "user_journey" -> EventAnalytics.userJourneySql,
       "tpch_q3" -> EnrichJoin.tpchQ3Sql,
       "tpch_q5" -> EnrichJoin.tpchQ5Sql,
       "tpch_q6" -> Tpch.tpchQ6Sql,

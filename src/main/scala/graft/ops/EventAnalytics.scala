@@ -128,4 +128,97 @@ object EventAnalytics {
        |SELECT event_id, user_id, event_type, ts_us, value FROM l
        |WHERE prev_ts IS NULL OR ts_us - prev_ts > $DebounceUs
        |ORDER BY event_id""".stripMargin
+
+  /** Session gap for [[sessionize]]: 8 h sits at the fixture's median
+    * inter-event gap (~7.3 h per user at sf0.01), so sessions are
+    * plural per user without collapsing to one-event singletons. */
+  private val SessionGapUs = 28800000000L
+
+  /** sessionize: gap-based session assignment — the batch formulation
+    * of the reference's session windows (test/WindowTest.java withGap),
+    * but surfacing the session ROWS (id, bounds, size, exact value sum)
+    * instead of only an aggregate. Two keyed windows over one sort:
+    * a lag marks session heads, a running sum of head-flags numbers the
+    * sessions per user; then a (user, session) aggregate.
+    *
+    * Scale shape: ONE hash exchange on user_id feeds both window
+    * functions (same partition+order) and the map-side partial of the
+    * final aggregate — rows for a user are co-located, so the second
+    * exchange moves only one pre-aggregated row per session. Per-user
+    * partitions are human-activity-bounded, the skew posture of every
+    * keyed window in this repo. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        epochUs(col("ts")).as("ts_us"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev.withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("new_s").over(w))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"),
+        (max("ts_us") - min("ts_us")).as("duration_us"),
+        sumDec2(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  def sessionizeSql: String =
+    s"""WITH e AS (SELECT event_id, user_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+       |g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+       |      OR ts_us - lag(ts_us) OVER w > $SessionGapUs
+       |      THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |x AS (SELECT *, CAST(sum(new_s) OVER (
+       |    PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g)
+       |SELECT user_id, session_idx, count(*) AS n_events,
+       |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+       |  max(ts_us) - min(ts_us) AS duration_us,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM x GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+
+  /** user_journey: the event-type transition matrix — for each user's
+    * (ts, id)-ordered timeline, count every consecutive (prev → next)
+    * event-type pair corpus-wide, with each pair's share of all
+    * transitions as two exact integers (n / n_total). The product-
+    * analytics "where do users go next" surface, and the first-order
+    * Markov estimate over the 5-type domain.
+    *
+    * Scale shape: one hash exchange on user_id for the lag; the
+    * transition aggregate is map-side combinable onto a |types|²-sized
+    * (25-row) result; the total is a global window sum over that
+    * already-tiny aggregate (a deliberate single-partition move of 25
+    * rows — NOT a scalar self-join, which would recompute the whole
+    * pair subtree on both sides). */
+  def userJourney(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochUs(col("ts")).as("ts_us"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_total", sum("n").over(Window.partitionBy()))
+      .select("prev_type", "next_type", "n", "n_total")
+      .orderBy("prev_type", "next_type")
+  }
+
+  def userJourneySql: String =
+    """WITH l AS (SELECT user_id, event_type, lag(event_type) OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_type
+      |  FROM events),
+      |p AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+      |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |  CAST(sum(n) OVER () AS BIGINT) AS n_total
+      |FROM p ORDER BY prev_type, next_type""".stripMargin
 }

@@ -69,6 +69,43 @@ class OpsSpec extends SparkSpec {
     assert(cw.filter("size(split(ids, ',')) <> 3").count() == 0)
   }
 
+  test("sessionize: sessions partition each user's events, ids are dense, boundaries respect the gap") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val sess = EventAnalytics.sessionize(s, dir).cache()
+    val perUser = sess.groupBy("user_id").agg(sum("n_events").as("n"))
+    val direct = graft.Tables.events(s, dir).groupBy("user_id").agg(count(lit(1)).as("m"))
+    assert(perUser.join(direct, "user_id").filter("n <> m").count() == 0)
+    assert(perUser.count() == direct.count())
+    // consecutive sessions of one user must be separated by MORE than the
+    // 8h gap (otherwise they'd be one session)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_idx")
+    val gaps = sess.withColumn("prev_end", lag("end_us", 1).over(w))
+      .filter($"prev_end".isNotNull)
+    assert(gaps.count() > 0)
+    assert(gaps.filter($"start_us" - $"prev_end" <= 28800000000L).count() == 0)
+    // session ids are dense 1..k per user
+    val dense = sess.groupBy("user_id").agg(min("session_idx").as("mn"),
+      max("session_idx").as("mx"), count(lit(1)).as("k"))
+    assert(dense.filter("mn <> 1 OR mx <> k").count() == 0)
+    sess.unpersist()
+  }
+
+  test("user_journey: transitions total events-minus-users; n_total is that sum on every row") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val uj = EventAnalytics.userJourney(s, dir).cache()
+    val nSum = uj.agg(sum("n")).as[Long].head()
+    val ev = graft.Tables.events(s, dir)
+    // each user's ordered timeline has (count - 1) consecutive pairs
+    assert(nSum == ev.count() - ev.select("user_id").distinct().count())
+    assert(uj.filter($"n_total" =!= nSum).count() == 0)
+    uj.unpersist()
+  }
+
   test("enrich_wide_row: row count = orders count; coalesce leaves no nulls") {
     val e = EnrichJoin.enrichWideRow(spark, dir).cache()
     assert(e.count() == graft.Tables.orders(spark, dir).count())

@@ -134,6 +134,7 @@ class PlanGuardSpec extends SparkSpec {
     "semantic_dedup" -> 9,
     "semantic_incremental" -> 8,
     "session_window" -> 2,
+    "sessionize" -> 2,
     "side_output_split" -> 1,
     "simhash_dedup" -> 4,
     "simhash_hamming_pairs" -> 5,
@@ -155,6 +156,7 @@ class PlanGuardSpec extends SparkSpec {
     "trigger_evictor" -> 2,
     "tumbling_window" -> 2,
     "union_streams" -> 1,
+    "user_journey" -> 3,
     "vocab_coverage" -> 3,
     "window_join" -> 1,
     "winnow_fingerprint" -> 1,
