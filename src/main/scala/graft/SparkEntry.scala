@@ -59,6 +59,9 @@ object SparkEntry {
     "events_rollup"     -> (EventAnalytics.eventsRollup _),
     "sessionize"        -> (EventAnalytics.sessionize _),
     "user_journey"      -> (EventAnalytics.userJourney _),
+    "events_pivot"      -> (EventAnalytics.eventsPivot _),
+    "inactive_customers" -> (Tpch.inactiveCustomers _),
+    "top_parts_per_brand" -> (Tpch.topPartsPerBrand _),
     "tpch_q3"           -> (EnrichJoin.tpchQ3 _),
     "tpch_q5"           -> (EnrichJoin.tpchQ5 _),
     "tpch_q6"           -> (Tpch.tpchQ6 _),
@@ -349,6 +352,9 @@ object SparkEntry {
       "events_rollup" -> EventAnalytics.eventsRollupSql,
       "sessionize" -> EventAnalytics.sessionizeSql,
       "user_journey" -> EventAnalytics.userJourneySql,
+      "events_pivot" -> EventAnalytics.eventsPivotSql,
+      "inactive_customers" -> Tpch.inactiveCustomersSql,
+      "top_parts_per_brand" -> Tpch.topPartsPerBrandSql,
       "tpch_q3" -> EnrichJoin.tpchQ3Sql,
       "tpch_q5" -> EnrichJoin.tpchQ5Sql,
       "tpch_q6" -> Tpch.tpchQ6Sql,

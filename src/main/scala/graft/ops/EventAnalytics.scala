@@ -221,4 +221,32 @@ object EventAnalytics {
       |SELECT prev_type, next_type, n,
       |  CAST(sum(n) OVER () AS BIGINT) AS n_total
       |FROM p ORDER BY prev_type, next_type""".stripMargin
+
+  /** events_pivot: the day × event-type count matrix as COLUMNS — the
+    * `Dataset.pivot` surface. The type list is passed explicitly
+    * (house rule for pivot at scale: an unlisted pivot forces an extra
+    * distinct-values job AND an unbounded column explosion; a listed
+    * one is a single map-combinable aggregate with |values| counters
+    * per group). Missing (day, type) combos surface as 0, not null,
+    * matching the oracle's CASE-sum formulation. */
+  def eventsPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, dir)
+      .select(expr(s"unix_micros(ts) div ${DayUs}L").as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t)
+    }.orderBy("day")
+  }
+
+  def eventsPivotSql: String =
+    s"""SELECT epoch_us(CAST(ts AS TIMESTAMP)) // $DayUs AS day,
+       |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+       |FROM events GROUP BY day ORDER BY day""".stripMargin
 }

@@ -164,4 +164,68 @@ object Tpch {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
+
+  /** inactive_customers (extension): the LEFT ANTI join surface —
+    * customers with NO order since a cutoff. Scale shape: the date
+    * filter pushes to the orders scan; the anti join is a plain hash
+    * exchange on custkey (or broadcast when the active set is small
+    * under AQE) — never a NOT IN that degenerates to a nested loop;
+    * only (custkey) survives the orders scan, so the build side is
+    * key-width regardless of order-row width. */
+  def inactiveCustomers(s: SparkSession, dir: String): DataFrame = {
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp_ntz"))
+      .select("o_custkey")
+    Tables.customer(s, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  def inactiveCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '2000-06-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** top_parts_per_brand (extension): top-3 parts by lifetime revenue
+    * within each brand — the grouped top-k shape. The rank's ORDER BY
+    * carries the unique p_partkey tiebreak so k is exact on any input
+    * (a revenue tie can never inflate the group beyond 3 rows or make
+    * the result engine-dependent). Scale shape: revenue is ONE
+    * map-combinable aggregate on partkey; part is a broadcast dim; and
+    * the `rank <= 3` filter over the window triggers Spark's
+    * WindowGroupLimit — each partition keeps a 3-element heap per
+    * brand BEFORE the exchange, so the window sort never sees more
+    * than 3·|brands| rows per side (asserted in PlanGuardSpec). */
+  def topPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    rev.join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("brand_rank", rank().over(w).cast("long"))
+      .filter(col("brand_rank") <= 3)
+      .select("p_brand", "brand_rank", "p_partkey", "revenue")
+      .orderBy("p_brand", "brand_rank")
+  }
+
+  def topPartsPerBrandSql: String =
+    """SELECT p_brand, brand_rank, p_partkey, revenue FROM (
+      |  SELECT p_brand, p_partkey, revenue,
+      |    CAST(rank() OVER (PARTITION BY p_brand
+      |      ORDER BY revenue DESC, p_partkey) AS BIGINT) AS brand_rank
+      |  FROM (
+      |    SELECT p_brand, p_partkey,
+      |      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |    FROM lineitem JOIN part ON l_partkey = p_partkey
+      |    GROUP BY p_brand, p_partkey))
+      |WHERE brand_rank <= 3
+      |ORDER BY p_brand, brand_rank""".stripMargin
 }

@@ -133,8 +133,11 @@ class PlanGuardSpec extends SparkSpec {
     "rolling_sum" -> 2,
     "semantic_dedup" -> 9,
     "semantic_incremental" -> 8,
+    "events_pivot" -> 3,
+    "inactive_customers" -> 1,
     "session_window" -> 2,
     "sessionize" -> 2,
+    "top_parts_per_brand" -> 3,
     "side_output_split" -> 1,
     "simhash_dedup" -> 4,
     "simhash_hamming_pairs" -> 5,
@@ -230,6 +233,17 @@ class PlanGuardSpec extends SparkSpec {
       s"filtered aggregate should re-join as a broadcast build side:\n$plan")
     assert(PlanGuardSpec.shuffleExchanges(plan) == 1,
       "q18 must shuffle lineitem once (the orderkey aggregation), never the probe path")
+    graft.HarnessUtil.releaseAll(spark)
+  }
+
+  test("top_parts_per_brand: rank<=3 runs as partial+final WindowGroupLimit") {
+    val plan = SparkEntry.queries("top_parts_per_brand")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the grouped top-k must prune per-partition heaps BEFORE the window
+    // exchange (Partial) and again after (Final) — never sort whole groups
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial")
+      && plan.contains("Final"),
+      s"WindowGroupLimit not planned for the rank<=k filter:\n$plan")
     graft.HarnessUtil.releaseAll(spark)
   }
 
