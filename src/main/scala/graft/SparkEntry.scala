@@ -79,6 +79,7 @@ object SparkEntry {
     "simhash_dedup"     -> (Dedup.simhashDedup _),
     "simhash_hamming_pairs" -> (Dedup.simhashHammingPairs _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
+    "containment_pairs" -> (Dedup.containmentPairs _),
     "ann_topk"          -> (Similarity.annTopK _),
     "ann_lsh_pairs"     -> (Similarity.annLshPairs _),
     "cosine_near_dup"   -> (Similarity.cosineNearDup _),

@@ -394,9 +394,12 @@ object Dedup {
   private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairsFromToks(s, Prims.tokenized(Tables.documents(s, dir)))
 
-  /** [[ngramJaccardPairs]] over a pre-tokenized `(doc_id, ws)` frame
-    * (shared-scan form for composed pipelines). */
-  private[graft] def ngramJaccardPairsFromToks(s: SparkSession, toks: DataFrame): DataFrame = {
+  /** Candidate (doc_a < doc_b) pairs sharing ≥1 rare shingle, with the
+    * exact intersection count and both docs' distinct-shingle sizes —
+    * the inverted-index core shared by the Jaccard and containment
+    * reporters (each applies its own similarity metric over these same
+    * columns). */
+  private def ngramPairCore(toks: DataFrame): DataFrame = {
     val sh = shingleHashesFromToks(toks)
     val rare = sh.groupBy("hs").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
@@ -412,11 +415,16 @@ object Dedup {
     val na = sizes.toDF("doc_a", "na")
     val nb = sizes.toDF("doc_b", "nb")
     inter.join(na, "doc_a").join(nb, "doc_b")
+  }
+
+  /** [[ngramJaccardPairs]] over a pre-tokenized `(doc_id, ws)` frame
+    * (shared-scan form for composed pipelines). */
+  private[graft] def ngramJaccardPairsFromToks(s: SparkSession, toks: DataFrame): DataFrame =
+    ngramPairCore(toks)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("union_n"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-  }
 
   /** Partition count for a materialized pair graph, sized from its
     * MEASURED edge count: ~1M edges (≈16 MB of id pairs) per task, floor
@@ -450,6 +458,52 @@ object Dedup {
        |  CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
        |FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
        |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- asymmetric containment -----------------------------------------
+
+  /** Containment threshold: |A∩B| / min(|A|, |B|) at or above this
+    * marks the smaller shingle set as (mostly) inside the larger one. */
+  private[graft] val ContainTau = 0.6
+
+  /** [[containmentPairs]] over a pre-tokenized frame (shared-scan /
+    * spec-injection form). */
+  private[graft] def containmentPairsFromToks(s: SparkSession, toks: DataFrame): DataFrame =
+    ngramPairCore(toks)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        (col("inter").cast("double") / least(col("na"), col("nb"))).as("containment"))
+      .filter(col("containment") >= ContainTau)
+
+  /** containment_pairs: ASYMMETRIC near-dup detection — pairs whose
+    * shingle-set containment |A∩B| / min(|A|,|B|) ≥ τ. This is the
+    * sub-document catch Jaccard structurally misses: a short doc
+    * embedded verbatim in a much longer one has containment 1.0 but
+    * Jaccard ≈ |small|/|big| → 0 as the length ratio grows (the classic
+    * quote/excerpt/boilerplate-wrapper case in training corpora; the
+    * contained side is the doc with the smaller n). Same inverted
+    * shingle index, df cap, and scale posture as [[ngramJaccard]] —
+    * candidates only ever come from shared RARE shingles, never
+    * all-pairs. OpsSpec plants a verbatim-substring doc and pins that
+    * this reporter flags it while the Jaccard form does not. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairsFromToks(s, Prims.tokenized(Tables.documents(s, dir)))
+      .localCheckpoint(true) // survivors only; don't re-run the index join under the sort's sampling pass
+      .orderBy("doc_a", "doc_b")
+
+  def containmentPairsSql: String =
+    s"""WITH $shinglesSql,
+       |hsh AS (SELECT DISTINCT doc_id, ${hash60Sql("s")} AS hs FROM sh),
+       |rare AS (SELECT hs FROM hsh GROUP BY hs HAVING count(*) <= $MaxShingleDf),
+       |shr AS (SELECT hsh.doc_id, hsh.hs FROM hsh JOIN rare USING (hs)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM shr a JOIN shr b ON a.hs = b.hs AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, na.n AS n_a, nb.n AS n_b,
+       |  CAST(inter AS DOUBLE) / least(na.n, nb.n) AS containment
+       |FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / least(na.n, nb.n) >= $ContainTau
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- near-dup clusters (connected components) -----------------------
@@ -1113,6 +1167,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "containment_pairs" -> containmentPairsSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "dedup_substring" -> dedupSubstringSql,

@@ -486,6 +486,24 @@ class OpsSpec extends SparkSpec {
     graft.HarnessUtil.releaseAll(s)
   }
 
+  test("containment_pairs: a verbatim-substring doc is flagged; Jaccard misses it") {
+    val s = spark
+    import s.implicits._
+    // doc 2 is a contiguous 12-word excerpt of doc 1: all 10 of its
+    // shingles sit inside doc 1's 38 → containment 1.0, Jaccard ~0.26
+    val big = (0 until 40).map(i => s"w$i").mkString(" ")
+    val small = (10 until 22).map(i => s"w$i").mkString(" ")
+    val other = (100 until 120).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, other)).toDF("doc_id", "text")
+    val toks = Prims.tokenized(docs)
+    val cont = Dedup.containmentPairsFromToks(s, toks).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(cont.head.getAs[Double]("containment") == 1.0)
+    assert(Dedup.ngramJaccardPairsFromToks(s, toks)
+      .filter("doc_a = 1 AND doc_b = 2").count() == 0,
+      "premise: the asymmetric pair must be invisible to the Jaccard form")
+  }
+
   test("dedup_substring: repeated chunks are flagged against their first occurrence") {
     val s = spark
     import s.implicits._

@@ -133,6 +133,7 @@ class PlanGuardSpec extends SparkSpec {
     "rolling_sum" -> 2,
     "semantic_dedup" -> 9,
     "semantic_incremental" -> 8,
+    "containment_pairs" -> 1,
     "events_pivot" -> 3,
     "inactive_customers" -> 1,
     "session_window" -> 2,
