@@ -64,6 +64,7 @@ object SparkEntry {
     "top_parts_per_brand" -> (Tpch.topPartsPerBrand _),
     "tpch_q3"           -> (EnrichJoin.tpchQ3 _),
     "tpch_q5"           -> (EnrichJoin.tpchQ5 _),
+    "tpch_q4"           -> (Tpch.tpchQ4 _),
     "tpch_q6"           -> (Tpch.tpchQ6 _),
     "tpch_q10"          -> (Tpch.tpchQ10 _),
     "tpch_q14"          -> (Tpch.tpchQ14 _),
@@ -358,6 +359,7 @@ object SparkEntry {
       "top_parts_per_brand" -> Tpch.topPartsPerBrandSql,
       "tpch_q3" -> EnrichJoin.tpchQ3Sql,
       "tpch_q5" -> EnrichJoin.tpchQ5Sql,
+      "tpch_q4" -> Tpch.tpchQ4Sql,
       "tpch_q6" -> Tpch.tpchQ6Sql,
       "tpch_q10" -> Tpch.tpchQ10Sql,
       "tpch_q14" -> Tpch.tpchQ14Sql,

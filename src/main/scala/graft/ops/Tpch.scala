@@ -165,6 +165,41 @@ object Tpch {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** tpch_q4 (extension): order-priority checking — the EXISTS /
+    * LEFT SEMI shape. Counts one quarter's orders having at least one
+    * late line item, per priority. The fixture carries no
+    * commit/receipt dates, so Q4's lateness predicate adapts to
+    * "shipped more than 30 days after the order date" — the same
+    * correlated (equi + range) EXISTS structure. Scale shape: the
+    * quarter filter pushes to the orders scan; the semi join is a hash
+    * join on orderkey carrying the range predicate as a residual
+    * condition (both sides huge at 100 TB → natural shuffle key;
+    * fixture-scale AQE broadcasts the filtered orders side) — a semi
+    * join never duplicates orders however many line items match. */
+  def tpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-04-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  def tpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** inactive_customers (extension): the LEFT ANTI join surface —
     * customers with NO order since a cutoff. Scale shape: the date
     * filter pushes to the orders scan; the anti join is a plain hash

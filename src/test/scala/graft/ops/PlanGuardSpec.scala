@@ -154,6 +154,7 @@ class PlanGuardSpec extends SparkSpec {
     "tpch_q14" -> 1,
     "tpch_q18" -> 1,
     "tpch_q3" -> 1,
+    "tpch_q4" -> 2,
     "tpch_q5" -> 2,
     "tpch_q6" -> 1,
     "train_val_split" -> 2,
