@@ -64,11 +64,22 @@ object SparkEntry {
     "top_parts_per_brand" -> (Tpch.topPartsPerBrand _),
     "tpch_q3"           -> (EnrichJoin.tpchQ3 _),
     "tpch_q5"           -> (EnrichJoin.tpchQ5 _),
+    "tpch_q1"           -> (Tpch.tpchQ1 _),
     "tpch_q4"           -> (Tpch.tpchQ4 _),
     "tpch_q6"           -> (Tpch.tpchQ6 _),
+    "tpch_q7"           -> (Tpch.tpchQ7 _),
+    "tpch_q8"           -> (Tpch.tpchQ8 _),
+    "tpch_q9"           -> (Tpch.tpchQ9 _),
     "tpch_q10"          -> (Tpch.tpchQ10 _),
+    "tpch_q12"          -> (Tpch.tpchQ12 _),
+    "tpch_q13"          -> (Tpch.tpchQ13 _),
     "tpch_q14"          -> (Tpch.tpchQ14 _),
+    "tpch_q15"          -> (Tpch.tpchQ15 _),
+    "tpch_q17"          -> (Tpch.tpchQ17 _),
     "tpch_q18"          -> (Tpch.tpchQ18 _),
+    "tpch_q19"          -> (Tpch.tpchQ19 _),
+    "tpch_q21"          -> (Tpch.tpchQ21 _),
+    "tpch_q22"          -> (Tpch.tpchQ22 _),
     // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
     "dedup_exact"       -> (Dedup.dedupExact _),
     "dedup_substring"   -> (Dedup.dedupSubstring _),
@@ -359,9 +370,20 @@ object SparkEntry {
       "top_parts_per_brand" -> Tpch.topPartsPerBrandSql,
       "tpch_q3" -> EnrichJoin.tpchQ3Sql,
       "tpch_q5" -> EnrichJoin.tpchQ5Sql,
+      "tpch_q1" -> Tpch.tpchQ1Sql,
       "tpch_q4" -> Tpch.tpchQ4Sql,
       "tpch_q6" -> Tpch.tpchQ6Sql,
+      "tpch_q7" -> Tpch.tpchQ7Sql,
+      "tpch_q8" -> Tpch.tpchQ8Sql,
+      "tpch_q9" -> Tpch.tpchQ9Sql,
       "tpch_q10" -> Tpch.tpchQ10Sql,
+      "tpch_q12" -> Tpch.tpchQ12Sql,
+      "tpch_q13" -> Tpch.tpchQ13Sql,
       "tpch_q14" -> Tpch.tpchQ14Sql,
-      "tpch_q18" -> Tpch.tpchQ18Sql)
+      "tpch_q15" -> Tpch.tpchQ15Sql,
+      "tpch_q17" -> Tpch.tpchQ17Sql,
+      "tpch_q18" -> Tpch.tpchQ18Sql,
+      "tpch_q19" -> Tpch.tpchQ19Sql,
+      "tpch_q21" -> Tpch.tpchQ21Sql,
+      "tpch_q22" -> Tpch.tpchQ22Sql)
 }

@@ -34,6 +34,8 @@ class PlanGuardSpec extends SparkSpec {
     "ann_ivf_sampled_recall" -> "16-centroid codebook cross (broadcast literal)",
     "domain_mix_weighted" -> "1-row weight-total cross (broadcast scalar)",
     "sliding_window" -> "4-row pane-offset literal cross",
+    "tpch_q15" -> "1-row max-revenue cross (broadcast scalar)",
+    "tpch_q22" -> "1-row balance-average cross (broadcast scalar)",
     "ann_lsh_pairs" -> "16-hyperplane literal projection cross",
     "cosine_near_dup" -> "16-hyperplane literal projection cross",
     "decontaminate_semantic" -> "held benchmark embeddings × corpus: broadcast bounded held set",
@@ -150,13 +152,24 @@ class PlanGuardSpec extends SparkSpec {
     "text_normalize" -> 1,
     "tfidf_top_terms" -> 5,
     "token_count" -> 1,
+    "tpch_q1" -> 2,
     "tpch_q10" -> 1,
+    "tpch_q12" -> 2,
+    "tpch_q13" -> 3,
     "tpch_q14" -> 1,
+    "tpch_q15" -> 4,
+    "tpch_q17" -> 2,
     "tpch_q18" -> 1,
+    "tpch_q19" -> 1,
+    "tpch_q21" -> 4,
+    "tpch_q22" -> 3,
     "tpch_q3" -> 1,
     "tpch_q4" -> 2,
     "tpch_q5" -> 2,
     "tpch_q6" -> 1,
+    "tpch_q7" -> 2,
+    "tpch_q8" -> 4,
+    "tpch_q9" -> 2,
     "train_val_split" -> 2,
     "trigger_evictor" -> 2,
     "tumbling_window" -> 2,
@@ -235,6 +248,33 @@ class PlanGuardSpec extends SparkSpec {
       s"filtered aggregate should re-join as a broadcast build side:\n$plan")
     assert(PlanGuardSpec.shuffleExchanges(plan) == 1,
       "q18 must shuffle lineitem once (the orderkey aggregation), never the probe path")
+    graft.HarnessUtil.releaseAll(spark)
+  }
+
+  test("tpch_q19: hoisted common bounds reach the lineitem scan") {
+    // the disjunction itself can't push past the join (it references
+    // p_brand/p_size), but the hand-hoisted common bounds must — a scan
+    // that reads all of lineitem for a 0.1%-selective OR is the exact
+    // failure mode this query exists to catch at 100 TB
+    val qe = SparkEntry.queries("tpch_q19")(spark, dir).queryExecution
+    val formatted = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("EqualTo(l_returnflag,N)", "GreaterThanOrEqual(l_quantity,1.0)",
+      "LessThanOrEqual(l_quantity,36.0)")
+      .foreach(f => assert(formatted.contains(f),
+        s"hoisted bound not pushed to scan: $f\n${formatted.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}"))
+    graft.HarnessUtil.releaseAll(spark)
+  }
+
+  test("tpch_q21: one orderkey exchange feeds both the profile and the probe") {
+    // the per-order supplier profile and the late-line probe share the
+    // orderkey partitioning; supplier⋈nation rides as a broadcast — the
+    // plan must never shuffle lineitem on anything but l_orderkey
+    val plan = SparkEntry.queries("tpch_q21")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"supplier dim should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "the EXISTS/NOT-EXISTS reformulation must stay equi-join-only")
     graft.HarnessUtil.releaseAll(spark)
   }
 
