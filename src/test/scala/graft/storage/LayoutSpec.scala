@@ -1,0 +1,158 @@
+package graft.storage
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins the planner guarantees the Layout module exists to buy:
+  * bucketed joins/aggregations plan WITHOUT shuffle exchanges, and
+  * partition-column filters prune directories at planning time. Each
+  * assertion is against the physical plan, not just the result — the
+  * failure mode (a silent extra Exchange / a full-table scan) is
+  * invisible in small-scale results. */
+class LayoutSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def tmp(name: String) = s"/tmp/graft_layout/$name"
+
+  private def exchanges(plan: String): Int =
+    graft.ops.PlanGuardSpec.shuffleExchanges(plan)
+
+  private def leafScan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.FileSourceScanExec = {
+    // AQE wraps the physical plan; collectLeaves on the wrapper never
+    // descends into it — unwrap to the initial plan for scan inspection
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    plan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+  }
+
+  private def withNoBroadcast[T](body: => T): T = {
+    // the exchange-free claim must hold on the SortMergeJoin path (at
+    // 100 TB neither fact side broadcasts); disable auto-broadcast so
+    // fixture-sized tables can't cheat the assertion
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed⋈bucketed on the bucket key: zero exchanges, no re-sort") {
+    Layout.writeBucketed(Tables.lineitem(spark, dir), "layout_li",
+      tmp("li_bucketed"), "l_orderkey", 8)
+    Layout.writeBucketed(Tables.orders(spark, dir), "layout_ord",
+      tmp("ord_bucketed"), "o_orderkey", 8)
+    try withNoBroadcast {
+      val joined = Layout.table(spark, "layout_li")
+        .join(Layout.table(spark, "layout_ord"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(exchanges(plan) == 0,
+        s"bucketed join must not shuffle either side:\n$plan")
+      // Spark ≥3.0 distrusts per-bucket sort order by default (a bucket
+      // split across files has none); with single-file buckets — which
+      // writeBucketed guarantees via its pre-write repartition — the
+      // legacy knob lets the planner trust sortBy and drop the SMJ
+      // re-sorts too
+      val prevOrd = spark.conf
+        .get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val orderedPlan =
+        try Layout.table(spark, "layout_li")
+          .join(Layout.table(spark, "layout_ord"),
+            col("l_orderkey") === col("o_orderkey"))
+          .queryExecution.executedPlan.toString
+        finally spark.conf
+          .set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
+      assert(!orderedPlan.linesIterator.exists(_.trim.matches("[:+]- Sort \\[.*")),
+        s"single-file-bucket sortBy order should elide the SMJ re-sort:\n$orderedPlan")
+      assert(exchanges(orderedPlan) == 0, s"still no shuffles:\n$orderedPlan")
+      // same join against the RAW path (no catalog metadata) must shuffle
+      // both sides — pins that the guarantee lives in the catalog read
+      val rawPlan = spark.read.parquet(tmp("li_bucketed"))
+        .join(spark.read.parquet(tmp("ord_bucketed")),
+          col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(exchanges(rawPlan) == 2,
+        s"path read must NOT see bucket metadata:\n$rawPlan")
+      // and the result is the plain join's result
+      val expected = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS layout_li")
+      spark.sql("DROP TABLE IF EXISTS layout_ord")
+      graft.HarnessUtil.releaseAll(spark)
+    }
+  }
+
+  test("aggregation on the bucket key: zero exchanges") {
+    Layout.writeBucketed(Tables.lineitem(spark, dir), "layout_li_agg",
+      tmp("li_agg"), "l_orderkey", 8)
+    try {
+      val agg = Layout.table(spark, "layout_li_agg")
+        .groupBy("l_orderkey")
+        .agg(sum(graft.ops.Prims.dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(exchanges(plan) == 0,
+        s"groupBy(bucket key) must aggregate in place:\n$plan")
+      assert(agg.count() == Tables.lineitem(spark, dir)
+        .select("l_orderkey").distinct().count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS layout_li_agg")
+      graft.HarnessUtil.releaseAll(spark)
+    }
+  }
+
+  test("partitioned layout: a date filter prunes directories at planning time") {
+    val events = Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+    Layout.writePartitioned(events, tmp("events_by_day"), Seq("event_date"))
+    try {
+      val read = spark.read.parquet(tmp("events_by_day"))
+      val allDays = read.select("event_date").distinct().count()
+      assert(allDays > 1, "fixture must span multiple days for pruning to mean anything")
+      val oneDay = read.filter(col("event_date") === lit("2024-01-02").cast("date"))
+      val scan = leafScan(oneDay)
+      assert(scan.partitionFilters.nonEmpty,
+        "the date predicate must be a partition filter, not a data filter")
+      // planning-time pruning: the scan's selected partitions are 1 of N
+      assert(scan.selectedPartitions.partitionCount == 1,
+        s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount} of $allDays")
+      // and the pruned read still returns exactly that day's rows
+      assert(oneDay.count() ==
+        events.filter(col("event_date") === lit("2024-01-02").cast("date")).count())
+    } finally graft.HarnessUtil.releaseAll(spark)
+  }
+
+  test("composed layout: partition pruning and bucket-key aggregation together") {
+    val events = Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+    Layout.writePartitionedBucketed(events, "layout_ev", tmp("ev_composed"),
+      Seq("event_date"), "user_id", 8)
+    try {
+      val perUser = Layout.table(spark, "layout_ev")
+        .filter(col("event_date") === lit("2024-01-02").cast("date"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val plan = perUser.queryExecution.executedPlan.toString
+      assert(exchanges(plan) == 0,
+        s"bucketed user_id aggregation must not shuffle:\n$plan")
+      val scan = leafScan(perUser)
+      assert(scan.partitionFilters.nonEmpty && scan.selectedPartitions.partitionCount == 1,
+        "date filter must prune to one partition directory")
+      val expected = events
+        .filter(col("event_date") === lit("2024-01-02").cast("date"))
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      assert(perUser.count() == expected.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS layout_ev")
+      graft.HarnessUtil.releaseAll(spark)
+    }
+  }
+}
