@@ -457,6 +457,82 @@ object ScaleProbe {
     * skew never reaches a sort-merge reducer in the first place; AQE is
     * the backstop for shapes the caps don't pre-bound, not the first
     * line of defense. */
+  /** `layout` mode: measure what `storage.Layout` buys at sf0.1 on the
+    * Q18-shape workload (per-order lineitem aggregate joined back to
+    * orders, threshold filter) — RAW parquet layout vs BUCKETED tables
+    * (32 buckets on the order key, both sides). Auto-broadcast is off so
+    * both layouts plan the 100 TB join (SMJ): raw pays the groupBy
+    * exchange on lineitem plus the join exchange on orders every run;
+    * bucketed paid one shuffle at WRITE time and then runs with zero
+    * exchanges. Reports wall medians, per-run shuffle-write bytes, and
+    * the plans' exchange counts — the recurring-cost arithmetic that
+    * justifies the layout at scale. */
+  private def layoutProbe(spark: SparkSession, src: String): Unit = {
+    import graft.storage.Layout
+    import graft.ops.Prims.dec2
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics)
+          .foreach(m => { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () })
+    })
+    def drained(): Long = { HarnessUtil.drainListeners(spark); shuffleBytes.get() }
+
+    def workload(li: DataFrame, ord: DataFrame): Long =
+      li.groupBy("l_orderkey")
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+        .join(ord.select("o_orderkey", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+        .count()
+
+    val base = "/tmp/graft_layout_probe"
+    val tw0 = System.nanoTime()
+    Layout.writeBucketed(spark.read.parquet(s"$src/lineitem.parquet"),
+      "probe_li", s"$base/li", "l_orderkey", 32)
+    Layout.writeBucketed(spark.read.parquet(s"$src/orders.parquet"),
+      "probe_ord", s"$base/ord", "o_orderkey", 32)
+    val writeSec = (System.nanoTime() - tw0) / 1e9
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      println(f"${"layout"}%-10s ${"med(s)"}%8s ${"shufMB/run"}%11s ${"exchanges"}%10s")
+      Seq(
+        ("raw", () => (spark.read.parquet(s"$src/lineitem.parquet"),
+          spark.read.parquet(s"$src/orders.parquet"))),
+        ("bucketed", () => (Layout.table(spark, "probe_li"),
+          Layout.table(spark, "probe_ord")))
+      ).foreach { case (label, mk) =>
+        val (li, ord) = mk()
+        val plan = li.groupBy("l_orderkey")
+          .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+          .join(ord.select("o_orderkey", "o_totalprice"),
+            col("l_orderkey") === col("o_orderkey"))
+          .queryExecution.executedPlan.toString
+        val nExch = "(?<!Broadcast)(?<!Reused)Exchange ".r.findAllIn(plan).size
+        workload(li, ord) // warm
+        HarnessUtil.releaseAll(spark, gc = true)
+        val sb0 = drained()
+        val samples = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          workload(li, ord)
+          val dt = (System.nanoTime() - t0) / 1e9
+          HarnessUtil.releaseAll(spark, gc = true)
+          dt
+        }.sorted
+        val mb = (drained() - sb0) / 3.0 / 1024 / 1024
+        println(f"$label%-10s ${samples(1)}%8.2f $mb%11.1f $nExch%10d")
+      }
+      println(f"(one-time bucketed write: $writeSec%.2f s for both tables)")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS probe_li")
+      spark.sql("DROP TABLE IF EXISTS probe_ord")
+    }
+  }
+
   private def aqeSkewProbe(spark: SparkSession, src: String): Unit = {
     val n = 20000000L
     val dimN = 2000000L
@@ -584,6 +660,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("aqeskew")) {
       aqeSkewProbe(spark, src)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("layout")) {
+      layoutProbe(spark, src)
       spark.stop(); return
     }
     val out = "/tmp/graft_sf1_synth"
