@@ -60,6 +60,8 @@ object SparkEntry {
     "sessionize"        -> (EventAnalytics.sessionize _),
     "user_journey"      -> (EventAnalytics.userJourney _),
     "events_pivot"      -> (EventAnalytics.eventsPivot _),
+    "events_window_funcs" -> (EventAnalytics.windowFuncs _),
+    "events_cube"       -> (EventAnalytics.eventsCube _),
     "inactive_customers" -> (Tpch.inactiveCustomers _),
     "top_parts_per_brand" -> (Tpch.topPartsPerBrand _),
     "tpch_q3"           -> (EnrichJoin.tpchQ3 _),
@@ -366,6 +368,8 @@ object SparkEntry {
       "sessionize" -> EventAnalytics.sessionizeSql,
       "user_journey" -> EventAnalytics.userJourneySql,
       "events_pivot" -> EventAnalytics.eventsPivotSql,
+      "events_window_funcs" -> EventAnalytics.windowFuncsSql,
+      "events_cube" -> EventAnalytics.eventsCubeSql,
       "inactive_customers" -> Tpch.inactiveCustomersSql,
       "top_parts_per_brand" -> Tpch.topPartsPerBrandSql,
       "tpch_q3" -> EnrichJoin.tpchQ3Sql,

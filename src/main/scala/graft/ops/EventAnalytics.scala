@@ -249,4 +249,72 @@ object EventAnalytics {
        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
        |FROM events GROUP BY day ORDER BY day""".stripMargin
+
+  /** events_window_funcs: the full analytic window-function family over
+    * one keyed ordered pass — lag/lead, row_number, ntile, percent_rank,
+    * cume_dist, and a bounded-frame running sum, all on the SAME
+    * (user_id) partition ordered by (ts, id). One hash exchange + one
+    * sort serves every function (Catalyst plans a single Window
+    * operator); the frame sum is decimal-exact and the rank ratios are
+    * integer-derived doubles, so every column is bit-stable
+    * cross-engine. Per-user partitions are human-activity-bounded —
+    * the W12 posture at any corpus size. */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val frame = w.rowsBetween(-2, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"),
+        col("value"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("next_value", lead("value", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("mov_sum", sum(dec2(col("value"))).over(frame).cast("double"))
+      .select("event_id", "user_id", "ts_us", "value", "seq", "prev_value",
+        "next_value", "quartile", "pct_rank", "cdist", "mov_sum")
+      .orderBy("event_id")
+  }
+
+  def windowFuncsSql: String =
+    """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+      |  CAST(row_number() OVER w AS BIGINT) AS seq,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** events_cube: CUBE over (event_type, day) — all four grouping sets
+    * (both, each alone, grand total) in ONE aggregation pass; the
+    * grouping id disambiguates a subtotal NULL from a data NULL (none
+    * in this fixture, but the column is the capability). Spark plans
+    * cube via Expand (4× the input rows into one combinable hash
+    * aggregate) — still a single exchange, same as the rollup. */
+  def eventsCube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+        col("value"))
+      .cube("event_type", "day")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), sumDec2(col("value")).as("sum_value"))
+      .orderBy(col("gid"), asc_nulls_first("event_type"), asc_nulls_first("day"))
+
+  def eventsCubeSql: String =
+    s"""SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // $DayUs AS day,
+       |  CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid,
+       |  count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events
+       |GROUP BY CUBE (event_type, day)
+       |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin
 }

@@ -109,6 +109,8 @@ class PlanGuardSpec extends SparkSpec {
     "embed_cluster_profile" -> 2,
     "enrich_dag" -> 5,
     "events_rollup" -> 2,
+    "events_window_funcs" -> 2,
+    "events_cube" -> 2,
     "enrich_wide_row" -> 2,
     "filter" -> 1,
     "fold_cumsum" -> 2,
