@@ -85,4 +85,45 @@ object Layout {
 
   /** Catalog read — the ONLY read that sees bucket metadata. */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Incremental re-ingest into a partitioned layout: replace ONLY the
+    * partitions present in `df`, leaving every other directory's files
+    * physically untouched. This is Spark's dynamic partition-overwrite
+    * mode, scoped to this one write (the session conf is restored):
+    * static mode — the default — would DELETE the whole table first,
+    * which at 100 TB turns "re-run yesterday" into "rewrite three
+    * years". The daily-correction workflow this exists for: recompute
+    * one day, overwrite one directory. */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "DYNAMIC")
+    try df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+    finally spark.conf.set(key, prev)
+  }
+
+  /** Compact a parquet directory to approximately `targetBytes` files —
+    * the small-file repair pass every long-lived ingest needs (streaming
+    * sinks and fine-grained partition writes accumulate KB-sized files;
+    * at 100 TB the scan's task-scheduling overhead becomes the
+    * bottleneck long before the bytes do). Sizes the output file count
+    * from the directory's actual on-disk bytes and rewrites to a
+    * STAGING path: a compaction that rewrote in place would destroy the
+    * source on a mid-job failure, so the atomic swap is left to the
+    * caller's rename. Returns the file count written. */
+  def compact(spark: SparkSession, path: String, stagingPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(path)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(stagingPath)
+    nFiles
+  }
 }

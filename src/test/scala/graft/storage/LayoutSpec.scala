@@ -130,6 +130,60 @@ class LayoutSpec extends SparkSpec {
     } finally graft.HarnessUtil.releaseAll(spark)
   }
 
+  test("overwritePartitions replaces only the partitions present in the batch") {
+    import java.nio.file.{Files, Paths}
+    val events = Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+    val path = tmp("events_incr")
+    Layout.writePartitioned(events, path, Seq("event_date"))
+    def fileListing(day: String): Map[String, Long] = {
+      val d = Paths.get(s"$path/event_date=$day")
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val day2Before = fileListing("2024-01-02")
+    val day3Before = fileListing("2024-01-03")
+    // recompute day 3 only: values doubled, day 2 must stay byte-level untouched
+    val day3Fixed = events
+      .filter(col("event_date") === lit("2024-01-03").cast("date"))
+      .withColumn("value", col("value") * 2)
+    Layout.overwritePartitions(day3Fixed, path, Seq("event_date"))
+    try {
+      assert(fileListing("2024-01-02") == day2Before,
+        "untouched partition's files must not be rewritten")
+      assert(fileListing("2024-01-03") != day3Before,
+        "target partition must be replaced")
+      val reread = spark.read.parquet(path)
+      assert(reread.filter(col("event_date") === lit("2024-01-03").cast("date")).count() ==
+        day3Fixed.count())
+      assert(reread.count() == events.count(), "row count preserved across the swap")
+      // and the conf scoping restored the session default
+      assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        .equalsIgnoreCase("static"))
+    } finally graft.HarnessUtil.releaseAll(spark)
+  }
+
+  test("compact rewrites a fragmented directory to the sized file count") {
+    val frag = tmp("frag")
+    val events = Tables.events(spark, dir).select("event_id", "user_id", "value")
+    events.repartition(64).write.mode("overwrite").parquet(frag)
+    def parquetFiles(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag).size == 64, "fixture must start fragmented")
+    val staged = tmp("frag_compacted")
+    val n = Layout.compact(spark, frag, staged, targetBytes = 256L * 1024)
+    try {
+      assert(parquetFiles(staged).size == n, s"expected $n output files")
+      assert(n < 64, "compaction must reduce the file count")
+      assert(spark.read.parquet(staged).count() == events.count())
+      // staging, not in-place: the source survives for the caller's swap
+      assert(parquetFiles(frag).size == 64)
+    } finally graft.HarnessUtil.releaseAll(spark)
+  }
+
   test("composed layout: partition pruning and bucket-key aggregation together") {
     val events = Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
