@@ -80,6 +80,7 @@ object SparkEntry {
     "tpch_q17"          -> (Tpch.tpchQ17 _),
     "tpch_q18"          -> (Tpch.tpchQ18 _),
     "tpch_q19"          -> (Tpch.tpchQ19 _),
+    "tpch_q20"          -> (Tpch.tpchQ20 _),
     "tpch_q21"          -> (Tpch.tpchQ21 _),
     "tpch_q22"          -> (Tpch.tpchQ22 _),
     // LLM training-data pipeline ops (north-star extensions, SURVEY.md §7.2 M5)
@@ -388,6 +389,7 @@ object SparkEntry {
       "tpch_q17" -> Tpch.tpchQ17Sql,
       "tpch_q18" -> Tpch.tpchQ18Sql,
       "tpch_q19" -> Tpch.tpchQ19Sql,
+      "tpch_q20" -> Tpch.tpchQ20Sql,
       "tpch_q21" -> Tpch.tpchQ21Sql,
       "tpch_q22" -> Tpch.tpchQ22Sql)
 }

@@ -683,6 +683,61 @@ object Tpch {
       |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
       |        AND l_quantity BETWEEN 26 AND 36))""".stripMargin
 
+  /** tpch_q20 (extension): potential part promotion — Q20's
+    * double-nested IN-subquery shape: suppliers (in one nation) who
+    * dominate some filtered part's supply. partsupp's ps_availqty
+    * adapts to shipped-quantity dominance derived from lineitem itself:
+    * a supplier qualifies if for SOME red part it shipped more than
+    * half that part's 1998 volume. Scale shape: the name-filtered part
+    * sliver broadcasts onto the date-filtered fact; the per-(part,
+    * supplier) aggregate is ONE map-combinable shuffle; the per-part
+    * total is a WINDOW sum over that aggregate's output (decimal-exact,
+    * no second fact scan and no self-join — the correlated subquery
+    * collapses into one partkey-partitioned pass); supplier sees only
+    * a LEFT SEMI on the qualifying key set. The textbook nested-IN
+    * oracle cross-checks the flattened formulation. */
+  def tpchQ20(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, dir).filter(col("p_name").like("%red%")).select("p_partkey")
+    val ps = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dec2(col("l_quantity"))).as("supp_qty"))
+    val qualifying = ps
+      .withColumn("part_qty",
+        sum(col("supp_qty")).over(Window.partitionBy("l_partkey")))
+      .filter(col("supp_qty").cast("double") > lit(0.5) * col("part_qty").cast("double"))
+      .select("l_suppkey")
+    Tables.supplier(s, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_9")
+        .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  def tpchQ20Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%red%'
+      |    AND l_shipdate >= TIMESTAMP '1998-01-01'
+      |    AND l_shipdate < TIMESTAMP '1999-01-01'
+      |  GROUP BY 1, 2),
+      |pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM ps GROUP BY 1)
+      |SELECT s_suppkey, s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_9'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM ps JOIN pt USING (l_partkey)
+      |    WHERE CAST(supp_qty AS DOUBLE) > 0.5 * CAST(part_qty AS DOUBLE))
+      |ORDER BY s_suppkey""".stripMargin
+
   /** tpch_q21 (extension): suppliers who kept orders waiting — Q21's
     * double-correlated EXISTS / NOT EXISTS. "Late" adapts to shipped
     * >60 days after the order date (no commit/receipt dates in the

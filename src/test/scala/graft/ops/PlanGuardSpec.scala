@@ -163,6 +163,7 @@ class PlanGuardSpec extends SparkSpec {
     "tpch_q17" -> 2,
     "tpch_q18" -> 1,
     "tpch_q19" -> 1,
+    "tpch_q20" -> 5,
     "tpch_q21" -> 4,
     "tpch_q22" -> 3,
     "tpch_q3" -> 1,
