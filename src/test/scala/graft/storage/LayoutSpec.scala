@@ -130,6 +130,34 @@ class LayoutSpec extends SparkSpec {
     } finally graft.HarnessUtil.releaseAll(spark)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // static pruning (previous test) needs the literal in the query;
+    // DPP covers the warehouse case where the date set comes from a
+    // filtered dimension — the broadcast join's build side seeds a
+    // runtime IN-filter on the fact's partition column
+    val events = Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+    Layout.writePartitioned(events, tmp("events_dpp"), Seq("event_date"))
+    try {
+      val fact = spark.read.parquet(tmp("events_dpp"))
+      // the dim must come from storage: a literal dim constant-folds into
+      // a STATIC partition filter and DPP never needs to fire
+      events.select(col("event_date").as("d_date")).distinct()
+        .withColumn("d_tag",
+          when(col("d_date") === lit("2024-01-02").cast("date"), lit("target"))
+            .otherwise(lit("other")))
+        .write.mode("overwrite").parquet(tmp("dpp_dim"))
+      val dim = spark.read.parquet(tmp("dpp_dim"))
+      val joined = fact.join(broadcast(dim.filter(col("d_tag") === "target")),
+        col("event_date") === col("d_date"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"partition-column join with a filtered dim must plan DPP:\n$plan")
+      assert(joined.count() ==
+        events.filter(col("event_date") === lit("2024-01-02").cast("date")).count())
+    } finally graft.HarnessUtil.releaseAll(spark)
+  }
+
   test("overwritePartitions replaces only the partitions present in the batch") {
     import java.nio.file.{Files, Paths}
     val events = Tables.events(spark, dir)
