@@ -62,6 +62,7 @@ object SparkEntry {
     "events_pivot"      -> (EventAnalytics.eventsPivot _),
     "events_window_funcs" -> (EventAnalytics.windowFuncs _),
     "events_cube"       -> (EventAnalytics.eventsCube _),
+    "user_overlap"      -> (EventAnalytics.userOverlap _),
     "inactive_customers" -> (Tpch.inactiveCustomers _),
     "top_parts_per_brand" -> (Tpch.topPartsPerBrand _),
     "tpch_q3"           -> (EnrichJoin.tpchQ3 _),
@@ -371,6 +372,7 @@ object SparkEntry {
       "events_pivot" -> EventAnalytics.eventsPivotSql,
       "events_window_funcs" -> EventAnalytics.windowFuncsSql,
       "events_cube" -> EventAnalytics.eventsCubeSql,
+      "user_overlap" -> EventAnalytics.userOverlapSql,
       "inactive_customers" -> Tpch.inactiveCustomersSql,
       "top_parts_per_brand" -> Tpch.topPartsPerBrandSql,
       "tpch_q3" -> EnrichJoin.tpchQ3Sql,

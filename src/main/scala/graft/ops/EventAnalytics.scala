@@ -294,6 +294,65 @@ object EventAnalytics {
       |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** user_overlap: distinct-user overlap for every event-type pair —
+    * exact counts from a self-join of the deduped (type, user) set,
+    * plus an HLL inclusion-exclusion estimate (est(A) + est(B) −
+    * est(A∪B)) gated within tolerance of the exact value. The sketch
+    * never crosses the oracle — only its gated boolean does (the
+    * source_cardinality pattern), because HLL register layouts differ
+    * between engines. Scale shape: the (type, user) dedup is one
+    * map-combinable pass; the pair join runs on the DEDUPED set (≤
+    * |types|·|users| rows, not event volume); all 10 union sketches
+    * come from ONE 4×-expanded aggregation over the deduped set, never
+    * 10 scans of the fact. At 100 TB the sketch path is the one you
+    * keep (registers merge map-side; bytes per group are constant) and
+    * the exact path is the audit. */
+  def userOverlap(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pairs = for { a <- types; b <- types if a < b } yield (a, b)
+    val rsd = 0.05
+    // ONE keyed pass builds each user's type set (collect_set dedups
+    // with map-side partials); every downstream number — exact overlap,
+    // solo sketches, union sketches — derives from this user-sized
+    // frame, never from event volume again
+    val sets = Tables.events(s, dir)
+      .groupBy("user_id").agg(collect_set("event_type").as("ts"))
+    val pairRows = sets
+      .select(col("user_id"), explode(array(pairs.map { case (a, b) =>
+        when(array_contains(col("ts"), a) || array_contains(col("ts"), b),
+          struct(lit(a).as("type_a"), lit(b).as("type_b"),
+            (array_contains(col("ts"), a) && array_contains(col("ts"), b))
+              .as("both")))
+      }: _*)).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("user_id"), col("p.type_a"), col("p.type_b"), col("p.both"))
+    val perPair = pairRows.groupBy("type_a", "type_b")
+      .agg(count(when(col("both"), lit(1))).as("exact_overlap"),
+        approx_count_distinct(col("user_id"), rsd).as("est_union"))
+    val perType = sets
+      .select(col("user_id"), explode(col("ts")).as("event_type"))
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("est_solo"))
+    perPair
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("est_solo").as("est_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("est_solo").as("est_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_overlap"),
+        (abs((col("est_a") + col("est_b") - col("est_union")) - col("exact_overlap"))
+          .cast("double") <= greatest(col("exact_overlap").cast("double") * 0.25,
+            lit(16.0))).as("hll_ok"))
+      .orderBy("type_a", "type_b")
+  }
+
+  def userOverlapSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  count(*) AS exact_overlap, TRUE AS hll_ok
+      |FROM tu a JOIN tu b ON a.user_id = b.user_id
+      |  AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** events_cube: CUBE over (event_type, day) — all four grouping sets
     * (both, each alone, grand total) in ONE aggregation pass; the
     * grouping id disambiguates a subtotal NULL from a data NULL (none

@@ -178,6 +178,7 @@ class PlanGuardSpec extends SparkSpec {
     "tumbling_window" -> 2,
     "union_streams" -> 1,
     "user_journey" -> 3,
+    "user_overlap" -> 7,
     "vocab_coverage" -> 3,
     "window_join" -> 1,
     "winnow_fingerprint" -> 1,
