@@ -137,6 +137,7 @@ object SparkEntry {
     "pii_scrub"         -> (PipelineOps.piiScrub _),
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
     "doc_len_histogram" -> (PipelineOps.docLenHistogram _),
+    "heavy_hitters"     -> (Sketches.heavyHitters _),
     // E3 flagship: full six-source enrichment DAG through four
     // flatMapGroupsWithState stages (graft.streaming.EnrichDag)
     "enrich_dag"        -> (graft.streaming.EnrichDag.enrichDag _),
@@ -359,7 +360,7 @@ object SparkEntry {
         |LEFT JOIN li ON o.o_orderkey = li.l_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
   ) ++ Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-    Multimodal.oracles ++ PipelineOps.oracles ++ Map(
+    Multimodal.oracles ++ PipelineOps.oracles ++ Sketches.oracles ++ Map(
       "enrich_dag" -> graft.streaming.EnrichDag.enrichDagSql,
       "funnel" -> EnrichJoin.funnelSql,
       "asof_attribution" -> EnrichJoin.asofAttributionSql,

@@ -35,6 +35,7 @@ class PlanGuardSpec extends SparkSpec {
     "domain_mix_weighted" -> "1-row weight-total cross (broadcast scalar)",
     "sliding_window" -> "4-row pane-offset literal cross",
     "tpch_q15" -> "1-row max-revenue cross (broadcast scalar)",
+    "heavy_hitters" -> "1-row token-total cross (broadcast scalar)",
     "tpch_q22" -> "1-row balance-average cross (broadcast scalar)",
     "ann_lsh_pairs" -> "16-hyperplane literal projection cross",
     "cosine_near_dup" -> "16-hyperplane literal projection cross",
@@ -72,6 +73,7 @@ class PlanGuardSpec extends SparkSpec {
     * shuffle-BYTES column: a new exchange is caught here even when
     * sf0.1 wall-time hides it. */
   private val exchangeBudget: Map[String, Int] = Map(
+    "heavy_hitters" -> 3,
     "ann_ivf_recall" -> 6,
     "ann_ivf_sampled_recall" -> 6,
     "ann_ivf_topk" -> 3,
