@@ -639,7 +639,68 @@ object TextAnalysis {
        |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
        |FROM cov ORDER BY doc_id""".stripMargin
 
+  /** unigram_logprob: per-document surprisal under the corpus's own
+    * top-[[VocabN]] unigram language model — the CCNet-style
+    * "perplexity proxy" quality signal (docs whose tokens the corpus LM
+    * finds surprising are the boilerplate/garbage candidates). Shares
+    * [[vocabCoverage]]'s vocabulary definition (count desc, token) so
+    * the two audits agree on what "in-vocabulary" means; OOV tokens take
+    * a floor probability of 0.5/total.
+    *
+    * Determinism across engines: log-probs are quantized ONCE, at the
+    * vocabulary layer, to integer micro-nats (round(ln(p)·1e6) — ~21
+    * values, where a 1-ulp libm divergence cannot move the rounded
+    * integer), so every per-document number downstream is exact integer
+    * arithmetic: sums are association-free BIGINTs and the mean is one
+    * double division of two integers.
+    *
+    * Scale shape: the LM "training" is ONE map-side-combinable token
+    * count + distributed top-K, collapsing to a VocabN-entry artifact —
+    * which rides back over the corpus as a map LITERAL inside a single
+    * narrow codegen projection (`aggregate` over the token array): no
+    * token explode, no per-doc shuffle, no join. At 100 TB the scoring
+    * pass touches each document exactly once and exchanges nothing but
+    * the final ORDER BY. */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.select(explode(expr(wordsExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt")).head.getLong(0)
+    val vocab = counts.orderBy(col("cnt").desc, col("w")).limit(VocabN)
+      .collect()
+      .map(r => r.getString(0) ->
+        math.round(math.log(r.getLong(1).toDouble / total) * 1e6))
+      .toMap
+    val floorM = math.round(math.log(0.5 / total) * 1e6)
+    val lm = typedLit(vocab)
+    docs.select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tok"),
+        aggregate(col("ws"), lit(0L),
+          (acc, w) => acc - coalesce(element_at(lm, w), lit(floorM)))
+          .as("surprisal_mnats"))
+      .withColumn("mean_mnats",
+        col("surprisal_mnats").cast("double") / col("n_tok"))
+      .orderBy("doc_id")
+  }
+
+  def unigramLogprobSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+       |c AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+       |tot AS (SELECT sum(cnt) AS total FROM c),
+       |v AS (SELECT w, CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT) AS mn
+       |  FROM c, tot ORDER BY cnt DESC, w LIMIT $VocabN),
+       |fl AS (SELECT CAST(round(ln(0.5 / total) * 1e6) AS BIGINT) AS fm FROM tot),
+       |j AS (SELECT doc_id, coalesce(v.mn, fl.fm) AS mn
+       |  FROM toks LEFT JOIN v USING (w), fl)
+       |SELECT doc_id, count(*) AS n_tok,
+       |  CAST(-sum(mn) AS BIGINT) AS surprisal_mnats,
+       |  CAST(-sum(mn) AS DOUBLE) / count(*) AS mean_mnats
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "unigram_logprob" -> unigramLogprobSql,
     "vocab_coverage" -> vocabCoverageSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_pairs" -> winnowPairsSql,

@@ -47,7 +47,8 @@ class PlanGuardSpec extends SparkSpec {
     * exchange. A second exchange appearing here means someone introduced
     * a shuffle into a scan-shaped operator. */
   private val narrowQueries = Seq(
-    "lang_id",
+    "lang_id", "unigram_logprob", // LM trains in a bounded construction-time job; scoring is one narrow pass
+
     "token_count", "quality_score", "text_normalize", "doc_chunking",
     "frame_sample", "multimodal_features", "pii_scrub", "projection",
     "filter", "string_funcs", "decimal_arith", "winnow_fingerprint")
@@ -74,6 +75,7 @@ class PlanGuardSpec extends SparkSpec {
     * sf0.1 wall-time hides it. */
   private val exchangeBudget: Map[String, Int] = Map(
     "heavy_hitters" -> 3,
+    "unigram_logprob" -> 1,
     "ann_ivf_recall" -> 6,
     "ann_ivf_sampled_recall" -> 6,
     "ann_ivf_topk" -> 3,
