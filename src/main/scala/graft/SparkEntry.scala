@@ -101,6 +101,8 @@ object SparkEntry {
     "cosine_near_dup"   -> (Similarity.cosineNearDup _),
     "decontaminate_semantic" -> (Similarity.decontaminateSemantic _),
     "ann_ivf_topk"      -> (Similarity.annIvfTopK _),
+    "ann_pq_topk"       -> (Similarity.annPqTopK _),
+    "ann_pq_recall"     -> (Similarity.annPqRecall _),
     "ann_ivf_recall"    -> (Similarity.annIvfRecall _),
     "ann_ivf_sampled_recall" -> (Similarity.annIvfSampledRecall _),
     "embed_cluster_profile" -> (Similarity.embedClusterProfile _),

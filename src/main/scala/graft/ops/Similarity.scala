@@ -863,7 +863,279 @@ object Similarity {
        |ORDER BY nb.vec_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ + asymmetric distance computation)
+  // ------------------------------------------------------------------
+  // IVF prunes WHICH vectors a query scans; PQ compresses WHAT each
+  // scanned vector costs: the corpus is re-encoded as PqM small
+  // centroid ids (here 4 bytes/vector vs 64×4-byte floats — the ~64×
+  // memory ratio that decides whether a 100 TB embedding corpus fits
+  // in cluster RAM at all), and a query scores a vector by summing
+  // PqM lookups into its precomputed per-subspace distance table
+  // instead of touching the raw floats.
+
+  private val PqM = 8            // subspaces; PqM × PqSubDim == Dim
+  private val PqSubDim = 8
+  private val PqK = 64           // centroids per subspace
+  private val PqIters = 3        // Lloyd passes per subspace
+  private val PqTopK = 5
+
+  /** Per-subspace Lloyd training, driver-side over the rank-bounded
+    * sample. The sample is the ONLY corpus-sized decision and it is a
+    * distributed top-[[TrainSampleN]] (hash-ranked, so both engines pick
+    * the identical rows); everything after is arithmetic over ≤256×64
+    * int64s — constant in corpus size, which is exactly why PQ training
+    * is sample-based in production systems. Same exact-integer update
+    * rule as [[trainedCentroids]] (floor-division means, empty-cluster
+    * carryover, (d2, cid) assignment tie-break) so the DuckDB unroll
+    * reproduces the codebook bit-for-bit. Seeds: the first [[PqK]]
+    * sample vectors under (hash60("pqseed_"+id), id) order; all
+    * subspaces share the seed VECTORS (their m-th slices), the standard
+    * PQ initialization. Result: books(m)(k) = the 16-dim centroid. */
+  private[graft] def trainPq(
+      sample: IndexedSeq[(Long, IndexedSeq[Long])]): Vector[Vector[IndexedSeq[Long]]] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def sub(v: IndexedSeq[Long], m: Int): IndexedSeq[Long] =
+      v.slice(m * PqSubDim, (m + 1) * PqSubDim)
+    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val seeds = sample.sortBy { case (id, _) =>
+      (graft.functions.Hash60Impl.compute(
+        UTF8String.fromString(s"pqseed_$id")), id)
+    }.take(PqK)
+    var books: Vector[Vector[IndexedSeq[Long]]] =
+      Vector.tabulate(PqM)(m => seeds.map(sv => sub(sv._2, m)).toVector)
+    for (_ <- 1 to PqIters) {
+      books = books.zipWithIndex.map { case (cents, m) =>
+        val assigned = sample.map { case (_, v) =>
+          val sv = sub(v, m)
+          val cid = cents.zipWithIndex
+            .map { case (cv, k) => (d2(sv, cv), k) }.min._2
+          (cid, sv)
+        }
+        val byCid = assigned.groupBy(_._1)
+        cents.zipWithIndex.map { case (prev, cid) =>
+          byCid.get(cid) match {
+            case Some(rows) =>
+              val cnt = rows.length
+              IndexedSeq.tabulate(PqSubDim) { pi =>
+                Math.floorDiv(rows.iterator.map(_._2(pi)).sum, cnt)
+              }
+            case None => prev
+          }
+        }.toVector
+      }
+    }
+    books
+  }
+
+  /** PQ codebook memo — same lifecycle discipline as [[codebookMemo]]. */
+  private val pqMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Vector[Vector[IndexedSeq[Long]]]]]())
+
+  private[graft] def pqCodebookFor(s: SparkSession, dir: String): Vector[Vector[IndexedSeq[Long]]] =
+    pqMemo
+      .computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, Vector[Vector[IndexedSeq[Long]]]]())
+      .computeIfAbsent(new java.io.File(dir).getCanonicalPath, _ => {
+        val sample = Tables.embeddings(s, dir)
+          .select(col("vec_id"), expr(quantExpr).as("qv"),
+            hash60(concat(lit("pqs_"), col("vec_id"))).as("h"))
+          .orderBy(col("h"), col("vec_id"))
+          .limit(TrainSampleN)
+          .select("vec_id", "qv")
+          .collect() // TakeOrdered: TrainSampleN rows of metadata
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq)).toIndexedSeq
+        trainPq(sample)
+      })
+
+  /** Corpus → (vec_id, codes): the PQ index build, ONE narrow codegen
+    * projection (the [[assignedNarrow]] trick per subspace — the PqM×PqK
+    * codebook rides as literals, the argmin is array_min over (d2, cid)
+    * structs). No exchange: at 100 TB the encode is a single scan that
+    * writes back PqM-byte codes. */
+  private def pqEncoded(s: SparkSession, dir: String,
+                        books: Vector[Vector[IndexedSeq[Long]]]): DataFrame = {
+    import graft.functions.QDot
+    val withSubs = Tables.embeddings(s, dir)
+      .select(col("vec_id") +: (0 until PqM).map(m =>
+        slice(expr(quantExpr), m * PqSubDim + 1, PqSubDim).as(s"sub$m")): _*)
+      .select(col("vec_id") +: (0 until PqM).flatMap(m => Seq(
+        col(s"sub$m"), QDot(col(s"sub$m"), col(s"sub$m")).as(s"qq$m"))): _*)
+    val coded = (0 until PqM).foldLeft(withSubs) { (df, m) =>
+      val cands = books(m).zipWithIndex.map { case (cv, cid) =>
+        struct(
+          (col(s"qq$m") - lit(2) * QDot(col(s"sub$m"), typedLit(cv))
+            + lit(cv.map(x => x * x).sum)).as("d2"),
+          lit(cid.toLong).as("cid"))
+      }
+      df.withColumn(s"code$m", array_min(array(cands: _*)).getField("cid"))
+    }
+    coded.select(col("vec_id"),
+      array((0 until PqM).map(m => col(s"code$m")): _*).as("codes"))
+  }
+
+  /** ann_pq_topk: top-[[PqTopK]] neighbors per query by ADC — each query
+    * precomputes its PqM×PqK subspace distance table (driver-side: 10
+    * queries × 64 cells of int64), and scoring a corpus vector is PqM
+    * integer table lookups over its codes, unrolled as element_at chains
+    * inside one codegen projection. The corpus side never shuffles and
+    * never re-touches raw vectors — the PQ contract. Exact int64 end to
+    * end, (adc, neighbor_id) tie-break. */
+  def annPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val books = pqCodebookFor(s, dir)
+    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val qrows = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), expr(quantExpr).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+    val dtabs = qrows.toSeq.map { case (qid, qv) =>
+      (qid, (0 until PqM).map { m =>
+        val sv = qv.slice(m * PqSubDim, (m + 1) * PqSubDim)
+        books(m).map(cv => d2(sv, cv))
+      })
+    }
+    val queries = broadcast(dtabs.toDF("query_id", "dtab"))
+    pqEncoded(s, dir, books)
+      .crossJoin(queries)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (0 until PqM).map(m =>
+          element_at(element_at(col("dtab"), m + 1),
+            (element_at(col("codes"), m + 1) + 1).cast("int")))
+          .reduce(_ + _).as("adc"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("adc"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= PqTopK)
+      .select("query_id", "neighbor_id", "adc", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** ann_pq_recall: recall@[[PqTopK]] of the ADC ranking against exact
+    * L2² ground truth — compression quality as a one-row, oracle-gated
+    * number (the same contract as [[annIvfRecall]]: a training or
+    * encoding regression becomes a hash mismatch, not a silent drop). */
+  def annPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QDot
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quantExpr).as("qv"))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("query_v"))
+    val truth = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (QDot(col("query_v"), col("query_v"))
+          - lit(2) * QDot(col("query_v"), col("qv"))
+          + QDot(col("qv"), col("qv"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rn") <= PqTopK)
+      .select("query_id", "neighbor_id")
+    val pq = annPqTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(pq, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+      .select(lit(PqTopK.toLong).as("k"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+  }
+
+  /** Exact-int64 L2² over one PQ subspace, as DuckDB SQL. */
+  private def pqD2Sql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, $PqSubDim + 1), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+
+  /** The PQ pipeline as a WITH-chain: sample → seeds → per-subspace
+    * Lloyd unroll (subspace is a DATA column `m`, so one unroll trains
+    * all subspaces) → corpus encode → query distance tables → ADC rank.
+    * Shared by the top-k query and the recall gate. */
+  private def pqCtes: String = {
+    val sampleH = Prims.hash60Sql("'pqs_' || CAST(vec_id AS VARCHAR)")
+    val seedH = Prims.hash60Sql("'pqseed_' || CAST(vec_id AS VARCHAR)")
+    val lloyd = (1 to PqIters).map { k =>
+      s"""pa$k AS (SELECT m, vec_id, cent_id FROM (
+         |    SELECT t.m, t.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY t.m, t.vec_id
+         |        ORDER BY ${pqD2Sql("t.sv", "c.cv")}, c.cent_id) AS rn
+         |    FROM tsub t JOIN pc${k - 1} c ON c.m = t.m) WHERE rn = 1),
+         |ps$k AS (SELECT a.m, a.cent_id, p.pi, sum(t.sv[p.pi]) AS sm, count(*) AS cnt
+         |  FROM pa$k a JOIN tsub t ON t.m = a.m AND t.vec_id = a.vec_id,
+         |    (SELECT unnest(range(1, $PqSubDim + 1)) AS pi) p
+         |  GROUP BY a.m, a.cent_id, p.pi),
+         |pc$k AS (SELECT p.m, p.cent_id, coalesce(n.cv, p.cv) AS cv
+         |  FROM pc${k - 1} p LEFT JOIN (
+         |    SELECT m, cent_id,
+         |      list((sm - ((sm % cnt) + cnt) % cnt) // cnt ORDER BY pi) AS cv
+         |    FROM ps$k GROUP BY m, cent_id) n USING (m, cent_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+       |ts AS (SELECT vec_id, qv FROM (
+       |    SELECT vec_id, qv, row_number() OVER (ORDER BY $sampleH, vec_id) AS srn
+       |    FROM e) WHERE srn <= $TrainSampleN),
+       |sd AS (SELECT qv, row_number() OVER (ORDER BY $seedH, vec_id) AS rn FROM ts),
+       |pc0 AS (SELECT m, CAST(rn - 1 AS BIGINT) AS cent_id,
+       |    qv[m * $PqSubDim + 1 : (m + 1) * $PqSubDim] AS cv
+       |  FROM sd, unnest(range(0, $PqM)) AS t(m) WHERE rn <= $PqK),
+       |tsub AS (SELECT m, vec_id, qv[m * $PqSubDim + 1 : (m + 1) * $PqSubDim] AS sv
+       |  FROM ts, unnest(range(0, $PqM)) AS t(m)),
+       |$lloyd,
+       |cb AS (SELECT m, cent_id, cv FROM pc$PqIters),
+       |esub AS (SELECT m, vec_id, qv[m * $PqSubDim + 1 : (m + 1) * $PqSubDim] AS sv
+       |  FROM e, unnest(range(0, $PqM)) AS t(m)),
+       |cods AS (SELECT m, vec_id, cent_id AS code FROM (
+       |    SELECT s.m, s.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY s.m, s.vec_id
+       |        ORDER BY ${pqD2Sql("s.sv", "c.cv")}, c.cent_id) AS rn
+       |    FROM esub s JOIN cb c ON c.m = s.m) WHERE rn = 1),
+       |qsub AS (SELECT vec_id AS query_id, m, sv FROM esub WHERE vec_id < $NumQueries),
+       |dt AS (SELECT q.query_id, q.m, c.cent_id, ${pqD2Sql("q.sv", "c.cv")} AS d
+       |  FROM qsub q JOIN cb c ON c.m = q.m),
+       |adcs AS (SELECT d.query_id, k.vec_id AS neighbor_id, CAST(sum(d.d) AS BIGINT) AS adc
+       |  FROM cods k JOIN dt d ON d.m = k.m AND d.cent_id = k.code
+       |  WHERE k.vec_id <> d.query_id
+       |  GROUP BY d.query_id, k.vec_id),
+       |pqr AS (SELECT query_id, neighbor_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, neighbor_id) AS BIGINT) AS rank
+       |  FROM adcs)""".stripMargin
+  }
+
+  def annPqTopKSql: String =
+    s"""$pqCtes
+       |SELECT query_id, neighbor_id, adc, rank FROM pqr
+       |WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+
+  def annPqRecallSql: String =
+    s"""$pqCtes,
+       |ex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${d2Sql("q.qv", "c.qv")} AS d2
+       |  FROM e q, e c WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+       |er AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+       |  FROM ex),
+       |gt AS (SELECT query_id, neighbor_id FROM er WHERE rn <= $PqTopK),
+       |hits AS (SELECT count(*) AS n_truth,
+       |    count(*) FILTER (WHERE p.rank IS NOT NULL) AS n_hits
+       |  FROM gt LEFT JOIN (SELECT query_id, neighbor_id, rank FROM pqr
+       |    WHERE rank <= $PqTopK) p USING (query_id, neighbor_id))
+       |SELECT CAST($PqTopK AS BIGINT) AS k,
+       |  CAST(n_truth AS BIGINT) AS n_truth, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+       |FROM hits""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_pq_topk" -> annPqTopKSql,
+    "ann_pq_recall" -> annPqRecallSql,
     "semantic_incremental" -> semanticIncrementalSql,
     "semantic_dedup" -> semanticDedupSql,
     "embed_cluster_profile" -> embedClusterProfileSql,
