@@ -103,6 +103,7 @@ object SparkEntry {
     "ann_ivf_topk"      -> (Similarity.annIvfTopK _),
     "ann_pq_topk"       -> (Similarity.annPqTopK _),
     "ann_pq_recall"     -> (Similarity.annPqRecall _),
+    "hard_negatives"    -> (Similarity.hardNegatives _),
     "ann_ivf_recall"    -> (Similarity.annIvfRecall _),
     "ann_ivf_sampled_recall" -> (Similarity.annIvfSampledRecall _),
     "embed_cluster_profile" -> (Similarity.embedClusterProfile _),

@@ -1050,6 +1050,52 @@ object Similarity {
         (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
   }
 
+  /** Negatives mined per anchor for contrastive training. */
+  private val HardNegK = 5
+
+  /** hard_negatives: for each anchor (the query set), the [[HardNegK]]
+    * most-similar vectors carrying a DIFFERENT label — the "hard
+    * negative" mining pass a contrastive-training pipeline runs over its
+    * embedding corpus (easy negatives are useless; the informative ones
+    * are the near-misses that cross a label boundary). Same scale
+    * skeleton as [[annTopK]]: anchors broadcast, corpus streams through
+    * one narrow scan (label filter applied in the same codegen stage as
+    * the dot product), per-anchor top-k — the corpus never shuffles.
+    * Exact int64 scoring, (dot desc, vec_id) tie-break. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QDot
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quantExpr).as("qv"), col("label"))
+    val anchors = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("anchor_id"), col("qv").as("av"),
+        col("label").as("anchor_label"))
+    emb.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label").cast("long").as("anchor_label"),
+        col("vec_id").as("neighbor_id"), col("label").cast("long").as("neighbor_label"),
+        QDot(col("av"), col("qv")).as("dot"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("anchor_id")
+          .orderBy(col("dot").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= HardNegK)
+      .select("anchor_id", "anchor_label", "neighbor_id", "neighbor_label",
+        "dot", "rank")
+      .orderBy("anchor_id", "rank")
+  }
+
+  def hardNegativesSql: String =
+    s"""WITH a AS (SELECT vec_id AS anchor_id, CAST(label AS BIGINT) AS anchor_label,
+       |    $quantSql AS av FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS neighbor_label,
+       |    $quantSql AS cv FROM embeddings),
+       |sc AS (SELECT anchor_id, anchor_label, neighbor_id, neighbor_label,
+       |    CAST(list_sum(list_transform(range(1, $Dim + 1), i -> av[i] * cv[i])) AS BIGINT) AS dot
+       |  FROM a, c WHERE neighbor_label <> anchor_label),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+       |    ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
+       |SELECT anchor_id, anchor_label, neighbor_id, neighbor_label, dot, rank
+       |FROM r WHERE rank <= $HardNegK ORDER BY anchor_id, rank""".stripMargin
+
   /** Exact-int64 L2² over one PQ subspace, as DuckDB SQL. */
   private def pqD2Sql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, $PqSubDim + 1), " +
@@ -1136,6 +1182,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_pq_topk" -> annPqTopKSql,
     "ann_pq_recall" -> annPqRecallSql,
+    "hard_negatives" -> hardNegativesSql,
     "semantic_incremental" -> semanticIncrementalSql,
     "semantic_dedup" -> semanticDedupSql,
     "embed_cluster_profile" -> embedClusterProfileSql,

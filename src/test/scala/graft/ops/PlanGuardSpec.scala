@@ -39,6 +39,7 @@ class PlanGuardSpec extends SparkSpec {
     "tpch_q22" -> "1-row balance-average cross (broadcast scalar)",
     "ann_lsh_pairs" -> "16-hyperplane literal projection cross",
     "ann_pq_topk" -> "10-query distance-table cross (broadcast literal)",
+    "hard_negatives" -> "10-anchor embedding cross (broadcast literal)",
     "ann_pq_recall" -> "10-query distance-table + ground-truth cross (broadcast literal)",
     "cosine_near_dup" -> "16-hyperplane literal projection cross",
     "decontaminate_semantic" -> "held benchmark embeddings × corpus: broadcast bounded held set",
@@ -80,6 +81,7 @@ class PlanGuardSpec extends SparkSpec {
     "unigram_logprob" -> 1,
     "ann_pq_topk" -> 2,
     "ann_pq_recall" -> 5,
+    "hard_negatives" -> 2,
     "ann_ivf_recall" -> 6,
     "ann_ivf_sampled_recall" -> 6,
     "ann_ivf_topk" -> 3,
