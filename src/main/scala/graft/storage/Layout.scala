@@ -106,6 +106,83 @@ object Layout {
     finally spark.conf.set(key, prev)
   }
 
+  /** Bits per dimension for [[zValue]] — 256 equal-width cells per
+    * column; two interleaved columns span a 16-bit curve. */
+  val ZBits = 8
+
+  /** Morton (Z-order) value of two columns, each first mapped to a
+    * [[ZBits]]-bit cell id by equal-width bucketing over its observed
+    * [lo, hi] range, then bit-interleaved — a pure codegen projection
+    * (shift/mask chains, no UDF, no window).
+    *
+    * Why this exists: min/max-based data skipping (parquet footers,
+    * file pruning) only prunes on the columns the data is SORTED by. A
+    * linear sort gives one column perfect locality and the others none;
+    * interleaving bits makes file ranges tight on BOTH columns at once,
+    * so a two-sided box predicate prunes multiplicatively. This is the
+    * layout decision for the second-most-selective access path at
+    * 100 TB — the first gets the partition directories. Equal-width
+    * cells keep the mapping a literal-only expression; heavily skewed
+    * columns want quantile boundaries instead (the same interleave
+    * applies downstream). */
+  def zValue(a: org.apache.spark.sql.Column, aLo: Long, aHi: Long,
+             b: org.apache.spark.sql.Column, bLo: Long, bHi: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val cells = (1L << ZBits) - 1
+    def cell(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+      val span = math.max(1L, hi - lo + 1)
+      least(lit(cells), greatest(lit(0L),
+        ((c.cast("long") - lit(lo)) * lit(cells + 1) / lit(span)).cast("long")))
+    }
+    val ca = cell(a, aLo, aHi)
+    val cb = cell(b, bLo, bHi)
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(ca, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(cb, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` Z-ordered on two integer-like columns into `files`
+    * parquet files: one bounded stats pass pins each column's [lo, hi],
+    * the Morton value is appended as a narrow projection, and a range
+    * repartition + within-partition sort on it clusters rows so every
+    * output file covers a tight rectangle of the (a, b) space. The
+    * curve column itself is dropped before writing — the layout IS the
+    * artifact. Returns ((aLo, aHi), (bLo, bHi)) for the caller's probe. */
+  def writeZOrdered(df: DataFrame, path: String, aCol: String, bCol: String,
+      files: Int): ((Long, Long), (Long, Long)) = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
+      min(col(bCol)).cast("long"), max(col(bCol)).cast("long")).head
+    val (aLo, aHi, bLo, bHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    df.withColumn("__zv", zValue(col(aCol), aLo, aHi, col(bCol), bLo, bHi))
+      .repartitionByRange(files, col("__zv"))
+      .sortWithinPartitions("__zv")
+      .drop("__zv")
+      .write.mode("overwrite").parquet(path)
+    ((aLo, aHi), (bLo, bHi))
+  }
+
+  /** Data-skipping probe: how many files of `path` MUST a reader touch
+    * for a box predicate, judging by per-file min/max ranges — the same
+    * decision a parquet footer-pruning scan makes. One aggregation over
+    * `input_file_name()`; returns (touched, total). */
+  def filesTouched(spark: SparkSession, path: String,
+      box: Seq[(String, Long, Long)]): (Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val aggs = box.flatMap { case (c, _, _) =>
+      Seq(min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")) }
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val touched = stats.count { row =>
+      box.forall { case (c, lo, hi) =>
+        row.getAs[Long](s"lo_$c") <= hi && row.getAs[Long](s"hi_$c") >= lo }
+    }
+    (touched, stats.length)
+  }
+
   /** Compact a parquet directory to approximately `targetBytes` files —
     * the small-file repair pass every long-lived ingest needs (streaming
     * sinks and fine-grained partition writes accumulate KB-sized files;

@@ -1,0 +1,74 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: the Morton interleave must make file ranges tight on
+  * BOTH clustered columns, so a box predicate prunes files that a
+  * single-column linear sort cannot — measured with the same per-file
+  * min/max decision a parquet footer-pruning scan makes. */
+class ZOrderSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private val Files = 16
+
+  test("zValue: interleave is monotone per dimension and within bounds") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 256L).flatMap(a => Seq((a, 0L), (a, 255L)))
+      .toDF("a", "b")
+      .withColumn("zv", Layout.zValue(col("a"), 0, 255, col("b"), 0, 255))
+    val rows = df.as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (_, _, zv) => zv >= 0 && zv < (1L << 16) })
+    // fixing b, zv grows with a's cell (Morton is monotone per axis)
+    val fixedB = rows.filter(_._2 == 0L).sortBy(_._1).map(_._3)
+    assert(fixedB.sliding(2).forall(p => p.head <= p.last))
+  }
+
+  test("z-order prunes a two-sided box better than a linear sort; content survives") {
+    val s = spark
+    val li = graft.Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val total = li.count()
+
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val zPath = s"$base/z"
+    val linPath = s"$base/lin"
+    Layout.writeZOrdered(li, zPath, "l_orderkey", "l_partkey", Files)
+    // the incumbent layout: linear sort on the leading column
+    li.repartitionByRange(Files, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(linPath)
+
+    // nothing lost or duplicated by the rewrite
+    assert(s.read.parquet(zPath).count() == total)
+
+    // a ~1/8 × ~1/8 box on both dimensions
+    val (okLo, okHi) = rangeSlice(li, "l_orderkey", 8)
+    val (pkLo, pkHi) = rangeSlice(li, "l_partkey", 8)
+    val box = Seq(("l_orderkey", okLo, okHi), ("l_partkey", pkLo, pkHi))
+
+    val (zTouch, zTotal) = Layout.filesTouched(s, zPath, box)
+    val (lTouch, lTotal) = Layout.filesTouched(s, linPath, box)
+    assert(zTotal == Files && lTotal == Files)
+    // linear layout: the box's l_partkey side prunes nothing, so it
+    // touches every file holding the l_orderkey slice (~2 of 16) — and
+    // a partkey-only predicate touches ALL of them. Z-order must beat
+    // the linear layout on the partkey-only predicate and stay within
+    // the box budget on the two-sided one.
+    val (zPk, _) = Layout.filesTouched(s, zPath, box.tail)
+    val (lPk, _) = Layout.filesTouched(s, linPath, box.tail)
+    assert(lPk == Files, s"linear sort cannot prune the non-sorted column ($lPk)")
+    assert(zPk < Files / 2, s"z-order must prune the second dimension ($zPk/$Files)")
+    assert(zTouch <= lTouch, s"two-sided box: z=$zTouch linear=$lTouch")
+  }
+
+  /** [lo, hi] covering roughly 1/`frac` of the column's value range. */
+  private def rangeSlice(df: org.apache.spark.sql.DataFrame,
+      c: String, frac: Int): (Long, Long) = {
+    val r = df.agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val w = math.max(1L, (hi - lo + 1) / frac)
+    val start = lo + (hi - lo + 1) / 3
+    (start, start + w - 1)
+  }
+}
