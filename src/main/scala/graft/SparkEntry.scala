@@ -63,6 +63,7 @@ object SparkEntry {
     "events_window_funcs" -> (EventAnalytics.windowFuncs _),
     "events_cube"       -> (EventAnalytics.eventsCube _),
     "user_overlap"      -> (EventAnalytics.userOverlap _),
+    "pattern_match"     -> (EventAnalytics.patternMatch _),
     "inactive_customers" -> (Tpch.inactiveCustomers _),
     "top_parts_per_brand" -> (Tpch.topPartsPerBrand _),
     "tpch_q3"           -> (EnrichJoin.tpchQ3 _),
@@ -378,6 +379,7 @@ object SparkEntry {
       "events_window_funcs" -> EventAnalytics.windowFuncsSql,
       "events_cube" -> EventAnalytics.eventsCubeSql,
       "user_overlap" -> EventAnalytics.userOverlapSql,
+      "pattern_match" -> EventAnalytics.patternMatchSql,
       "inactive_customers" -> Tpch.inactiveCustomersSql,
       "top_parts_per_brand" -> Tpch.topPartsPerBrandSql,
       "tpch_q3" -> EnrichJoin.tpchQ3Sql,

@@ -376,4 +376,61 @@ object EventAnalytics {
        |FROM events
        |GROUP BY CUBE (event_type, day)
        |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
+  /** Match horizon for [[patternMatch]]. */
+  private val PatternWithinUs = 3600L * 1000000L
+
+  /** pattern_match: the CEP three-clause pattern — for every `view`,
+    * the first `purchase` by the same user within one hour, PROVIDED no
+    * `error` intervenes (Flink CEP's
+    * `begin(view).notFollowedBy(error).followedBy(purchase).within(1h)`,
+    * the library surface Spark has no native twin for).
+    *
+    * Spark-first form: not an NFA and not a self-join — ONE keyed
+    * window pass. Under the per-user (ts, event_id) total order, two
+    * conditional running minima over the strictly-following frame give
+    * each anchor its next-purchase and next-error timestamps; the match
+    * predicate is then a narrow filter (purchase within horizon, error
+    * absent or later). A self-join form would re-shuffle the events per
+    * clause and explode on hot users; this shape pays exactly one
+    * exchange (the user keying) regardless of pattern length, and
+    * every added clause is one more conditional window column. */
+  def patternMatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val following = Window.partitionBy("user_id")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochUs(col("ts")).as("ts_us"))
+      .withColumn("np",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(following))
+      .withColumn("ne",
+        min(when(col("event_type") === "error", col("ts_us"))).over(following))
+      .filter(col("event_type") === "view" && col("np").isNotNull &&
+        col("np") - col("ts_us") <= PatternWithinUs &&
+        (col("ne").isNull || col("ne") > col("np")))
+      .select(col("user_id"), col("event_id").as("view_event_id"),
+        col("ts_us").as("view_ts_us"), col("np").as("purchase_ts_us"),
+        (col("np") - col("ts_us")).as("wait_us"))
+      .orderBy("view_event_id")
+  }
+
+  def patternMatchSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+       |wn AS (SELECT *,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER
+       |      (PARTITION BY user_id ORDER BY ts_us, event_id
+       |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np,
+       |    min(CASE WHEN event_type = 'error' THEN ts_us END) OVER
+       |      (PARTITION BY user_id ORDER BY ts_us, event_id
+       |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ne
+       |  FROM e)
+       |SELECT user_id, event_id AS view_event_id, ts_us AS view_ts_us,
+       |  np AS purchase_ts_us, np - ts_us AS wait_us
+       |FROM wn WHERE event_type = 'view' AND np IS NOT NULL
+       |  AND np - ts_us <= $PatternWithinUs
+       |  AND (ne IS NULL OR ne > np)
+       |ORDER BY view_event_id""".stripMargin
 }

@@ -82,6 +82,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_pq_topk" -> 2,
     "ann_pq_recall" -> 5,
     "hard_negatives" -> 2,
+    "pattern_match" -> 2,
     "ann_ivf_recall" -> 6,
     "ann_ivf_sampled_recall" -> 6,
     "ann_ivf_topk" -> 3,
