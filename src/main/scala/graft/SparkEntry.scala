@@ -54,6 +54,7 @@ object SparkEntry {
     "funnel"            -> (EnrichJoin.funnel _),
     "asof_attribution"  -> (EnrichJoin.asofAttribution _),
     "interval_join"     -> (EnrichJoin.intervalJoin _),
+    "multitouch_attribution" -> (EnrichJoin.multitouchAttribution _),
     "cohort_retention"  -> (EventAnalytics.cohortRetention _),
     "debounce"          -> (EventAnalytics.debounce _),
     "events_rollup"     -> (EventAnalytics.eventsRollup _),
@@ -65,6 +66,7 @@ object SparkEntry {
     "user_overlap"      -> (EventAnalytics.userOverlap _),
     "pattern_match"     -> (EventAnalytics.patternMatch _),
     "inactive_customers" -> (Tpch.inactiveCustomers _),
+    "rfm_segments"      -> (Tpch.rfmSegments _),
     "top_parts_per_brand" -> (Tpch.topPartsPerBrand _),
     "tpch_q3"           -> (EnrichJoin.tpchQ3 _),
     "tpch_q5"           -> (EnrichJoin.tpchQ5 _),
@@ -370,6 +372,7 @@ object SparkEntry {
       "funnel" -> EnrichJoin.funnelSql,
       "asof_attribution" -> EnrichJoin.asofAttributionSql,
       "interval_join" -> EnrichJoin.intervalJoinSql,
+      "multitouch_attribution" -> EnrichJoin.multitouchAttributionSql,
       "cohort_retention" -> EventAnalytics.cohortRetentionSql,
       "debounce" -> EventAnalytics.debounceSql,
       "events_rollup" -> EventAnalytics.eventsRollupSql,
@@ -381,6 +384,7 @@ object SparkEntry {
       "user_overlap" -> EventAnalytics.userOverlapSql,
       "pattern_match" -> EventAnalytics.patternMatchSql,
       "inactive_customers" -> Tpch.inactiveCustomersSql,
+      "rfm_segments" -> Tpch.rfmSegmentsSql,
       "top_parts_per_brand" -> Tpch.topPartsPerBrandSql,
       "tpch_q3" -> EnrichJoin.tpchQ3Sql,
       "tpch_q5" -> EnrichJoin.tpchQ5Sql,

@@ -218,6 +218,60 @@ object EnrichJoin {
        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
        |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** multitouch_attribution: LINEAR (equal-credit) attribution — each
+    * purchase looks back one [[IntervalUs]] horizon and splits its value
+    * equally across every view/click touch inside it, the multi-touch
+    * complement of [[asofAttribution]]'s last-touch rule. Built from
+    * audited shapes end to end: the (touch, purchase) candidate pairs
+    * come from the SAME interval-length bucketing as [[intervalJoin]]
+    * (pure equi-join, 2-probe explode, range residual — never a
+    * per-user cartesian), and the per-purchase touch count is one
+    * purchase-keyed window so the credit division is a narrow
+    * projection. Credit = dec2(value)/n — identical operand shapes on
+    * both engines, so the doubles match bit-for-bit. */
+  def multitouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochUs(col("ts")).as("ts_us"), col("value"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts_us").as("touch_ts_us"),
+        expr(s"ts_us div ${IntervalUs}L").as("b"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_ts_us"), dec2(col("value")).as("pv"),
+        explode(expr(s"array(ts_us div ${IntervalUs}L, ts_us div ${IntervalUs}L - 1)")).as("b"))
+    touches.join(purchases, Seq("user_id", "b"))
+      .filter(col("touch_ts_us") < col("purchase_ts_us") &&
+        col("touch_ts_us") >= col("purchase_ts_us") - IntervalUs)
+      .withColumn("n_touches", count(lit(1)).over(
+        Window.partitionBy("purchase_id")).cast("long"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts_us"),
+        col("touch_id"), col("touch_type"), col("touch_ts_us"),
+        col("n_touches"),
+        (col("pv").cast("double") / col("n_touches")).as("credit"))
+      .orderBy("purchase_id", "touch_id")
+  }
+
+  def multitouchAttributionSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+       |prs AS (SELECT t.user_id, p.event_id AS purchase_id,
+       |    p.ts_us AS purchase_ts_us, t.event_id AS touch_id,
+       |    t.event_type AS touch_type, t.ts_us AS touch_ts_us,
+       |    CAST(p.value AS DECIMAL(18,2)) AS pv
+       |  FROM e t JOIN e p
+       |    ON t.user_id = p.user_id
+       |   AND t.ts_us < p.ts_us AND t.ts_us >= p.ts_us - $IntervalUs
+       |  WHERE t.event_type IN ('view', 'click') AND p.event_type = 'purchase'),
+       |n AS (SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touches
+       |  FROM prs)
+       |SELECT user_id, purchase_id, purchase_ts_us, touch_id, touch_type,
+       |  touch_ts_us, CAST(n_touches AS BIGINT) AS n_touches,
+       |  CAST(pv AS DOUBLE) / n_touches AS credit
+       |FROM n ORDER BY purchase_id, touch_id""".stripMargin
+
   def asofAttributionSql: String =
     """WITH e AS (SELECT event_id, user_id, event_type,
       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value

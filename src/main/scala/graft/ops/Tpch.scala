@@ -835,4 +835,86 @@ object Tpch {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
       |    AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val DayUs = 86400000000L
+
+  /** rfm_segments: the marketing-analytics RFM matrix — per customer,
+    * recency (days since last order, vs the corpus's newest order),
+    * frequency (order count), monetary (decimal-exact spend), each cut
+    * into quartile bands, plus a rule-based segment label.
+    *
+    * Scale shape: the classic formulation (`ntile(4) OVER (ORDER BY
+    * metric)`) funnels every customer through ONE window partition —
+    * the 100 TB killer. Here each band rides
+    * [[Prims.globalRowNumber]]: a range exchange + within-partition
+    * sort per metric, then the quartile is integer arithmetic on the
+    * global rank — identical output to the ntile form (modulo its
+    * remainder convention, which is why both sides compute the band
+    * FROM the rank), no single-task sort anywhere. Ranks tie-break on
+    * custkey so both engines pick identical band edges; monetary ranks
+    * on the decimal-exact double both engines already agree on. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("frequency"),
+        // o_orderdate ships as TIMESTAMP_NTZ; cast under the UTC session
+        // matches the oracle's epoch_us(CAST(... AS TIMESTAMP))
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
+        sumDec2(col("o_totalprice")).as("monetary"))
+    val totals = base.agg(max("last_us").as("ref_us"),
+      count(lit(1)).as("n"))
+    val withRec = base.crossJoin(broadcast(totals))
+      .withColumn("recency_days", expr("(ref_us - last_us) div 86400000000"))
+    val ranked = Seq(
+      ("rn_r", Seq(col("recency_days"), col("o_custkey"))),
+      ("rn_f", Seq(col("frequency"), col("o_custkey"))),
+      ("rn_m", Seq(col("monetary"), col("o_custkey")))
+    ).foldLeft(withRec) { case (df, (rn, cols)) =>
+      Prims.globalRowNumber(df, rn, cols: _*)
+    }
+    val banded = ranked
+      // band 1..4; recency inverts (freshest = band 4)
+      .withColumn("r_band", lit(4) - expr("((rn_r - 1) * 4) div n"))
+      .withColumn("f_band", expr("((rn_f - 1) * 4) div n") + lit(1))
+      .withColumn("m_band", expr("((rn_m - 1) * 4) div n") + lit(1))
+    banded
+      .withColumn("segment",
+        when(col("r_band") === 4 && col("f_band") === 4 && col("m_band") === 4, "champion")
+          .when(col("r_band") >= 3 && col("f_band") >= 3, "loyal")
+          .when(col("r_band") <= 1 && col("f_band") >= 3, "at_risk")
+          .when(col("r_band") <= 1 && col("f_band") <= 1, "lost")
+          .otherwise("regular"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_band").cast("long").as("r_band"),
+        col("f_band").cast("long").as("f_band"),
+        col("m_band").cast("long").as("m_band"), col("segment"))
+      .orderBy("o_custkey")
+  }
+
+  def rfmSegmentsSql: String =
+    s"""WITH b AS (SELECT o_custkey, count(*) AS frequency,
+       |    max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_us,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT max(last_us) AS ref_us, count(*) AS n FROM b),
+       |r AS (SELECT b.*, (ref_us - last_us) // $DayUs AS recency_days, n FROM b, t),
+       |rk AS (SELECT *,
+       |    row_number() OVER (ORDER BY recency_days, o_custkey) AS rn_r,
+       |    row_number() OVER (ORDER BY frequency, o_custkey) AS rn_f,
+       |    row_number() OVER (ORDER BY monetary, o_custkey) AS rn_m
+       |  FROM r),
+       |bd AS (SELECT *,
+       |    4 - ((rn_r - 1) * 4) // n AS r_band,
+       |    ((rn_f - 1) * 4) // n + 1 AS f_band,
+       |    ((rn_m - 1) * 4) // n + 1 AS m_band
+       |  FROM rk)
+       |SELECT o_custkey, recency_days, frequency, monetary,
+       |  CAST(r_band AS BIGINT) AS r_band, CAST(f_band AS BIGINT) AS f_band,
+       |  CAST(m_band AS BIGINT) AS m_band,
+       |  CASE WHEN r_band = 4 AND f_band = 4 AND m_band = 4 THEN 'champion'
+       |       WHEN r_band >= 3 AND f_band >= 3 THEN 'loyal'
+       |       WHEN r_band <= 1 AND f_band >= 3 THEN 'at_risk'
+       |       WHEN r_band <= 1 AND f_band <= 1 THEN 'lost'
+       |       ELSE 'regular' END AS segment
+       |FROM bd ORDER BY o_custkey""".stripMargin
 }

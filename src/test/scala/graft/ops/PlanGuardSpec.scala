@@ -83,6 +83,8 @@ class PlanGuardSpec extends SparkSpec {
     "ann_pq_recall" -> 5,
     "hard_negatives" -> 2,
     "pattern_match" -> 2,
+    "rfm_segments" -> 1, // three rank passes materialize at construction (globalRowNumber); the plan keeps the final sort only
+    "multitouch_attribution" -> 2,
     "ann_ivf_recall" -> 6,
     "ann_ivf_sampled_recall" -> 6,
     "ann_ivf_topk" -> 3,
