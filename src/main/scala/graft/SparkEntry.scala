@@ -120,6 +120,7 @@ object SparkEntry {
     "winnow_pairs"      -> (TextAnalysis.winnowPairs _),
     "vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "unigram_logprob"   -> (TextAnalysis.unigramLogprob _),
+    "nb_classifier"     -> (TextAnalysis.nbClassifier _),
     "repetition_score"  -> (TextAnalysis.repetitionScore _),
     "tfidf_top_terms"   -> (TextAnalysis.tfidfTopTerms _),
     "ngram_counts"      -> (TextAnalysis.ngramCounts _),

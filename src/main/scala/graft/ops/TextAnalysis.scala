@@ -699,7 +699,108 @@ object TextAnalysis {
        |  CAST(-sum(mn) AS DOUBLE) / count(*) AS mean_mnats
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** nb_classifier: a trained multinomial Naive Bayes language
+    * classifier with a held-out confusion matrix — the fastText-style
+    * supervised classifier a curation pipeline trains on its own
+    * labels (domain/quality/language routing), end to end: hash-stable
+    * 80/20 split, Laplace-smoothed per-class word likelihoods over the
+    * top-[[VocabN]] training vocabulary (OOV floor per class), argmax
+    * scoring of the held-out fold, confusion counts.
+    *
+    * Same engineering as [[unigramLogprob]] taken per-class: training
+    * collapses to C×(VocabN+2) integers (map-side-combinable counts +
+    * distributed top-K; constant-size driver artifact), scoring is ONE
+    * narrow projection — C `aggregate` folds over the token array
+    * against map literals, argmax via `array_min` over (-score, class)
+    * structs so ties break on the lexicographically first class — and
+    * every score is exact integer micro-nats, so the confusion matrix
+    * is bit-stable across engines. The fixture's synthetic text gives
+    * the classifier little real signal; the OPERATOR contract (split /
+    * train / score / confuse, deterministically) is what's pinned. */
+  def nbClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), expr(wordsExpr).as("ws"))
+      .withColumn("fold",
+        pmod(hash60(concat(lit("nbsplit_"), col("doc_id"))), lit(5)))
+    val train = docs.filter(col("fold") =!= 0)
+    val trainToks = train.select(col("lang"), explode(col("ws")).as("w"))
+
+    // vocabulary: top-VocabN training words (count desc, word)
+    val vocab = trainToks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(VocabN)
+      .select("w").collect().map(_.getString(0))
+    // class priors + token totals + per-(class, vocab-word) counts
+    val classes = train.groupBy("lang").agg(count(lit(1)).as("nc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTrain = classes.values.sum
+    val tokTotals = trainToks.groupBy("lang").agg(count(lit(1)).as("tc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabSet = vocab.toSet
+    val cwCounts = trainToks.filter(col("w").isInCollection(vocabSet))
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    def mnats(x: Double): Long = math.round(math.log(x) * 1e6)
+    val langs = classes.keys.toSeq.sorted
+    val cands = langs.map { c =>
+      val tc = tokTotals.getOrElse(c, 0L)
+      val denom = (tc + VocabN + 1).toDouble
+      val lpMap = vocab.map(w =>
+        w -> mnats((cwCounts.getOrElse((c, w), 0L) + 1).toDouble / denom)).toMap
+      val floorM = mnats(1.0 / denom)
+      val priorM = mnats(classes(c).toDouble / nTrain)
+      val score = aggregate(col("ws"), lit(priorM),
+        (acc, w) => acc + coalesce(element_at(typedLit(lpMap), w), lit(floorM)))
+      struct((-score).as("neg"), lit(c).as("cls"))
+    }
+    docs.filter(col("fold") === 0)
+      .filter(size(col("ws")) >= 1) // mirror the oracle's unnest (empty docs score nowhere)
+      .select(col("lang").as("true_lang"),
+        array_min(array(cands: _*)).getField("cls").as("pred_lang"))
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  def nbClassifierSql: String = {
+    val splitH = Prims.hash60Sql("'nbsplit_' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, lang, $wordsSql AS ws,
+       |    $splitH % 5 AS fold FROM documents),
+       |tr AS (SELECT * FROM d WHERE fold <> 0),
+       |te AS (SELECT * FROM d WHERE fold = 0),
+       |ttok AS (SELECT lang, unnest(ws) AS w FROM tr),
+       |v AS (SELECT w FROM (SELECT w, count(*) AS c FROM ttok GROUP BY w
+       |  ORDER BY c DESC, w LIMIT $VocabN)),
+       |cls AS (SELECT lang, count(*) AS nc FROM tr GROUP BY lang),
+       |ntr AS (SELECT count(*) AS n FROM tr),
+       |tokc AS (SELECT lang, count(*) AS tc FROM ttok GROUP BY lang),
+       |cw AS (SELECT t.lang, t.w, count(*) AS cnt FROM ttok t
+       |  JOIN v USING (w) GROUP BY 1, 2),
+       |lp AS (SELECT c.lang, v.w,
+       |    CAST(round(ln((coalesce(cw.cnt, 0) + 1.0) / (tokc.tc + ${VocabN + 1})) * 1e6) AS BIGINT) AS mn
+       |  FROM cls c CROSS JOIN v
+       |  LEFT JOIN cw ON cw.lang = c.lang AND cw.w = v.w
+       |  JOIN tokc ON tokc.lang = c.lang),
+       |fl AS (SELECT lang, CAST(round(ln(1.0 / (tc + ${VocabN + 1})) * 1e6) AS BIGINT) AS fm
+       |  FROM tokc),
+       |pr AS (SELECT cls.lang, CAST(round(ln(CAST(nc AS DOUBLE) / n) * 1e6) AS BIGINT) AS pm
+       |  FROM cls, ntr),
+       |tetok AS (SELECT doc_id, lang AS true_lang, unnest(ws) AS w FROM te),
+       |sc AS (SELECT t.doc_id, t.true_lang, c.lang AS cand,
+       |    CAST(pr.pm + sum(coalesce(lp.mn, fl.fm)) AS BIGINT) AS score
+       |  FROM tetok t CROSS JOIN cls c
+       |  LEFT JOIN lp ON lp.lang = c.lang AND lp.w = t.w
+       |  JOIN fl ON fl.lang = c.lang
+       |  JOIN pr ON pr.lang = c.lang
+       |  GROUP BY t.doc_id, t.true_lang, c.lang, pr.pm),
+       |best AS (SELECT doc_id, true_lang, cand AS pred_lang,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+       |  FROM sc)
+       |SELECT true_lang, pred_lang, count(*) AS n FROM best WHERE rn = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "nb_classifier" -> nbClassifierSql,
     "unigram_logprob" -> unigramLogprobSql,
     "vocab_coverage" -> vocabCoverageSql,
     "winnow_fingerprint" -> winnowFingerprintSql,

@@ -85,6 +85,7 @@ class PlanGuardSpec extends SparkSpec {
     "pattern_match" -> 2,
     "rfm_segments" -> 1, // three rank passes materialize at construction (globalRowNumber); the plan keeps the final sort only
     "multitouch_attribution" -> 2,
+    "nb_classifier" -> 2,
     "ann_ivf_recall" -> 6,
     "ann_ivf_sampled_recall" -> 6,
     "ann_ivf_topk" -> 3,
