@@ -121,6 +121,7 @@ object SparkEntry {
     "vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "unigram_logprob"   -> (TextAnalysis.unigramLogprob _),
     "nb_classifier"     -> (TextAnalysis.nbClassifier _),
+    "source_divergence" -> (TextAnalysis.sourceDivergence _),
     "repetition_score"  -> (TextAnalysis.repetitionScore _),
     "tfidf_top_terms"   -> (TextAnalysis.tfidfTopTerms _),
     "ngram_counts"      -> (TextAnalysis.ngramCounts _),

@@ -799,7 +799,80 @@ object TextAnalysis {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** source_divergence: per-source KL divergence D(p_source ‖ p_corpus)
+    * over the top-[[VocabN]]+OOV word distribution — the domain-drift
+    * monitor a pipeline runs per ingest source (a source whose token
+    * distribution walks away from the corpus is the first sign of a
+    * scraper change, spam influx, or template leak). Laplace-smoothed
+    * (+1 over VocabN+1 buckets) so every bucket has mass on both sides.
+    *
+    * Determinism: per-bucket log-probs quantize to integer micro-nats
+    * IN-ENGINE — both engines apply round(ln(x)·1e6) to bit-identical
+    * doubles ((cnt+1)/(tok+V+1), exact integer ratios) — and the KL
+    * numerator Σ (cnt+1)·(mn_src − mn_corpus) is pure int64, so the
+    * one final double division matches bit-for-bit. Everything is
+    * bounded aggregation: counts collapse to sources×(V+1) cells before
+    * any join; no corpus-sized shuffle beyond the word count. */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(expr(wordsExpr)).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(VocabN)
+      .select(col("w")).withColumn("in_v", lit(1))
+    val bucketed = toks.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("source"),
+        when(col("in_v").isNotNull, col("w")).otherwise(lit("OOV")).as("b"))
+    // ONE corpus-scale aggregation; every other distribution derives
+    // from this (sources × V+1)-cell frame, materialized so the corpus
+    // is scanned once, not once per marginal
+    val srcCnt = bucketed.groupBy("source", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val srcTok = srcCnt.groupBy("source").agg(sum("cnt").as("tok"))
+    val corpCnt = srcCnt.groupBy("b").agg(sum("cnt").as("ccnt"))
+    val corpTot = corpCnt.agg(sum("ccnt").as("ctot"))
+    val buckets = vocab.select(col("w").as("b"))
+      .unionByName(s.range(1).select(lit("OOV").as("b")))
+    def mn(num: org.apache.spark.sql.Column,
+           den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(log(num.cast("double") / den.cast("double")) * lit(1e6)).cast("long")
+    // full source × bucket grid (zero cells carry Laplace mass)
+    val grid = srcTok.crossJoin(broadcast(buckets))
+      .join(srcCnt, Seq("source", "b"), "left").na.fill(Map("cnt" -> 0L))
+      .join(broadcast(corpCnt.crossJoin(corpTot)), Seq("b"))
+      .select(col("source"), col("tok"), (col("cnt") + 1).as("m"),
+        mn(col("cnt") + 1, col("tok") + VocabN + 1).as("mns"),
+        mn(col("ccnt") + 1, col("ctot") + VocabN + 1).as("mnc"))
+    grid.groupBy("source", "tok")
+      .agg(sum(col("m") * (col("mns") - col("mnc"))).as("num"))
+      .select(col("source"), col("tok").as("n_tokens"),
+        (col("num").cast("double") / (col("tok") + VocabN + 1)).as("kl_mnats"))
+      .orderBy("source")
+  }
+
+  def sourceDivergenceSql: String =
+    s"""WITH toks AS (SELECT source, unnest($wordsSql) AS w FROM documents),
+       |v AS (SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY w
+       |  ORDER BY c DESC, w LIMIT $VocabN)),
+       |bk AS (SELECT source,
+       |    CASE WHEN v.w IS NOT NULL THEN toks.w ELSE 'OOV' END AS b
+       |  FROM toks LEFT JOIN v ON toks.w = v.w),
+       |sc AS (SELECT source, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+       |st AS (SELECT source, count(*) AS tok FROM bk GROUP BY 1),
+       |cc AS (SELECT b, count(*) AS ccnt FROM bk GROUP BY 1),
+       |ct AS (SELECT count(*) AS ctot FROM bk),
+       |bs AS (SELECT w AS b FROM v UNION ALL SELECT 'OOV'),
+       |grid AS (SELECT st.source, st.tok, coalesce(sc.cnt, 0) + 1 AS m,
+       |    CAST(round(ln(CAST(coalesce(sc.cnt, 0) + 1 AS DOUBLE) / (st.tok + ${VocabN + 1})) * 1e6) AS BIGINT) AS mns,
+       |    CAST(round(ln(CAST(cc.ccnt + 1 AS DOUBLE) / (ct.ctot + ${VocabN + 1})) * 1e6) AS BIGINT) AS mnc
+       |  FROM st CROSS JOIN bs
+       |  LEFT JOIN sc ON sc.source = st.source AND sc.b = bs.b
+       |  JOIN cc ON cc.b = bs.b, ct)
+       |SELECT source, tok AS n_tokens,
+       |  CAST(CAST(sum(m * (mns - mnc)) AS BIGINT) AS DOUBLE) / (tok + ${VocabN + 1}) AS kl_mnats
+       |FROM grid GROUP BY source, tok ORDER BY source""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "source_divergence" -> sourceDivergenceSql,
     "nb_classifier" -> nbClassifierSql,
     "unigram_logprob" -> unigramLogprobSql,
     "vocab_coverage" -> vocabCoverageSql,

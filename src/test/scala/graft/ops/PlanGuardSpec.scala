@@ -40,6 +40,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_lsh_pairs" -> "16-hyperplane literal projection cross",
     "ann_pq_topk" -> "10-query distance-table cross (broadcast literal)",
     "hard_negatives" -> "10-anchor embedding cross (broadcast literal)",
+    "source_divergence" -> "V+1-bucket grid cross + 1-row corpus-total cross (broadcast bounded)",
     "ann_pq_recall" -> "10-query distance-table + ground-truth cross (broadcast literal)",
     "cosine_near_dup" -> "16-hyperplane literal projection cross",
     "decontaminate_semantic" -> "held benchmark embeddings × corpus: broadcast bounded held set",
@@ -86,6 +87,7 @@ class PlanGuardSpec extends SparkSpec {
     "rfm_segments" -> 1, // three rank passes materialize at construction (globalRowNumber); the plan keeps the final sort only
     "multitouch_attribution" -> 2,
     "nb_classifier" -> 2,
+    "source_divergence" -> 6, // one corpus agg; the rest are (sources × V+1)-cell marginals
     "ann_ivf_recall" -> 6,
     "ann_ivf_sampled_recall" -> 6,
     "ann_ivf_topk" -> 3,
