@@ -98,6 +98,7 @@ object SparkEntry {
     "simhash_dedup"     -> (Dedup.simhashDedup _),
     "simhash_hamming_pairs" -> (Dedup.simhashHammingPairs _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
+    "pagerank_docs"     -> (Dedup.pagerankDocs _),
     "containment_pairs" -> (Dedup.containmentPairs _),
     "ann_topk"          -> (Similarity.annTopK _),
     "ann_lsh_pairs"     -> (Similarity.annLshPairs _),

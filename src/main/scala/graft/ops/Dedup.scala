@@ -1166,7 +1166,90 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** PageRank iterations (unrolled identically in the SQL oracle). */
+  private val PrIters = 3
+  /** Micro-unit scale: each vertex starts with 1e6 integer mass. */
+  private val PrUnit = 1000000L
+  /** Damping 0.85 in micro-units. */
+  private val PrDamp = 850000L
+  /** Teleport 0.15·unit. */
+  private val PrTeleport = 150000L
+
+  /** pagerank_docs: PageRank centrality over the near-dup pair graph —
+    * the principled canonical-selection signal (the survivor family
+    * keeps cluster-min doc_ids; centrality keeps the doc MOST similar
+    * to the rest of its duplicate neighborhood, the usual preference
+    * when near-dup groups are paraphrase clouds rather than exact
+    * copies). Also the house demonstration of the ITERATIVE graph
+    * pattern beyond connected components.
+    *
+    * EXACT INTEGER PageRank so the oracle hash-matches: mass lives in
+    * micro-units, each vertex emits `p div deg` per out-edge, each edge
+    * delivers `(out·850000) div 1e6`, and a vertex's next mass is
+    * 150000 + the integer sum — no double ever appears, so association
+    * order cannot move a bit. [[PrIters]] synchronous iterations; the
+    * SQL oracle unrolls the same three.
+    *
+    * Scale: edges live at [[pairGraphPartitions]] parallelism; each
+    * iteration is one join + one map-side-combinable aggregation
+    * (vertex-keyed), the Pregel shuffle shape. Per-vertex intermediate
+    * sums are bounded by total graph mass (V·1e6), far inside int64
+    * for any graph whose vertex set fits a cluster. */
+  def pagerankDocs(s: SparkSession, dir: String): DataFrame = {
+    val jp = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+    val edges = jp.unionByName(
+        jp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v")
+      .repartition(col("u"))
+      .localCheckpoint(true) // iterated over PrIters times; cut the pair-join lineage
+    val degByV = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      .toDF("v", "deg") // fresh attribute ids: joined against its own derivations below
+    var p = degByV.select(col("v"), lit(PrUnit).as("p"))
+    for (_ <- 1 to PrIters) {
+      val out = p.join(degByV, Seq("v"))
+        .select(col("v").as("u"), expr("p div deg").as("outv"))
+      p = edges.join(out, "u")
+        .select(col("v"), expr(s"(outv * $PrDamp) div $PrUnit").as("c"))
+        .groupBy("v").agg((lit(PrTeleport) + sum(col("c"))).as("p"))
+        .localCheckpoint(true) // vertex-sized; keeps the loop's lineage flat
+    }
+    p.join(degByV, Seq("v"))
+      .select(col("v").as("doc_id"), col("p").as("pr_micro"), col("deg"))
+      .orderBy("doc_id")
+  }
+
+  def pagerankDocsSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""o$k AS (SELECT p${k - 1}.v AS u, p${k - 1}.p // dg.deg AS outv
+         |  FROM p${k - 1} JOIN dg ON dg.u = p${k - 1}.v),
+         |p$k AS (SELECT e.v,
+         |    CAST($PrTeleport + sum((o$k.outv * $PrDamp) // $PrUnit) AS BIGINT) AS p
+         |  FROM e JOIN o$k ON o$k.u = e.u GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $shinglesSql,
+       |hsh AS (SELECT DISTINCT doc_id, ${hash60Sql("s")} AS hs FROM sh),
+       |rare AS (SELECT hs FROM hsh GROUP BY hs HAVING count(*) <= $MaxShingleDf),
+       |shr AS (SELECT hsh.doc_id, hsh.hs FROM hsh JOIN rare USING (hs)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM shr a JOIN shr b ON a.hs = b.hs AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (SELECT doc_a, doc_b
+       |  FROM inter JOIN sizes na ON doc_a = na.doc_id
+       |  JOIN sizes nb ON doc_b = nb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+       |  UNION ALL SELECT doc_b, doc_a FROM jp),
+       |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+       |p0 AS (SELECT u AS v, CAST($PrUnit AS BIGINT) AS p FROM dg),
+       |$iters
+       |SELECT p$PrIters.v AS doc_id, p$PrIters.p AS pr_micro, dg.deg
+       |FROM p$PrIters JOIN dg ON dg.u = p$PrIters.v
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pagerank_docs" -> pagerankDocsSql,
     "containment_pairs" -> containmentPairsSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_survivors" -> dedupSurvivorsSql,
