@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming throughput bench: drive representative stateful operators
+  * with a MemoryStream and report sustained rows/sec over micro-batches.
+  *
+  * Context for the numbers: the reference's sources emit 1 element/sec
+  * per subtask by design (`func/source/AbstractSourceFunction.java:22-40`
+  * — a teaching workbench, not a load generator), so any real
+  * throughput figure beats it; this bench exists to put an order of
+  * magnitude on the engine's stateful cores rather than to win that
+  * comparison. Batches of [[ChunkRows]] approximate a healthy
+  * micro-batch size; the measured window EXCLUDES stream start-up
+  * (first batch warms codegen + state stores).
+  *
+  * Usage: `sbt "runMain graft.StreamBench [totalRows]"` → one JSON line
+  * `{"metric":"stream_rows_per_sec","ops":{...}}`.
+  */
+object StreamBench {
+  private val ChunkRows = 20000
+
+  def main(args: Array[String]): Unit = {
+    val total = args.headOption.map(_.toInt).getOrElse(200000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def measure[T](name: String, rows: Int)(run: (Int, Int) => Unit): (String, Long) = {
+      // run(chunkStart, chunkEnd) feeds one chunk and drains it
+      run(0, ChunkRows) // warm-up batch: codegen + state store init
+      val t0 = System.nanoTime()
+      var fed = ChunkRows
+      while (fed < rows) {
+        val end = math.min(fed + ChunkRows, rows)
+        run(fed, end)
+        fed = end
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, math.round((rows - ChunkRows) / sec))
+    }
+
+    val results = Seq(
+      {
+        val in = MemoryStream[streaming.TopKState.In]
+        val q = streaming.TopKState(in.toDS())
+          .writeStream.format("noop").outputMode("update").start()
+        val r = measure("topk_spacesaving", total) { (a, b) =>
+          in.addData((a until b).map(i =>
+            streaming.TopKState.In(s"k${i % 64}", s"it${i % 1000}")): _*)
+          q.processAllAvailable()
+        }
+        q.stop(); r
+      },
+      {
+        val in = MemoryStream[streaming.SketchState.In]
+        val q = streaming.SketchState(in.toDS())
+          .writeStream.format("noop").outputMode("update").start()
+        val r = measure("hll_cardinality", total) { (a, b) =>
+          in.addData((a until b).map(i =>
+            streaming.SketchState.In(s"k${i % 64}", i.toLong * 2654435761L)): _*)
+          q.processAllAvailable()
+        }
+        q.stop(); r
+      },
+      {
+        val in = MemoryStream[streaming.AnomalyState.In]
+        val q = streaming.AnomalyState(in.toDS())
+          .writeStream.format("noop").outputMode("append").start()
+        val r = measure("welford_anomaly", total) { (a, b) =>
+          in.addData((a until b).map(i =>
+            streaming.AnomalyState.In(s"k${i % 64}", i.toLong, (i % 97).toDouble)): _*)
+          q.processAllAvailable()
+        }
+        q.stop(); r
+      },
+      {
+        val in = MemoryStream[streaming.PatternState.Ev]
+        val q = streaming.PatternState(in.toDS().withWatermark("ts", "1 hour"))
+          .writeStream.format("noop").outputMode("append").start()
+        val types = Array("view", "click", "purchase", "error", "signup")
+        val r = measure("cep_pattern", total) { (a, b) =>
+          in.addData((a until b).map { i =>
+            streaming.PatternState.Ev(i.toLong, (i % 64).toLong, types(i % 5),
+              java.sql.Timestamp.from(java.time.Instant.EPOCH.plusSeconds(i.toLong)))
+          }: _*)
+          q.processAllAvailable()
+        }
+        q.stop(); r
+      }
+    )
+
+    val js = results.map { case (n, r) => s""""$n":$r""" }.mkString(",")
+    println(s"""{"metric":"stream_rows_per_sec","total_rows":$total,"ops":{$js}}""")
+    spark.stop()
+  }
+}
