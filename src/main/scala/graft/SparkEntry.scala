@@ -99,6 +99,7 @@ object SparkEntry {
     "simhash_hamming_pairs" -> (Dedup.simhashHammingPairs _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "pagerank_docs"     -> (Dedup.pagerankDocs _),
+    "dedup_central_survivors" -> (Dedup.dedupCentralSurvivors _),
     "containment_pairs" -> (Dedup.containmentPairs _),
     "ann_topk"          -> (Similarity.annTopK _),
     "ann_lsh_pairs"     -> (Similarity.annLshPairs _),

@@ -1195,8 +1195,16 @@ object Dedup {
     * (vertex-keyed), the Pregel shuffle shape. Per-vertex intermediate
     * sums are bounded by total graph mass (V·1e6), far inside int64
     * for any graph whose vertex set fits a cluster. */
-  def pagerankDocs(s: SparkSession, dir: String): DataFrame = {
-    val jp = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+  def pagerankDocs(s: SparkSession, dir: String): DataFrame =
+    pagerankFromPairs(
+      ngramJaccardPairs(s, dir).select("doc_a", "doc_b").localCheckpoint(true))
+      .select(col("v").as("doc_id"), col("pr_micro"), col("deg"))
+      .orderBy("doc_id")
+
+  /** The PageRank core over a MATERIALIZED (doc_a, doc_b) pair frame —
+    * returns (v, pr_micro, deg); shared by the standalone report and the
+    * centrality-based survivor selection. */
+  private def pagerankFromPairs(jp: DataFrame): DataFrame = {
     val edges = jp.unionByName(
         jp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v")
@@ -1213,9 +1221,62 @@ object Dedup {
         .groupBy("v").agg((lit(PrTeleport) + sum(col("c"))).as("p"))
         .localCheckpoint(true) // vertex-sized; keeps the loop's lineage flat
     }
-    p.join(degByV, Seq("v"))
-      .select(col("v").as("doc_id"), col("p").as("pr_micro"), col("deg"))
-      .orderBy("doc_id")
+    p.join(degByV, Seq("v")).select(col("v"), col("p").as("pr_micro"), col("deg"))
+  }
+
+  /** dedup_central_survivors: per near-dup cluster, the CANONICAL doc
+    * chosen by centrality — argmax (PageRank, doc_id) within the
+    * cluster — beside its size. The alternative survivor rule to
+    * [[dedupSurvivors]]' min-id: when a duplicate group is a paraphrase
+    * cloud, the most-central member is the best single representative
+    * (it shares the most content with the rest), while min-id is just
+    * stable. Composes the two audited graph cores over ONE materialized
+    * pair frame: the size-gated cluster resolution and the integer
+    * PageRank — no second pair generation. */
+  def dedupCentralSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val labels = labelsFromPairs(s, pairs, SmallGraphMaxEdges)
+    val pr = pagerankFromPairs(pairs)
+    val w = Window.partitionBy("label")
+    labels.join(pr, labels("doc_id") === pr("v"))
+      .select(col("label"), col("doc_id"), col("pr_micro"))
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("pr_micro").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("label").as("cluster_id"), col("doc_id").as("canonical_id"),
+        col("pr_micro"), col("cluster_size"))
+      .orderBy("cluster_id")
+  }
+
+  def dedupCentralSurvivorsSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""o$k AS (SELECT p${k - 1}.v AS u, p${k - 1}.p // dg.deg AS outv
+         |  FROM p${k - 1} JOIN dg ON dg.u = p${k - 1}.v),
+         |p$k AS (SELECT e.v,
+         |    CAST($PrTeleport + sum((o$k.outv * $PrDamp) // $PrUnit) AS BIGINT) AS p
+         |  FROM e JOIN o$k ON o$k.u = e.u GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $shinglesSql,
+       |$clusterLabelsSqlCtes,
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+       |p0 AS (SELECT u AS v, CAST($PrUnit AS BIGINT) AS p FROM dg),
+       |$iters,
+       |cent AS (SELECT labels.label, p$PrIters.v AS doc_id, p$PrIters.p AS pr_micro
+       |  FROM p$PrIters JOIN labels ON labels.doc_id = p$PrIters.v),
+       |sz AS (SELECT label, count(*) AS cluster_size FROM cent GROUP BY label),
+       |win AS (SELECT label, doc_id, pr_micro,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY pr_micro DESC, doc_id) AS rn
+       |  FROM cent)
+       |SELECT win.label AS cluster_id, doc_id AS canonical_id, pr_micro,
+       |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
+       |FROM win JOIN sz ON sz.label = win.label
+       |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
   }
 
   def pagerankDocsSql: String = {
@@ -1250,6 +1311,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "pagerank_docs" -> pagerankDocsSql,
+    "dedup_central_survivors" -> dedupCentralSurvivorsSql,
     "containment_pairs" -> containmentPairsSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_survivors" -> dedupSurvivorsSql,

@@ -43,4 +43,25 @@ class PagerankSpec extends SparkSpec {
       assert(p(a) == p(b), s"2-cycle asymmetry: $a=${p(a)} $b=${p(b)}")
     }
   }
+
+  test("central survivors: one canonical per cluster, the in-cluster pr argmax") {
+    val s = spark
+    import s.implicits._
+    val clusters = Dedup.dedupClusters(s, dir)
+      .select("cluster_id", "members").as[(Long, String)].collect()
+      .map { case (cid, m) => cid -> m.split(",").map(_.toLong).toVector }.toMap
+    val pr = Dedup.pagerankDocs(s, dir)
+      .select("doc_id", "pr_micro").as[(Long, Long)].collect().toMap
+    val got = Dedup.dedupCentralSurvivors(s, dir)
+      .as[(Long, Long, Long, Long)].collect().toVector
+    assert(got.map(_._1).toSet == clusters.keySet, "same cluster ids as dedup_clusters")
+    got.foreach { case (cid, canonical, prMicro, size) =>
+      val members = clusters(cid)
+      assert(size == members.length)
+      assert(members.contains(canonical))
+      val want = members.map(d => (-pr(d), d)).min._2
+      assert(canonical == want, s"cluster $cid: $canonical != argmax $want")
+      assert(prMicro == pr(canonical))
+    }
+  }
 }
