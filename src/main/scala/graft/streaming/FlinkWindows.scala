@@ -138,4 +138,64 @@ object FlinkWindows {
     if (finalFire) fireEligible(Long.MaxValue)
     Result(fired.result(), late.result())
   }
+
+  /** Event-time SLIDING windows of `sizeMs` every `slideMs` with
+    * `allowedLatenessMs` — Flink's `SlidingEventTimeWindows` assignment
+    * (an event at ts joins every window with start in
+    * (ts − size, ts] aligned to the slide; size/slide windows per
+    * event), with the SAME fire / drop / allowed-late-re-fire /
+    * side-output rules as [[tumbling]] applied per assigned window.
+    * `sliding(size, size)` degenerates to `tumbling(size)` exactly —
+    * FlinkWindowsSpec pins that identity. */
+  def sliding[K](events: Seq[Event[K]], sizeMs: Long, slideMs: Long,
+                 allowedLatenessMs: Long = 0L,
+                 finalFire: Boolean = true): Result[K] = {
+    require(sizeMs % slideMs == 0, "size must be a slide multiple")
+    val windows = mutable.LinkedHashMap[(K, Long), (mutable.ArrayBuffer[Int], Boolean)]()
+    var watermark = Long.MinValue
+    val fired = Vector.newBuilder[Fired[K]]
+    val late = Vector.newBuilder[Event[K]]
+
+    def maxTs(start: Long): Long = start + sizeMs - 1
+    def starts(ts: Long): Seq[Long] = {
+      val lastStart = ts - Math.floorMod(ts, slideMs)
+      (0 until (sizeMs / slideMs).toInt).map(i => lastStart - i * slideMs)
+    }
+
+    def fireEligible(wm: Long): Unit = {
+      val eligible = windows.toSeq
+        .filter { case ((_, start), (_, pending)) => maxTs(start) <= wm && pending }
+        .sortBy { case ((_, start), _) => start }
+      eligible.foreach { case ((k, start), (buf, _)) =>
+        fired += Fired(k, start, start + sizeMs, buf.sum, buf.size)
+        windows((k, start)) = (buf, false)
+      }
+      windows.filterInPlace { case ((_, start), _) => maxTs(start) + allowedLatenessMs > wm }
+    }
+
+    events.foreach { e =>
+      val assigned = starts(e.ts)
+      // Flink tests lateness per assigned window: the event reaches the
+      // side output only if EVERY window it belongs to has passed
+      // (an event late for its oldest pane but live in a newer one is
+      // not late — the newest pane always ends after ts)
+      val live = assigned.filter(start => maxTs(start) + allowedLatenessMs > watermark)
+      if (live.isEmpty) late += e
+      else live.sorted.foreach { start => // ascending start: re-fires order like fireEligible
+        val (buf, _) = windows.getOrElseUpdate((e.key, start), (mutable.ArrayBuffer[Int](), true))
+        buf += e.value
+        windows((e.key, start)) = (buf, true)
+        if (maxTs(start) <= watermark) {
+          fired += Fired(e.key, start, start + sizeMs, buf.sum, buf.size)
+          windows((e.key, start)) = (buf, false)
+        }
+      }
+      if (e.watermarkAfter >= 0 && e.watermarkAfter > watermark) {
+        watermark = e.watermarkAfter
+        fireEligible(watermark)
+      }
+    }
+    if (finalFire) fireEligible(Long.MaxValue)
+    Result(fired.result(), late.result())
+  }
 }

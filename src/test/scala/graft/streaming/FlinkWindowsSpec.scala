@@ -127,4 +127,50 @@ class FlinkWindowsSpec extends AnyFunSuite {
       Fired("a", 10000L, 12000L, 4, 1)))
     assert(r.late.map(_.value) == Vector(5))
   }
+
+  /** Sliding 10s every 5s: an event joins size/slide panes; fires follow
+    * pane ends; an event late for its OLDEST pane still lands in its
+    * newer pane (per-window lateness test), so the side output stays
+    * empty until every pane has passed. */
+  test("sliding 10s/5s: multi-pane assignment, per-pane fires, pane-aware lateness") {
+    val events = Seq(
+      Event("a", 1, 2000L, -1L),     // panes [-5000,5000) + [0,10000)
+      Event("a", 2, 7000L, 10000L),  // panes [0,10000) + [5000,15000); wm 10000
+      // fires at wm=10000: [-5000,5000)=1, [0,10000)=3
+      Event("a", 4, 9000L, -1L),     // [0,10000) passed BUT [5000,15000) live → kept there only
+      Event("a", 8, 12000L, 15000L), // panes [5000,15000)+[10000,20000); wm fires [5000,15000)=14
+      Event("a", 16, 4000L, -1L))    // both its panes passed → late side output
+    val r = sliding(events, sizeMs = 10000L, slideMs = 5000L, finalFire = false)
+    assert(r.fired == Vector(
+      Fired("a", -5000L, 5000L, 1, 1),
+      Fired("a", 0L, 10000L, 3, 2),
+      Fired("a", 5000L, 15000L, 14, 3)))
+    assert(r.late.map(_.value) == Vector(16))
+  }
+
+  test("sliding(size, size) degenerates to tumbling(size) exactly") {
+    val events = Seq(
+      Event("a", 35, 1000L, -1L), Event("a", 20, 1500L, 3000L),
+      Event("a", 11, 100L, -1L), Event("a", 23, 1700L, -1L),
+      Event("a", 60, 3100L, -1L), Event("a", 5, 4000L, 7000L),
+      Event("a", 3, 2300L, -1L), Event("a", 3, 1500L, 5000L),
+      Event("b", 12, 6500L, -1L), Event("b", 5, 7100L, 10000L))
+    val t = tumbling(events, sizeMs = 3000L)
+    val s = sliding(events, sizeMs = 3000L, slideMs = 3000L)
+    assert(s == t)
+  }
+
+  test("sliding with allowedLateness: allowed-late arrival re-fires its pane") {
+    val events = Seq(
+      Event("a", 10, 1000L, 12000L), // panes [-5000,5000)+[0,10000); wm 12000 fires both
+      Event("a", 7, 3000L, -1L))     // both panes passed, but within lateness → re-fires both
+    val r = sliding(events, sizeMs = 10000L, slideMs = 5000L,
+      allowedLatenessMs = 10000L, finalFire = false)
+    assert(r.fired == Vector(
+      Fired("a", -5000L, 5000L, 10, 1),
+      Fired("a", 0L, 10000L, 10, 1),
+      Fired("a", -5000L, 5000L, 17, 2),
+      Fired("a", 0L, 10000L, 17, 2)))
+    assert(r.late.isEmpty)
+  }
 }
