@@ -67,6 +67,7 @@ object SparkEntry {
     "pattern_match"     -> (EventAnalytics.patternMatch _),
     "inactive_customers" -> (Tpch.inactiveCustomers _),
     "rfm_segments"      -> (Tpch.rfmSegments _),
+    "moving_avg"        -> (Tpch.movingAvg _),
     "top_parts_per_brand" -> (Tpch.topPartsPerBrand _),
     "tpch_q3"           -> (EnrichJoin.tpchQ3 _),
     "tpch_q5"           -> (EnrichJoin.tpchQ5 _),
@@ -389,6 +390,7 @@ object SparkEntry {
       "pattern_match" -> EventAnalytics.patternMatchSql,
       "inactive_customers" -> Tpch.inactiveCustomersSql,
       "rfm_segments" -> Tpch.rfmSegmentsSql,
+      "moving_avg" -> Tpch.movingAvgSql,
       "top_parts_per_brand" -> Tpch.topPartsPerBrandSql,
       "tpch_q3" -> EnrichJoin.tpchQ3Sql,
       "tpch_q5" -> EnrichJoin.tpchQ5Sql,

@@ -838,6 +838,49 @@ object Tpch {
 
   private val DayUs = 86400000000L
 
+  /** moving_avg: per-day order revenue with its 7-day trailing moving
+    * sum/average — the seasonality-smoothing readout every revenue
+    * dashboard carries. Two stages with very different scales, which is
+    * the point: the heavy work is ONE map-side-combinable day
+    * aggregation over the fact table; the windowed pass then runs over
+    * the DAY-GRAIN frame, whose row count is the calendar range (a few
+    * thousand rows for a decade), so the unpartitioned ORDER BY day
+    * window is date-range-bounded, never data-bounded — the one place a
+    * global window frame is legitimate at 100 TB. Sums are decimal-exact
+    * (order-free); the average is one double division of decimal by an
+    * exact day count. */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .select(expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div ${DayUs}L").as("day"),
+        col("o_totalprice"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("mov_rev_7d", sum(col("rev")).over(w).cast("double"))
+      .withColumn("mov_days", count(lit(1)).over(w).cast("long"))
+      .select(col("day"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        col("mov_rev_7d"), col("mov_days"),
+        (col("mov_rev_7d") / col("mov_days")).as("mov_avg_7d"))
+      .orderBy("day")
+  }
+
+  def movingAvgSql: String =
+    s"""WITH d AS (SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // $DayUs AS day,
+       |    count(*) AS n_orders,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+       |  FROM orders GROUP BY 1)
+       |SELECT day, n_orders, CAST(rev AS DOUBLE) AS revenue,
+       |  CAST(sum(rev) OVER w AS DOUBLE) AS mov_rev_7d,
+       |  CAST(count(*) OVER w AS BIGINT) AS mov_days,
+       |  CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w AS mov_avg_7d
+       |FROM d
+       |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY day""".stripMargin
+
   /** rfm_segments: the marketing-analytics RFM matrix — per customer,
     * recency (days since last order, vs the corpus's newest order),
     * frequency (order count), monetary (decimal-exact spend), each cut

@@ -90,6 +90,7 @@ class PlanGuardSpec extends SparkSpec {
     "source_divergence" -> 6, // one corpus agg; the rest are (sources × V+1)-cell marginals
     "pagerank_docs" -> 3,
     "dedup_central_survivors" -> 6,
+    "moving_avg" -> 2, // day aggregation + the date-range-bounded global window's single partition
     "ann_ivf_recall" -> 6,
     "ann_ivf_sampled_recall" -> 6,
     "ann_ivf_topk" -> 3,
