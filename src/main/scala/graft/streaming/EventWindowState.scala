@@ -67,6 +67,39 @@ object EventWindowState {
         handleCore(sizeMs, allowedLatenessMs))
   }
 
+  /** Event-time SLIDING windows as a live streaming operator — the
+    * `flatMapGroupsWithState` deployment of `FlinkWindows.sliding`
+    * (reference semantics: test/WindowTest.java:152-203 SlidingEventTime
+    * assignment × test/EventTimeTest.java:166-178 fire/lateness rules).
+    * An event at ts joins every pane with start in (ts − size, ts]
+    * aligned to `slideMs`; fire / allowed-late-re-fire / purge are
+    * applied PER PANE, and the lateness test is pane-aware: the event
+    * reaches the late side output only when EVERY pane it belongs to has
+    * passed watermark + lateness. Same carrier-watermark contract as
+    * [[tumblingCarrier]] (watermark rides `wmTs`, windows ride `ts`), so
+    * late-by-event-time rows reach the operator and emerge as
+    * kind='late' ROWS for a SideOutputs.fanOut two-sink split.
+    * State per key: one (sum, count, pending) per live pane — bounded by
+    * (lateness horizon + size) / slide panes per active key. */
+  def slidingCarrier(ds: Dataset[EvW], sizeMs: Long, slideMs: Long,
+                     allowedLatenessMs: Long = 0L): Dataset[WinOut] = {
+    require(sizeMs % slideMs == 0, "size must be a slide multiple")
+    implicit val o = Encoders.product[WinOut]
+    implicit val b = Encoders.product[Buf]
+    implicit val k = Encoders.STRING
+    val panes = (sizeMs / slideMs).toInt
+    def assign(tsMs: Long): Seq[Long] = {
+      val lastStart = tsMs - Math.floorMod(tsMs, slideMs)
+      (0 until panes).map(i => lastStart - i * slideMs)
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, es: Iterator[EvW], st: GroupState[Buf]) =>
+          windowCore(sizeMs, allowedLatenessMs, assign)(
+            key, es.map(e => Ev(e.key, e.value, e.ts)), st)
+      }
+  }
+
   /** [[tumbling]] over a watermark-CARRIER stream: `withWatermark` rides
     * [[EvW]]'s `wmTs` (source-attested watermark, Flink's emitWatermark
     * contract) while windowing stays on the real `ts`. Because the
@@ -90,6 +123,18 @@ object EventWindowState {
   }
 
   private def handleCore(sizeMs: Long, allowedLatenessMs: Long)(
+      key: String, events: Iterator[Ev], state: GroupState[Buf]): Iterator[WinOut] =
+    windowCore(sizeMs, allowedLatenessMs,
+      tsMs => Seq(tsMs - Math.floorMod(tsMs, sizeMs)))(key, events, state)
+
+  /** Shared fire / re-fire / purge / timer core, parameterized by the
+    * window-ASSIGNMENT function (tumbling → one start; sliding →
+    * size/slide starts). The lateness test is per assigned window: the
+    * event goes to the side output only when every assigned window has
+    * passed watermark + lateness (for tumbling's single window this is
+    * exactly the W9 drop rule). */
+  private def windowCore(sizeMs: Long, allowedLatenessMs: Long,
+                         assign: Long => Seq[Long])(
       key: String, events: Iterator[Ev], state: GroupState[Buf]): Iterator[WinOut] = {
       // batch runs have no watermark (the getter throws): everything is
       // on-time and nothing fires until an explicit watermark exists
@@ -101,10 +146,10 @@ object EventWindowState {
 
       events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
         val tsMs = e.ts.getTime
-        val start = tsMs - Math.floorMod(tsMs, sizeMs)
-        if (maxTs(start) + allowedLatenessMs <= wm) {
-          out += WinOut(key, "late", start, e.value, 1L, tsMs) // side output
-        } else {
+        val live = assign(tsMs).filter(start => maxTs(start) + allowedLatenessMs > wm)
+        if (live.isEmpty) { // every assigned window passed → side output
+          out += WinOut(key, "late", assign(tsMs).max, e.value, 1L, tsMs)
+        } else live.sorted.foreach { start =>
           val (s0, c0, _) = buf.windows.getOrElse(start, (0L, 0L, true))
           val merged = (s0 + e.value, c0 + 1, true)
           buf = Buf(buf.windows + (start -> merged))
