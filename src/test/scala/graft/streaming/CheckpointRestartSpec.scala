@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** J7 durability for the r11 state machines: the reference's state
+  * chapter enables checkpointing in every stateful demo
+  * (test/StateTest.java:245,532 — state exists to SURVIVE restarts), so
+  * each GroupState machine must produce identical output when the query
+  * is killed mid-stream and restarted from its checkpoint.
+  *
+  * Harness: the same batched input runs twice against a parquet-per-
+  * micro-batch foreachBatch sink (idempotent by batchId — the
+  * (batchId, overwrite) contract the reference's ES upsert sink relies
+  * on): run A uninterrupted, run B stopped after an early batch and
+  * restarted from the SAME checkpoint + MemoryStream. Fixtures are
+  * designed so the post-restart output is derivable ONLY from state
+  * built before the kill (open CEP anchors, attribution touch history,
+  * SpaceSaving counter tables, Welford baselines) — equality is
+  * therefore a real recovery proof, not a stateless replay. */
+class CheckpointRestartSpec extends SparkSpec {
+
+  private val M = 1000000L // us per second
+  private def ts(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000L))
+
+  /** Run `batches` through `build` with a checkpoint; if `interrupt`,
+    * kill the query after `interruptAfter` batches and restart it from
+    * the same checkpoint. Returns the union of all micro-batch outputs
+    * as canonical JSON rows. */
+  private def go[I: Encoder](batches: Seq[Seq[I]], interrupt: Boolean,
+      interruptAfter: Int, mode: String)(
+      build: Dataset[I] => DataFrame): Set[String] = {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ckpt_restart").toString
+    val input = MemoryStream[I]
+    def start() = build(input.toDS()).writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", s"$base/cp")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$base/out/b$id")
+      }
+      .start()
+    var q = start()
+    try {
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        input.addData(rows: _*)
+        q.processAllAvailable()
+        if (interrupt && i + 1 == interruptAfter) { q.stop(); q = start() }
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(s"$base/out/b*").toJSON.collect().toSet
+  }
+
+  private def bothRuns[I: Encoder](batches: Seq[Seq[I]], interruptAfter: Int,
+      mode: String)(build: Dataset[I] => DataFrame): (Set[String], Set[String]) =
+    (go(batches, interrupt = false, interruptAfter, mode)(build),
+     go(batches, interrupt = true, interruptAfter, mode)(build))
+
+  test("PatternState: open anchors survive a kill; post-restart purchase resolves them") {
+    val s = spark
+    import s.implicits._
+    import PatternState._
+    // fixture starts at t=1000 s: the engine's beyond-watermark filter is
+    // INCLUSIVE against the initial watermark 0, so a ts(0) row would be
+    // dropped before it ever reached the operator
+    val batches = Seq(
+      // two anchors open; wm reaches 1010 s → both ripe PRE-kill
+      Seq(Ev(1, 1, "view", ts(1000 * M)), Ev(2, 1, "view", ts(1010 * M))),
+      // purchase resolves BOTH recovered anchors; next view advances wm
+      Seq(Ev(3, 1, "purchase", ts(1060 * M)), Ev(4, 1, "view", ts(1100 * M))),
+      // flush: ripen event 4 (opens an anchor, never matched)
+      Seq(Ev(5, 1, "view", ts(11000 * M))))
+    val (a, b) = bothRuns(batches, interruptAfter = 1, "append")(
+      ds => PatternState(ds.withWatermark("ts", "0 seconds")).toDF())
+    assert(a == b, s"restart diverged:\n A-B=${(a diff b).take(3)}\n B-A=${(b diff a).take(3)}")
+    // non-vacuous: both pre-kill anchors matched the post-restart purchase
+    val matched = a.filter(_.contains("\"purchaseTsUs\":" + 1060 * M))
+    assert(matched.size == 2, s"expected 2 recovered-anchor matches, got $a")
+  }
+
+  test("MultiTouchState: touch history survives a kill; post-restart purchase credits it") {
+    val s = spark
+    import s.implicits._
+    import MultiTouchState._
+    // same t=1000 s base as above (inclusive watermark-0 filter)
+    val batches = Seq(
+      // three touches, all ripe by end of batch (wm → 1020 s)
+      Seq(Ev(1, 1, "view", ts(1000 * M), 0.0), Ev(2, 1, "click", ts(1010 * M), 0.0),
+        Ev(3, 1, "view", ts(1020 * M), 0.0)),
+      // purchase splits 100.00 across the three RECOVERED touches
+      Seq(Ev(4, 1, "purchase", ts(1030 * M), 100.0),
+        Ev(5, 1, "view", ts(1200 * M), 0.0)),
+      // flush: ripen event 5
+      Seq(Ev(6, 1, "view", ts(21000 * M), 0.0)))
+    val (a, b) = bothRuns(batches, interruptAfter = 1, "append")(
+      ds => MultiTouchState(ds.withWatermark("ts", "0 seconds")).toDF())
+    assert(a == b, s"restart diverged:\n A-B=${(a diff b).take(3)}\n B-A=${(b diff a).take(3)}")
+    val credits = a.filter(_.contains("\"purchaseId\":4"))
+    assert(credits.size == 3 && credits.forall(_.contains("\"nTouches\":3")),
+      s"expected 3-way credit over recovered touches, got $a")
+  }
+
+  test("TopKState: SpaceSaving counter tables survive a kill") {
+    val s = spark
+    import s.implicits._
+    import TopKState._
+    // batch 1 overfills Capacity=8 (10 distinct, skewed) so the table
+    // holds non-zero err entries; batch 2's counts/errs are correct only
+    // over the recovered table
+    val b1 = (1 to 10).flatMap(i => Seq.fill(11 - i)(In("k", s"w$i")))
+    val b2 = Seq.fill(6)(In("k", "w1")) ++ Seq.fill(9)(In("k", "w10")) ++
+      Seq.fill(4)(In("k", "fresh"))
+    val (a, b) = bothRuns(Seq(b1, b2), interruptAfter = 1, "update")(
+      ds => TopKState(ds).toDF())
+    assert(a == b, s"restart diverged:\n A-B=${(a diff b).take(3)}\n B-A=${(b diff a).take(3)}")
+    // non-vacuous: the batch-2 top-1 count (w1: 10 pre-kill + 6 post) is
+    // cumulative across the kill, and the stream total n accumulated
+    assert(a.exists(r => r.contains("\"item\":\"w1\"") && r.contains("\"count\":16")),
+      s"w1 count not cumulative across restart: $a")
+    assert(a.exists(_.contains("\"n\":" + (b1.size + b2.size))), s"n not cumulative: $a")
+  }
+
+  test("AnomalyState: Welford baselines survive a kill") {
+    val s = spark
+    import s.implicits._
+    import AnomalyState._
+    // 15 baseline points (n ≥ MinN=10), then a post-restart spike whose
+    // z-score needs the recovered (n, mean, m2)
+    val b1 = (1 to 15).map(i => In("k", i.toLong, 10.0 + 0.1 * (i % 5)))
+    val b2 = Seq(In("k", 16L, 10.2), In("k", 17L, 50.0))
+    val (a, b) = bothRuns(Seq(b1, b2), interruptAfter = 1, "append")(
+      ds => AnomalyState(ds).toDF())
+    assert(a == b, s"restart diverged:\n A-B=${(a diff b).take(3)}\n B-A=${(b diff a).take(3)}")
+    // non-vacuous: the spike is anomalous against a 16-observation prior
+    assert(a.exists(r => r.contains("\"seq\":17") && r.contains("\"nPrior\":16")
+      && r.contains("\"isAnomaly\":true")), s"spike not scored on recovered baseline: $a")
+  }
+}
