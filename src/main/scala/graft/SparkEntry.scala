@@ -150,6 +150,7 @@ object SparkEntry {
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
     "doc_len_histogram" -> (PipelineOps.docLenHistogram _),
     "heavy_hitters"     -> (Sketches.heavyHitters _),
+    "bpe_merges"        -> (Bpe.bpeMerges _),
     // E3 flagship: full six-source enrichment DAG through four
     // flatMapGroupsWithState stages (graft.streaming.EnrichDag)
     "enrich_dag"        -> (graft.streaming.EnrichDag.enrichDag _),
@@ -372,7 +373,8 @@ object SparkEntry {
         |LEFT JOIN li ON o.o_orderkey = li.l_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
   ) ++ Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-    Multimodal.oracles ++ PipelineOps.oracles ++ Sketches.oracles ++ Map(
+    Multimodal.oracles ++ PipelineOps.oracles ++ Sketches.oracles ++
+    Bpe.oracles ++ Map(
       "enrich_dag" -> graft.streaming.EnrichDag.enrichDagSql,
       "funnel" -> EnrichJoin.funnelSql,
       "asof_attribution" -> EnrichJoin.asofAttributionSql,

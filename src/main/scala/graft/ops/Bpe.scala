@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Prims._
+
+/** BPE tokenizer training over the corpus — the natural next step after
+  * the n-gram frequency surfaces ([[Sketches.heavyHitters]] is exactly
+  * the first merge round's candidate table): iteratively merge the
+  * highest-weight adjacent symbol pair, producing the ordered merge list
+  * a byte-pair-encoding tokenizer is defined by (Sennrich et al., ACL
+  * 2016 — classic BPE trains on the WORD-FREQUENCY table, not the raw
+  * token stream).
+  *
+  * Scale shape: ONE corpus tokenize pass (the shared [[Prims.wordsExpr]]
+  * definition) reduces 100 TB of text to a word-frequency table — vocab-
+  * sized, Heaps-law sublinear in the corpus. Every merge round is then a
+  * distributed pair-count aggregation over that vocab table plus ONE
+  * argmax row collected to the driver (bounded metadata, like the
+  * codebook collects in [[Similarity]]); the corpus is never touched
+  * again. Rounds are bounded by [[MergeRounds]] so the unrolled SQL
+  * oracle stays tractable, the PageRank-oracle pattern
+  * (`Dedup.pagerankDocsSql`).
+  *
+  * Merge application is two literal-replace passes over the space-
+  * delimited symbol sequence ` a b c `: boundary spaces make the pattern
+  * ` x y ` match only whole symbols, and the left-to-right scan that
+  * consumes each match's trailing space (hiding an immediately-following
+  * occurrence — ` x y x y ` → ` xy x y `) leaves every missed occurrence
+  * directly preceded by a merged symbol, so a second pass catches them
+  * all. Spark's `replace` and DuckDB's `replace` share this scan-after-
+  * replacement semantics (verified on the adversarial cases), which is
+  * what makes the oracle exact.
+  */
+object Bpe {
+
+  /** Merge rounds — bounded so the SQL-unrolled oracle stays tractable. */
+  val MergeRounds = 12
+
+  /** The word-frequency substrate with initial character-level symbol
+    * sequences: `("hello", cnt, " h e l l o ")`. */
+  private def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(expr(wordsExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        concat(regexp_replace(col("word"), "(.)", " $1"), lit(" ")).as("seq"))
+
+  /** bpe_merges: the ordered [[MergeRounds]]-row merge table
+    * (round, left_sym, right_sym, merged, pair_count) ORDER BY round,
+    * where pair_count is the corpus-weighted adjacent-pair count that
+    * won round r (ties break on (left_sym, right_sym) — exact integer
+    * counts, so the argmax is deterministic cross-engine). */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(Tables.documents(s, dir))
+
+  def bpeMergesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // vocab-sized; materialized once — rounds re-aggregate THIS table
+    var words = wordTable(docs).localCheckpoint(true)
+
+    val merges = Vector.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= MergeRounds && !exhausted) {
+      val best = words
+        .select(col("cnt"), split(trim(col("seq")), " ").as("l"))
+        .filter(size(col("l")) >= 2) // guard BEFORE sequence(): sequence(1,0) is descending, not empty
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(l) - 1), i -> struct(l[i-1] AS x, l[i] AS y))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("x"), col("y")).limit(1)
+        .collect() // ONE argmax row of driver metadata per round
+      if (best.isEmpty) exhausted = true // every word fully merged — the
+        // oracle's CTE chain goes empty from this round on too
+      else {
+        val (x, y, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val pat = lit(s" $x $y "); val rep = lit(s" $x$y ")
+        words = words
+          .withColumn("seq", replace(replace(col("seq"), pat, rep), pat, rep))
+          .localCheckpoint(true) // flat lineage: round r+1 reads this, not a 2r-deep replace chain
+        merges += ((r.toLong, x, y, x + y, c))
+        r += 1
+      }
+    }
+    merges.result()
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  /** DuckDB oracle: the same rounds unrolled as CTE chains
+    * w0 → (p_r pair counts → b_r argmax → w_r rewrite) × MergeRounds. */
+  def bpeMergesSql: String = {
+    val rep = "' '||x||' '||y||' ', ' '||x||y||' '"
+    val rounds = (1 to MergeRounds).map { r =>
+      s"""p$r AS (SELECT l[i] AS x, l[i+1] AS y, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT string_split(trim(seq), ' ') AS l, cnt FROM w${r - 1}) t,
+         |    UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+         |  WHERE len(l) >= 2 GROUP BY 1, 2),
+         |b$r AS (SELECT x, y, c FROM p$r ORDER BY c DESC, x, y LIMIT 1),
+         |w$r AS (SELECT word, cnt,
+         |    replace(replace(seq, $rep), $rep) AS seq
+         |  FROM w${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to MergeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, x AS left_sym, y AS right_sym, " +
+        s"x||y AS merged, c AS pair_count FROM b$r").mkString("\nUNION ALL ")
+    s"""WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+       |    regexp_replace(word, '(.)', ' \\1', 'g') || ' ' AS seq
+       |  FROM (SELECT unnest($wordsSql) AS word FROM documents) t
+       |  GROUP BY word),
+       |$rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map("bpe_merges" -> bpeMergesSql)
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins bpe_merges' training semantics on hand-computed corpora: pair
+  * counts are word-frequency-weighted, the argmax tie-breaks on
+  * (left_sym, right_sym), merge application is left-to-right
+  * non-overlapping (the two-pass replace), and training stops early when
+  * every word is a single symbol. The oracle equivalence on the real
+  * corpus is the CORRECTNESS gate's job; these fixtures pin the
+  * semantics the oracle and the engine must BOTH implement. */
+class BpeSpec extends SparkSpec {
+
+  private def merges(texts: String*): Seq[(Long, String, String, String, Long)] = {
+    val s = spark
+    import s.implicits._
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Bpe.bpeMergesOf(docs)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+  }
+
+  test("hand-traced merges: frequency weighting and merge rewrites") {
+    // words: aaab ×2, ab ×1
+    val got = merges("aaab aaab", "ab")
+    // round 1: (a,a)=4 (two slots per 'aaab', weight 2) beats (a,b)=3;
+    //   'aaab' → [aa, a, b] (left-to-right: the SECOND (a,a) slot overlaps
+    //   the first and must NOT merge — classic BPE 'aaa' → [aa, a])
+    assert(got.head == (1L, "a", "a", "aa", 4L))
+    // round 2: (a,b)=3 (aaab×2 now [aa,a,b] + ab×1) beats (aa,a)=2
+    assert(got(1) == (2L, "a", "b", "ab", 3L))
+    // round 3: (aa,ab)=2 from the rewritten [aa, ab]×2 beats... nothing else has weight 2 with earlier order
+    assert(got(2) == (3L, "aa", "ab", "aaab", 2L))
+    // round 4: only 'ab' remains multi-symbol? no — all words are single
+    // symbols ([aaab], [ab]) → training exhausts at 3 merges
+    assert(got.size == 3, s"expected early stop at 3 merges, got $got")
+  }
+
+  test("left-to-right alternating occurrences all merge (the two-pass case)") {
+    // 'xyxyxy' as chars: x y x y x y — merging (x,y) must produce
+    // [xy, xy, xy]: the single-pass replace would leave the middle pair
+    // (its leading space is consumed by the first match)
+    val got = merges("xyxyxy")
+    assert(got.head == (1L, "x", "y", "xy", 3L))
+    // round 2 sees [xy, xy, xy] → (xy,xy)=2 — only correct if ALL three
+    // occurrences merged in round 1
+    assert(got(1) == (2L, "xy", "xy", "xyxy", 2L))
+  }
+
+  test("tie-break: equal counts resolve by (left_sym, right_sym)") {
+    // 'cd' and 'ab' both give one pair of weight 1 → (a,b) wins on order
+    val got = merges("cd ab")
+    assert(got.head == (1L, "a", "b", "ab", 1L))
+  }
+}

@@ -79,6 +79,7 @@ class PlanGuardSpec extends SparkSpec {
     * sf0.1 wall-time hides it. */
   private val exchangeBudget: Map[String, Int] = Map(
     "heavy_hitters" -> 3,
+    "bpe_merges" -> 1, // merge rounds materialize at construction (vocab-table aggs + 1-row argmax collects); the returned 12-row merge table keeps its final sort only
     "unigram_logprob" -> 1,
     "ann_pq_topk" -> 2,
     "ann_pq_recall" -> 5,
