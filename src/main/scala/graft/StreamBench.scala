@@ -23,6 +23,9 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val total = args.headOption.map(_.toInt).getOrElse(200000)
+    require(total > ChunkRows,
+      s"totalRows must exceed the $ChunkRows-row warm-up batch " +
+        "(the measured window excludes it; nothing would be timed)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)

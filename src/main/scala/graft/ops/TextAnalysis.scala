@@ -649,8 +649,10 @@ object TextAnalysis {
     *
     * Determinism across engines: log-probs are quantized ONCE, at the
     * vocabulary layer, to integer micro-nats (round(ln(p)·1e6) — ~21
-    * values, where a 1-ulp libm divergence cannot move the rounded
-    * integer), so every per-document number downstream is exact integer
+    * values; a 1-ulp libm divergence only moves the rounded integer in
+    * the measure-zero case where ln(p)·1e6 lands within an ulp of an
+    * exact .5 boundary, which none of these vocab entries do),
+    * so every per-document number downstream is exact integer
     * arithmetic: sums are association-free BIGINTs and the mean is one
     * double division of two integers.
     *

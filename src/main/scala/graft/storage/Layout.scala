@@ -129,10 +129,17 @@ object Layout {
              b: org.apache.spark.sql.Column, bLo: Long, bHi: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val cells = (1L << ZBits) - 1
+    // Integer floor division (`div`), not Column./ — double division
+    // can misplace boundary values into the wrong cell once the scaled
+    // numerator exceeds 2^53. The supported range is |hi-lo| < 2^55
+    // (so (c-lo)*(cells+1) stays inside Long), which covers any
+    // integer-like layout column; wider demands a pre-scale.
     def cell(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
       val span = math.max(1L, hi - lo + 1)
+      require(span - 1 <= (Long.MaxValue >> ZBits),
+        s"zValue column range too wide for ${ZBits}-bit cells: [$lo, $hi]")
       least(lit(cells), greatest(lit(0L),
-        ((c.cast("long") - lit(lo)) * lit(cells + 1) / lit(span)).cast("long")))
+        call_function("div", (c.cast("long") - lit(lo)) * lit(cells + 1), lit(span))))
     }
     val ca = cell(a, aLo, aHi)
     val cb = cell(b, bLo, bHi)

@@ -14,7 +14,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * The replay machine keeps the user's view/click touches inside one
   * [[HorizonUs]] window; a purchase splits its value equally across the
-  * touches strictly inside (p.ts − horizon, p.ts). Touches older than
+  * touches inside the half-open interval [p.ts − horizon, p.ts) —
+  * closed at the horizon edge, matching the batch twin. Touches older than
   * the horizon prune at every step (and can never credit a future
   * purchase), so per-user state is bounded by one horizon of traffic
   * plus the watermark buffer — never the stream. */

@@ -67,23 +67,62 @@ class DynamicRulesSpec extends SparkSpec {
       "left join must not fan out and must tag by threshold")
   }
 
-  test("pinned failure: a naive stream-static join dies on the first snapshot overwrite") {
+  test("publish is a versioned pointer flip: old snapshots survive it, pruning is bounded") {
+    val s = spark
+    import s.implicits._
+    val rulesPath = java.nio.file.Files.createTempDirectory("rules4").toString + "/r"
+
+    // enrich before any publish fails loudly, never silently tags 'none'
+    val events = Seq(Ev(1, "a", 5.0)).toDF()
+    val e = intercept[IllegalArgumentException](enrich(events, rulesPath))
+    assert(e.getMessage.contains("no rules snapshot published"))
+
+    publish(s, rulesPath, Seq(Rule("a", 1.0, "v1")))
+    val v1Dir = currentSnapshot(s, rulesPath)
+    // a reader that resolved the pointer BEFORE the next publish — the
+    // concurrent-publish shape: its files must stay readable afterwards
+    val pinnedV1 = s.read.parquet(v1Dir)
+
+    publish(s, rulesPath, Seq(Rule("a", 1.0, "v2")))
+    assert(currentSnapshot(s, rulesPath) != v1Dir, "pointer must advance")
+    assert(pinnedV1.collect().map(_.getString(2)).toSeq == Seq("v1"),
+      "an in-flight reader's snapshot files must survive a publish")
+    assert(enrich(events, rulesPath).select("rule_tag").head.getString(0) == "v2")
+
+    // prune keeps the newest KeepVersions dirs (CURRENT's always among them)
+    (3 to 7).foreach(i => publish(s, rulesPath, Seq(Rule("a", 1.0, s"v$i"))))
+    val dirs = new java.io.File(rulesPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{8}")).map(_.getName).sorted
+    assert(dirs.length == DynamicRules.KeepVersions, s"pruned to $dirs")
+    assert(dirs.last == "v00000007")
+    assert(enrich(events, rulesPath).select("rule_tag").head.getString(0) == "v7")
+  }
+
+  test("pinned failure: a naive stream-static join dies when its snapshot dir is overwritten in place") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val rulesPath = java.nio.file.Files.createTempDirectory("rules3").toString + "/r"
-    publish(s, rulesPath, Seq(Rule("purchase", 50.0, "v1")))
+    // the legacy publish idiom the versioned publish() replaces: one
+    // directory, overwritten in place (delete-then-commit)
+    def rawOverwrite(tag: String): Unit =
+      Seq(("purchase", 50.0, tag)).toDF("eventType", "minValue", "tag")
+        .coalesce(1).write.mode("overwrite").parquet(rulesPath)
+    rawOverwrite("v1")
 
     val input = MemoryStream[Ev]
     // the shortcut this module exists to replace: static side resolved
-    // ONCE at query start
-    val q = enrich(input.toDF(), rulesPath)
+    // ONCE at query start, against the in-place-overwritten directory
+    val rules = s.read.parquet(rulesPath)
+      .select(col("eventType").as("event_type"), col("minValue"), col("tag"))
+    val q = input.toDF().join(broadcast(rules), Seq("event_type"), "left")
+      .select(col("event_id"), coalesce(col("tag"), lit("none")).as("rule_tag"))
       .writeStream.format("memory").queryName("naive_ruled")
       .outputMode("append").start()
     try quietly {
       input.addData(Ev(1, "purchase", 100.0))
       q.processAllAvailable()
-      publish(s, rulesPath, Seq(Rule("purchase", 50.0, "v2")))
+      rawOverwrite("v2")
       input.addData(Ev(2, "purchase", 100.0))
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         q.processAllAvailable()
