@@ -533,6 +533,84 @@ object ScaleProbe {
     }
   }
 
+  /** `layout_corpus` mode: the Layout payoff on the CORPUS tables at
+    * sf0.1 — `documents` bucketed by doc_id (32 buckets), `events`
+    * day-partitioned. Workloads: the dedup family's shared per-doc
+    * stages (shingle-index build, minhash signatures — every near-dup
+    * query's front half), the full n-gram Jaccard pair pipeline, and a
+    * one-day event rollup. Reports wall medians + exchange counts for
+    * raw vs laid-out, and the one-time layout write cost — the
+    * recurring-vs-once arithmetic that justifies the layout at 100 TB
+    * (the per-run exchange the bucket write removes is corpus-sized;
+    * the day filter turns a full scan into one directory). */
+  private def layoutCorpusProbe(spark: SparkSession, src: String): Unit = {
+    import graft.storage.Layout
+    val base = "/tmp/graft_layout_corpus"
+    val docsRaw = spark.read.parquet(s"$src/documents.parquet")
+    val eventsRaw = Tables.events(spark, src).withColumn("event_date", to_date(col("ts")))
+
+    val tw0 = System.nanoTime()
+    Layout.writeBucketed(docsRaw, "probe_docs", s"$base/docs", "doc_id", 32)
+    Layout.writePartitioned(eventsRaw, s"$base/events", Seq("event_date"))
+    val writeSec = (System.nanoTime() - tw0) / 1e9
+
+    val day = lit("2024-01-02").cast("date")
+    def dayRollup(ev: DataFrame): DataFrame = ev
+      .filter(col("event_date") === day)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(graft.ops.Prims.dec2(col("value"))).as("v"))
+
+    try {
+      println(f"${"workload"}%-16s ${"layout"}%-10s ${"med(s)"}%8s ${"exchanges"}%10s")
+      val arms: Seq[(String, String, () => DataFrame)] = Seq(
+        ("shingle_index", "raw", () => graft.ops.Dedup.shingleIndexFromDocs(docsRaw)),
+        ("shingle_index", "bucketed", () => graft.ops.Dedup.shingleIndexFromDocs(Layout.table(spark, "probe_docs"))),
+        ("minhash_sig", "raw", () => graft.ops.Dedup.minhashSig(docsRaw)),
+        ("minhash_sig", "bucketed", () => graft.ops.Dedup.minhashSig(Layout.table(spark, "probe_docs"))),
+        ("ngram_jaccard", "raw", () => graft.ops.Dedup.ngramJaccardPairsFromToks(
+          spark, graft.ops.Prims.tokenized(docsRaw))),
+        ("ngram_jaccard", "bucketed", () => graft.ops.Dedup.ngramJaccardPairsFromToks(
+          spark, graft.ops.Prims.tokenized(Layout.table(spark, "probe_docs")))),
+        ("day_rollup", "raw", () => dayRollup(eventsRaw)),
+        ("day_rollup", "partitioned", () => dayRollup(
+          spark.read.parquet(s"$base/events"))))
+      arms.foreach { case (wl, label, mk) =>
+        val nExch = "(?<!Broadcast)(?<!Reused)Exchange ".r
+          .findAllIn(mk().queryExecution.executedPlan.toString).size
+        mk().count() // warm
+        HarnessUtil.releaseAll(spark, gc = true)
+        val samples = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          mk().count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          HarnessUtil.releaseAll(spark, gc = true)
+          dt
+        }.sorted
+        println(f"$wl%-16s $label%-10s ${samples(1)}%8.2f $nExch%10d")
+      }
+      // the day filter's real payoff at scale is BYTES NOT READ — wall
+      // at sf0.1 is listing-dominated, so report what the scan SELECTS
+      // (post-partition-pruning bytes, the footer-level decision)
+      def scanBytes(df: DataFrame): Long = {
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.initialPlan
+          case p => p
+        }
+        plan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalFileSize
+        }.sum
+      }
+      val rawB = scanBytes(dayRollup(eventsRaw))
+      val prunedB = scanBytes(dayRollup(spark.read.parquet(s"$base/events")))
+      val totalDays = eventsRaw.select("event_date").distinct().count()
+      println(f"day_rollup scan-selected bytes: raw=${rawB / 1e6}%.1f MB " +
+        f"partitioned=${prunedB / 1e6}%.1f MB (1 of $totalDays day directories)")
+      println(f"(one-time layout write: $writeSec%.2f s for both tables)")
+    } finally spark.sql("DROP TABLE IF EXISTS probe_docs")
+  }
+
   private def aqeSkewProbe(spark: SparkSession, src: String): Unit = {
     val n = 20000000L
     val dimN = 2000000L
@@ -664,6 +742,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("layout")) {
       layoutProbe(spark, src)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("layout_corpus")) {
+      layoutCorpusProbe(spark, src)
       spark.stop(); return
     }
     val out = "/tmp/graft_sf1_synth"

@@ -63,6 +63,16 @@ object Dedup {
       .select(col("doc_id"), hash60(col("s")).as("hs"))
       .distinct()
 
+  /** The inverted shingle index's build, from a documents frame — the
+    * layout seam: on a corpus BUCKETED by doc_id (storage.Layout), the
+    * explode preserves the scan's hash partitioning, HashPartitioning
+    * (doc_id) satisfies the distinct's ClusteredDistribution(doc_id, hs)
+    * (co-partitioning on a subset of the grouping keys co-locates every
+    * duplicate), and the index builds with ZERO exchanges — the write-
+    * time shuffle replaces the per-run one (LayoutSpec pins the plan). */
+  private[graft] def shingleIndexFromDocs(docs: DataFrame): DataFrame =
+    shingleHashesFromToks(Prims.tokenized(docs))
+
   /** DuckDB twin of `shingles` as a WITH-clause body over `documents`. */
   private[graft] val shinglesSql: String =
     s"""w AS (SELECT doc_id, $wordsSql AS ws
@@ -107,7 +117,7 @@ object Dedup {
     * collapses each doc to one 16-column row per map task, so the ONLY
     * exchange moves ~one row per document. The oracle (min over the
     * DISTINCT shingle set) is unchanged — same min, bit-for-bit. */
-  private def minhashSig(docs: DataFrame): DataFrame = {
+  private[graft] def minhashSig(docs: DataFrame): DataFrame = {
     val hs = shingleExplodeFromToks(Prims.tokenized(docs))
       .select(col("doc_id"), pmod(hash60(col("s")), lit(P31)).as("hm"))
     val aggs = (0 until NumHashes).map(j =>

@@ -212,6 +212,35 @@ class LayoutSpec extends SparkSpec {
     } finally graft.HarnessUtil.releaseAll(spark)
   }
 
+  test("corpus layout: doc_id-bucketed documents build the shingle index and minhash signatures with zero exchanges") {
+    val docs = Tables.documents(spark, dir)
+    Layout.writeBucketed(docs, "layout_docs", tmp("docs_bucketed"), "doc_id", 8)
+    try {
+      // raw corpus: the index's per-doc distinct pays one exchange per run
+      val rawIdx = graft.ops.Dedup.shingleIndexFromDocs(docs)
+      assert(exchanges(rawIdx.queryExecution.executedPlan.toString) == 1,
+        "raw shingle-index build is expected to shuffle exactly once")
+      // bucketed corpus: HashPartitioning(doc_id) satisfies the
+      // distinct's ClusteredDistribution(doc_id, hs) — the first
+      // exchange is gone; write-time shuffle replaced the per-run one
+      val bucketedDocs = Layout.table(spark, "layout_docs")
+      val idx = graft.ops.Dedup.shingleIndexFromDocs(bucketedDocs)
+      assert(exchanges(idx.queryExecution.executedPlan.toString) == 0,
+        s"bucketed shingle-index build must not shuffle:\n${idx.queryExecution.executedPlan}")
+      // same for the minhash signature's groupBy(doc_id)
+      val sig = graft.ops.Dedup.minhashSig(bucketedDocs)
+      assert(exchanges(sig.queryExecution.executedPlan.toString) == 0,
+        s"bucketed minhash signature must not shuffle:\n${sig.queryExecution.executedPlan}")
+      // layout changes the plan, never the result
+      val s = spark; import s.implicits._
+      assert(idx.as[(Long, Long)].collect().sorted.toSeq ==
+        rawIdx.as[(Long, Long)].collect().sorted.toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS layout_docs")
+      graft.HarnessUtil.releaseAll(spark)
+    }
+  }
+
   test("composed layout: partition pruning and bucket-key aggregation together") {
     val events = Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
