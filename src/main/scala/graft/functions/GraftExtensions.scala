@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("might_contain_bloom"),
       new ExpressionInfo(classOf[MightContainBloom].getName, "might_contain_bloom"),
       MightContainBloom.builder))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      PqEncode.builder))
   }
 }
 
@@ -47,6 +51,10 @@ object GraftExtensions {
     if (!spark.catalog.functionExists("might_contain_bloom")) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "might_contain_bloom", MightContainBloom.builder, "built-in")
+    }
+    if (!spark.catalog.functionExists("pq_encode")) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "pq_encode", PqEncode.builder, "built-in")
     }
   }
 }

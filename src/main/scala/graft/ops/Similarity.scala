@@ -954,29 +954,21 @@ object Similarity {
       })
 
   /** Corpus → (vec_id, codes): the PQ index build, ONE narrow codegen
-    * projection (the [[assignedNarrow]] trick per subspace — the PqM×PqK
-    * codebook rides as literals, the argmin is array_min over (d2, cid)
-    * structs). No exchange: at 100 TB the encode is a single scan that
-    * writes back PqM-byte codes. */
+    * projection — the whole PqM×PqK argmin runs inside the native
+    * [[graft.functions.PqEncode]] expression (three tight loops over
+    * the codebook reference object). No exchange: at 100 TB the encode
+    * is a single scan that writes back PqM-byte codes. The earlier
+    * compositional form (per subspace: array_min over PqK struct(d2,
+    * cid) candidates, each a qdot expansion) computed the same codes
+    * but generated ~PqM·PqK fused fragments in one whole-stage method —
+    * past Janino's 64 KB limit, so the stage silently ran INTERPRETED;
+    * PqEncodeSpec pins both the equivalence and the compiling plan. */
   private def pqEncoded(s: SparkSession, dir: String,
                         books: Vector[Vector[IndexedSeq[Long]]]): DataFrame = {
-    import graft.functions.QDot
-    val withSubs = Tables.embeddings(s, dir)
-      .select(col("vec_id") +: (0 until PqM).map(m =>
-        slice(expr(quantExpr), m * PqSubDim + 1, PqSubDim).as(s"sub$m")): _*)
-      .select(col("vec_id") +: (0 until PqM).flatMap(m => Seq(
-        col(s"sub$m"), QDot(col(s"sub$m"), col(s"sub$m")).as(s"qq$m"))): _*)
-    val coded = (0 until PqM).foldLeft(withSubs) { (df, m) =>
-      val cands = books(m).zipWithIndex.map { case (cv, cid) =>
-        struct(
-          (col(s"qq$m") - lit(2) * QDot(col(s"sub$m"), typedLit(cv))
-            + lit(cv.map(x => x * x).sum)).as("d2"),
-          lit(cid.toLong).as("cid"))
-      }
-      df.withColumn(s"code$m", array_min(array(cands: _*)).getField("cid"))
-    }
-    coded.select(col("vec_id"),
-      array((0 until PqM).map(m => col(s"code$m")): _*).as("codes"))
+    val booksLit = typedLit(books.map(_.map(_.toSeq)))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        graft.functions.PqEncode(expr(quantExpr), booksLit).as("codes"))
   }
 
   /** ann_pq_topk: top-[[PqTopK]] neighbors per query by ADC — each query
@@ -998,19 +990,32 @@ object Similarity {
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), expr(quantExpr).as("qv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+    // distance tables pre-split into ONE array column per subquantizer
+    // (dt0..dt7), so each ADC term is a single element_at — a fused
+    // nested dtab[m][code] chain plus the 8-subspace encode used to
+    // blow the fused stage past Janino's 64 KB method limit, silently
+    // dropping the whole scoring stage to interpreted execution
     val dtabs = qrows.toSeq.map { case (qid, qv) =>
-      (qid, (0 until PqM).map { m =>
+      val perM = (0 until PqM).map { m =>
         val sv = qv.slice(m * PqSubDim, (m + 1) * PqSubDim)
         books(m).map(cv => d2(sv, cv))
-      })
+      }
+      (qid, perM(0), perM(1), perM(2), perM(3), perM(4), perM(5), perM(6), perM(7))
     }
-    val queries = broadcast(dtabs.toDF("query_id", "dtab"))
-    pqEncoded(s, dir, books)
+    val queries = broadcast(dtabs.toDF(
+      "query_id" +: (0 until PqM).map(m => s"dt$m"): _*))
+    // the codes table is materialized (eager localCheckpoint) before the
+    // query fan-out: without the barrier Catalyst inlines the 8-subspace
+    // encode into the post-crossJoin projection — every corpus vector
+    // re-encoded once PER QUERY — and the inlined monolith is what broke
+    // codegen. The barrier costs one narrow (vec_id, 8 codes) frame,
+    // ~1/Dim of the corpus' width: the PQ index an ANN system persists.
+    pqEncoded(s, dir, books).localCheckpoint(true)
       .crossJoin(queries)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (0 until PqM).map(m =>
-          element_at(element_at(col("dtab"), m + 1),
+          element_at(col(s"dt$m"),
             (element_at(col("codes"), m + 1) + 1).cast("int")))
           .reduce(_ + _).as("adc"))
       .withColumn("rank", row_number().over(
