@@ -124,6 +124,27 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(a.exists(_.contains("\"n\":" + (b1.size + b2.size))), s"n not cumulative: $a")
   }
 
+  test("WindowedTopKState: per-window SpaceSaving tables survive a kill; windows fire post-restart") {
+    val s = spark
+    import s.implicits._
+    import WindowedTopKState._
+    // window [0,3000)s gets its whole population BEFORE the kill (skewed
+    // so the table carries structure); the watermark only passes window
+    // end AFTER the restart, so the fired top-k is derivable solely from
+    // the recovered per-window table. ts ≥ 1 s (inclusive wm-0 filter).
+    val b1 = (1 to 9).flatMap(i => Seq.fill(10 - i)(In("k", s"w$i", ts(1000000L + i * 100000L))))
+    val b2 = Seq(In("k", "drv", ts(3600L * M))) // wm → 3600 s - delay
+    val b3 = Seq(In("k", "drv", ts(3700L * M))) // tick: fire [0,3000)s windows
+    val (a, b) = bothRuns(Seq(b1, b2, b3), interruptAfter = 1, "append")(
+      ds => WindowedTopKState(
+        ds.withWatermark("ts", "0 seconds").as[In], sizeMs = 3000000L).toDF())
+    assert(a == b, s"restart diverged:\n A-B=${(a diff b).take(3)}\n B-A=${(b diff a).take(3)}")
+    // non-vacuous: the fired rank-1 (w1: 9 occurrences, err 0, n=45)
+    // exists only if the pre-kill table was recovered
+    assert(a.exists(r => r.contains("\"item\":\"w1\"") && r.contains("\"count\":9")
+      && r.contains("\"n\":45")), s"recovered window table not fired: $a")
+  }
+
   test("AnomalyState: Welford baselines survive a kill") {
     val s = spark
     import s.implicits._
