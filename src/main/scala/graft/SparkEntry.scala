@@ -72,6 +72,9 @@ object SparkEntry {
     "tpch_q3"           -> (EnrichJoin.tpchQ3 _),
     "tpch_q5"           -> (EnrichJoin.tpchQ5 _),
     "tpch_q1"           -> (Tpch.tpchQ1 _),
+    "tpch_q2"           -> (Tpch.tpchQ2 _),
+    "tpch_q11"          -> (Tpch.tpchQ11 _),
+    "tpch_q16"          -> (Tpch.tpchQ16 _),
     "tpch_q4"           -> (Tpch.tpchQ4 _),
     "tpch_q6"           -> (Tpch.tpchQ6 _),
     "tpch_q7"           -> (Tpch.tpchQ7 _),
@@ -399,14 +402,17 @@ object SparkEntry {
       "tpch_q1" -> Tpch.tpchQ1Sql,
       "tpch_q4" -> Tpch.tpchQ4Sql,
       "tpch_q6" -> Tpch.tpchQ6Sql,
+      "tpch_q2" -> Tpch.tpchQ2Sql,
       "tpch_q7" -> Tpch.tpchQ7Sql,
       "tpch_q8" -> Tpch.tpchQ8Sql,
       "tpch_q9" -> Tpch.tpchQ9Sql,
       "tpch_q10" -> Tpch.tpchQ10Sql,
+      "tpch_q11" -> Tpch.tpchQ11Sql,
       "tpch_q12" -> Tpch.tpchQ12Sql,
       "tpch_q13" -> Tpch.tpchQ13Sql,
       "tpch_q14" -> Tpch.tpchQ14Sql,
       "tpch_q15" -> Tpch.tpchQ15Sql,
+      "tpch_q16" -> Tpch.tpchQ16Sql,
       "tpch_q17" -> Tpch.tpchQ17Sql,
       "tpch_q18" -> Tpch.tpchQ18Sql,
       "tpch_q19" -> Tpch.tpchQ19Sql,

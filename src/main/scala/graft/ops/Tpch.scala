@@ -836,6 +836,168 @@ object Tpch {
       |    AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- derived supply relation (q2 / q11 / q16) ----------------------
+  //
+  // The driver testdata carries no partsupp table, so the three TPC-H
+  // queries that need one run over a DERIVED supply relation: the
+  // distinct (l_partkey, l_suppkey) pairs actually traded in lineitem,
+  // with deterministic integer supply attributes derived from the key
+  // pair (exact int64 arithmetic, so the DuckDB oracle reproduces every
+  // value bit-for-bit — the same adaptation discipline as the derived
+  // event/document fixtures). Money stays in CENTS as BIGINT end to end.
+  //   ps_supplycost_cents = (p·37 + s·17) mod 100000 + 1
+  //   ps_availqty         = (p·13 + s·7)  mod 9999  + 1
+
+  private def derivedPartsupp(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_supplycost_cents",
+        pmod(col("ps_partkey") * 37 + col("ps_suppkey") * 17, lit(100000L)) + 1)
+      .withColumn("ps_availqty",
+        pmod(col("ps_partkey") * 13 + col("ps_suppkey") * 7, lit(9999L)) + 1)
+
+  private val psSql: String =
+    """ps AS (SELECT ps_partkey, ps_suppkey,
+      |    (ps_partkey * 37 + ps_suppkey * 17) % 100000 + 1 AS ps_supplycost_cents,
+      |    (ps_partkey * 13 + ps_suppkey * 7) % 9999 + 1 AS ps_availqty
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |        FROM lineitem))""".stripMargin
+
+  /** tpch_q2 (adapted): minimum-cost supplier — for each EUROPE-sourced
+    * part of the target size/type, the supplier(s) achieving the
+    * region-minimum supply cost. Shape under the hood: the selective
+    * part filter prunes the supply relation FIRST (at 100 TB the
+    * size+type predicate keeps ~1/300 of parts, so the expensive
+    * per-part work runs over a pruned fraction); region membership is a
+    * broadcast dim chain (region→nation→supplier); the correlated
+    * "min cost per part" subquery is a window MIN over ps_partkey — one
+    * exchange, no self-join back. */
+  def tpchQ2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val regionSup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val targetParts = Tables.part(s, dir)
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_name")
+    derivedPartsupp(s, dir)
+      .join(targetParts, col("ps_partkey") === col("p_partkey"))
+      .join(regionSup, col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost",
+        min(col("ps_supplycost_cents")).over(Window.partitionBy("p_partkey")))
+      .filter(col("ps_supplycost_cents") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        col("ps_suppkey"), col("ps_supplycost_cents"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("ps_suppkey"))
+      .limit(100)
+  }
+
+  def tpchQ2Sql: String =
+    s"""WITH $psSql,
+       |rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       |  FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'),
+       |j AS (SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       |    ps_suppkey, ps_supplycost_cents,
+       |    min(ps_supplycost_cents) OVER (PARTITION BY p_partkey) AS min_cost
+       |  FROM ps
+       |  JOIN part ON ps_partkey = p_partkey
+       |  JOIN rs ON ps_suppkey = s_suppkey
+       |  WHERE p_size = 15 AND p_type = 'STANDARD')
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       |  ps_suppkey, ps_supplycost_cents
+       |FROM j WHERE ps_supplycost_cents = min_cost
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+       |LIMIT 100""".stripMargin
+
+  /** tpch_q11 (adapted): important stock — per-part inventory value held
+    * by one nation's suppliers, kept only where the part's value exceeds
+    * a fixed fraction of the nation total. Shape: the nation filter is a
+    * broadcast semi-chain; value is exact int64 cents·qty; the global
+    * threshold is a one-row aggregate broadcast back over the per-part
+    * sums (the q22 scalar-subquery pattern) — never a second scan of the
+    * supply relation. */
+  def tpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val natSup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val held = derivedPartsupp(s, dir)
+      .join(natSup, col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost_cents") * col("ps_availqty")).as("value_cents"))
+    val perPart = held.groupBy("ps_partkey")
+      .agg(sum(col("value_cents")).as("value_cents"))
+    // threshold = 1.5× the average per-part value (exact integer
+    // floor-div): selectivity is stable across scale factors, unlike
+    // TPC-H's fraction-of-total form whose fraction is itself SF-scaled
+    val thr = perPart.agg(
+      expr("CAST(sum(value_cents) * 3 div (count(1) * 2) AS BIGINT)").as("thr"))
+    perPart.crossJoin(broadcast(thr))
+      .filter(col("value_cents") > col("thr"))
+      .select("ps_partkey", "value_cents")
+      .orderBy(col("value_cents").desc, col("ps_partkey"))
+  }
+
+  def tpchQ11Sql: String =
+    s"""WITH $psSql,
+       |held AS (SELECT ps_partkey,
+       |    ps_supplycost_cents * ps_availqty AS value_cents
+       |  FROM ps
+       |  JOIN supplier ON ps_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_7'),
+       |pp AS (SELECT ps_partkey, CAST(sum(value_cents) AS BIGINT) AS value_cents
+       |  FROM held GROUP BY 1)
+       |SELECT ps_partkey, value_cents
+       |FROM pp
+       |WHERE value_cents > (SELECT CAST(sum(value_cents) * 3 // (count(*) * 2) AS BIGINT) FROM pp)
+       |ORDER BY value_cents DESC, ps_partkey""".stripMargin
+
+  /** tpch_q16 (adapted): parts/supplier relationship — how many distinct
+    * suppliers can provide each (brand, type, size) combination outside
+    * the excluded brand/type, skipping flagged suppliers (the fixture's
+    * negative-balance suppliers stand in for the "complaints" exclusion).
+    * Shape: the flagged-supplier set is tiny → broadcast ANTI-join (the
+    * NOT IN); count(DISTINCT) is Spark's two-phase partial-distinct
+    * aggregate, shuffling once on the group key. */
+  def tpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    derivedPartsupp(s, dir)
+      .join(parts, col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("ps_suppkey") === col("bad_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  def tpchQ16Sql: String =
+    s"""WITH $psSql
+       |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM ps
+       |JOIN part ON ps_partkey = p_partkey
+       |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+       |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   private val DayUs = 86400000000L
 
   /** moving_avg: per-day order revenue with its 7-day trailing moving

@@ -37,6 +37,7 @@ class PlanGuardSpec extends SparkSpec {
     "tpch_q15" -> "1-row max-revenue cross (broadcast scalar)",
     "heavy_hitters" -> "1-row token-total cross (broadcast scalar)",
     "tpch_q22" -> "1-row balance-average cross (broadcast scalar)",
+    "tpch_q11" -> "1-row value-threshold cross (broadcast scalar)",
     "ann_lsh_pairs" -> "16-hyperplane literal projection cross",
     "ann_pq_topk" -> "10-query distance-table cross (broadcast literal)",
     "hard_negatives" -> "10-anchor embedding cross (broadcast literal)",
@@ -175,6 +176,12 @@ class PlanGuardSpec extends SparkSpec {
     "tfidf_top_terms" -> 5,
     "token_count" -> 1,
     "tpch_q1" -> 2,
+    // q2/q11/q16: derived-partsupp distinct (1) + part/supplier joins;
+    // q2 adds the per-part window min; q11 the per-part sum + the
+    // broadcast threshold; q16 the two-phase count-distinct
+    "tpch_q2" -> 4,
+    "tpch_q11" -> 6,
+    "tpch_q16" -> 4,
     "tpch_q10" -> 1,
     "tpch_q12" -> 2,
     "tpch_q13" -> 3,
