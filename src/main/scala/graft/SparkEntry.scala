@@ -99,6 +99,7 @@ object SparkEntry {
     "dedup_clusters"    -> (Dedup.dedupClusters _),
     "dedup_survivors"   -> (Dedup.dedupSurvivors _),
     "dedup_near_minhash"-> (Dedup.dedupNearMinhash _),
+    "minhash_calibration" -> (Dedup.minhashCalibration _),
     "simhash_dedup"     -> (Dedup.simhashDedup _),
     "simhash_hamming_pairs" -> (Dedup.simhashHammingPairs _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "winnow_pairs"      -> (TextAnalysis.winnowPairs _),
     "vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "unigram_logprob"   -> (TextAnalysis.unigramLogprob _),
+    "quality_buckets"   -> (TextAnalysis.qualityBuckets _),
     "nb_classifier"     -> (TextAnalysis.nbClassifier _),
     "source_divergence" -> (TextAnalysis.sourceDivergence _),
     "repetition_score"  -> (TextAnalysis.repetitionScore _),

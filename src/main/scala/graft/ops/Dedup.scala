@@ -128,7 +128,16 @@ object Dedup {
   /** Near-dup candidate pairs via banded LSH: docs sharing any 4-row band
     * bucket, with the minhash-estimated Jaccard. The only join is on
     * (band, band-signature) — bucket-local, never all-pairs. */
-  def dedupNearMinhash(s: SparkSession, dir: String): DataFrame = {
+  def dedupNearMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashCandidatesWithMatches(s, dir)
+      .select(col("doc_a"), col("doc_b"),
+        (col("matches").cast("double") / NumHashes).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** LSH candidate pairs with their raw signature-match count (0..16) —
+    * the shared core of [[dedupNearMinhash]] (estimate surface) and
+    * [[minhashCalibration]] (estimator audit). */
+  private def minhashCandidatesWithMatches(s: SparkSession, dir: String): DataFrame = {
     // the signature table is referenced three times (banding + both join
     // sides); eager localCheckpoint materializes it once and frees with
     // the RDD — no cache entry outlives the call (OpsSpec leak guard)
@@ -170,9 +179,82 @@ object Dedup {
       .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
       .reduce(_ + _)
     pairs.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (eqCount.cast("double") / NumHashes).as("est_jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), eqCount.cast("long").as("matches"))
+  }
+
+  /** minhash_calibration: the estimator-quality audit a dedup pipeline
+    * runs before trusting a threshold — for every LSH candidate pair,
+    * compare the 16-hash MinHash estimate against the EXACT shingle
+    * Jaccard and histogram the absolute error into deciles. This is how
+    * you pick (bands, rows, threshold) empirically: the table says "at
+    * est ≥ 0.5, how wrong can we be, how often".
+    *
+    * Scale shape: the candidate set comes from the banded LSH core
+    * (bucket-bounded, never all-pairs); the exact intersection joins
+    * the pair list to the per-doc distinct shingle-hash table twice —
+    * both joins int64-keyed, work proportional to candidate-pair
+    * shingle mass, not corpus². Only exact ints are aggregated
+    * (sum_matches / sum_inter / sum_union); the error bucket is
+    * floor(|m/16 − i/u|·10) — two int÷int IEEE divisions both engines
+    * reproduce bit-for-bit. */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val cands = minhashCandidatesWithMatches(s, dir).localCheckpoint(true)
+    val shr = shingleHashesFromToks(Prims.tokenized(Tables.documents(s, dir)))
+      .localCheckpoint(true)
+    val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(shr.toDF("doc_a", "hs"), Seq("doc_a"))
+      .join(shr.toDF("doc_b", "hs"), Seq("doc_b", "hs"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cands
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select(col("matches"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("union_n"),
+        floor(abs(col("matches").cast("double") / NumHashes
+          - col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          * 10).cast("long").as("err_decile"))
+      .groupBy("err_decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("matches").as("sum_matches"),
+        sum("inter").as("sum_inter"),
+        sum("union_n").as("sum_union"))
+      .orderBy("err_decile")
+  }
+
+  def minhashCalibrationSql: String = {
+    val estSql = dedupNearMinhashSql
+    // reuse the near-minhash pipeline verbatim up to its SELECT: wrap it
+    // as a candidates CTE and attach the exact-Jaccard audit
+    s"""WITH cand AS (
+       |  SELECT doc_a, doc_b, CAST(round(est_jaccard * $NumHashes) AS BIGINT) AS matches
+       |  FROM ($estSql)
+       |),
+       |w2 AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |sh2 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM w2, unnest(range(1, len(ws) - 1)) AS t(i)),
+       |hsh2 AS (SELECT DISTINCT doc_id, ${Prims.hash60Sql("s")} AS hs FROM sh2),
+       |sz AS (SELECT doc_id, count(*) AS n FROM hsh2 GROUP BY doc_id),
+       |iv AS (SELECT cand.doc_a, cand.doc_b, count(*) AS inter
+       |  FROM cand
+       |  JOIN hsh2 a ON a.doc_id = cand.doc_a
+       |  JOIN hsh2 b ON b.doc_id = cand.doc_b AND b.hs = a.hs
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT matches, coalesce(inter, 0) AS inter,
+       |    sa.n + sb.n - coalesce(inter, 0) AS union_n
+       |  FROM cand
+       |  LEFT JOIN iv USING (doc_a, doc_b)
+       |  JOIN sz sa ON sa.doc_id = cand.doc_a
+       |  JOIN sz sb ON sb.doc_id = cand.doc_b)
+       |SELECT CAST(floor(abs(CAST(matches AS DOUBLE) / $NumHashes
+       |    - CAST(inter AS DOUBLE) / union_n) * 10) AS BIGINT) AS err_decile,
+       |  count(*) AS n_pairs,
+       |  CAST(sum(matches) AS BIGINT) AS sum_matches,
+       |  CAST(sum(inter) AS BIGINT) AS sum_inter,
+       |  CAST(sum(union_n) AS BIGINT) AS sum_union
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   def dedupNearMinhashSql: String = {
@@ -1340,6 +1422,7 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "dedup_near_minhash" -> dedupNearMinhashSql,
+    "minhash_calibration" -> minhashCalibrationSql,
     "simhash_dedup" -> simhashDedupSql,
     "simhash_hamming_pairs" -> simhashHammingPairsSql,
     "ngram_jaccard" -> ngramJaccardSql,

@@ -663,7 +663,9 @@ object TextAnalysis {
     * token explode, no per-doc shuffle, no join. At 100 TB the scoring
     * pass touches each document exactly once and exchanges nothing but
     * the final ORDER BY. */
-  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+  /** The LM-scored doc frame (doc_id, n_tok, surprisal_mnats) shared by
+    * [[unigramLogprob]] and [[qualityBuckets]]. */
+  private def unigramScoredDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val counts = docs.select(explode(expr(wordsExpr)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -682,10 +684,70 @@ object TextAnalysis {
         aggregate(col("ws"), lit(0L),
           (acc, w) => acc - coalesce(element_at(lm, w), lit(floorM)))
           .as("surprisal_mnats"))
+  }
+
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame =
+    unigramScoredDocs(s, dir)
       .withColumn("mean_mnats",
         col("surprisal_mnats").cast("double") / col("n_tok"))
       .orderBy("doc_id")
+
+  /** quality_buckets: the CCNet head/middle/tail split — rank every doc
+    * by per-token surprisal under the corpus's own unigram LM and cut
+    * the corpus into fluency terciles (head = least surprising), then
+    * report each bucket's doc/token mass and exact surprisal totals.
+    * This is the bucketing CCNet uses to stratify CommonCrawl by LM
+    * perplexity before sampling; downstream mixes quote "head-only" or
+    * "head+middle" corpora in exactly these terms.
+    *
+    * Scale shape: scoring is the [[unigramScoredDocs]] narrow
+    * projection; the tercile cut uses the two-phase global row number
+    * (one range exchange, no single-task sort — the rfm_segments idiom)
+    * ordered by (mean_mnats, doc_id), where mean_mnats is ONE double
+    * division of two exact int64s — IEEE-identical on both engines, so
+    * ranks and band edges agree bit-for-bit; the final rollup is a
+    * 3-group aggregation. */
+  def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = unigramScoredDocs(s, dir)
+      .withColumn("mean_mnats",
+        col("surprisal_mnats").cast("double") / col("n_tok"))
+    val n = scored.agg(count(lit(1)).as("n"))
+    val ranked = Prims.globalRowNumber(
+      scored.crossJoin(broadcast(n)), "rn", col("mean_mnats"), col("doc_id"))
+    ranked
+      .withColumn("bucket",
+        element_at(typedLit(Seq("head", "middle", "tail")),
+          (expr("((rn - 1) * 3) div n") + 1).cast("int")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tok"),
+        sum(col("surprisal_mnats")).as("surprisal_mnats"))
+      .withColumn("mnats_per_tok",
+        col("surprisal_mnats").cast("double") / col("n_tok"))
+      .orderBy("bucket")
   }
+
+  def qualityBucketsSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+       |c AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+       |tot AS (SELECT sum(cnt) AS total FROM c),
+       |v AS (SELECT w, CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT) AS mn
+       |  FROM c, tot ORDER BY cnt DESC, w LIMIT $VocabN),
+       |fl AS (SELECT CAST(round(ln(0.5 / total) * 1e6) AS BIGINT) AS fm FROM tot),
+       |j AS (SELECT doc_id, coalesce(v.mn, fl.fm) AS mn
+       |  FROM toks LEFT JOIN v USING (w), fl),
+       |sc AS (SELECT doc_id, count(*) AS n_tok, CAST(-sum(mn) AS BIGINT) AS sm,
+       |    CAST(-sum(mn) AS DOUBLE) / count(*) AS mean_mnats
+       |  FROM j GROUP BY doc_id),
+       |nn AS (SELECT count(*) AS n FROM sc),
+       |rk AS (SELECT sc.*, n,
+       |    row_number() OVER (ORDER BY mean_mnats, doc_id) AS rn FROM sc, nn),
+       |bd AS (SELECT *, (['head', 'middle', 'tail'])[((rn - 1) * 3) // n + 1] AS bucket
+       |  FROM rk)
+       |SELECT bucket, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok,
+       |  CAST(sum(sm) AS BIGINT) AS surprisal_mnats,
+       |  CAST(sum(sm) AS DOUBLE) / sum(n_tok) AS mnats_per_tok
+       |FROM bd GROUP BY 1 ORDER BY 1""".stripMargin
 
   def unigramLogprobSql: String =
     s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
@@ -877,6 +939,7 @@ object TextAnalysis {
     "source_divergence" -> sourceDivergenceSql,
     "nb_classifier" -> nbClassifierSql,
     "unigram_logprob" -> unigramLogprobSql,
+    "quality_buckets" -> qualityBucketsSql,
     "vocab_coverage" -> vocabCoverageSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_pairs" -> winnowPairsSql,

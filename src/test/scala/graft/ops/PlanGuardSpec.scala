@@ -82,6 +82,11 @@ class PlanGuardSpec extends SparkSpec {
     "heavy_hitters" -> 3,
     "bpe_merges" -> 1, // merge rounds materialize at construction (vocab-table aggs + 1-row argmax collects); the returned 12-row merge table keeps its final sort only
     "unigram_logprob" -> 1,
+    // LM scoring + two-phase rank range exchange
+    "quality_buckets" -> 2,
+    // post-checkpoint audit joins: pair×shingle intersection (2 joins)
+    // + sizes back-joins + final decile aggregation
+    "minhash_calibration" -> 6,
     "ann_pq_topk" -> 2,
     "ann_pq_recall" -> 5,
     "hard_negatives" -> 2,
