@@ -128,6 +128,7 @@ object SparkEntry {
     "vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "unigram_logprob"   -> (TextAnalysis.unigramLogprob _),
     "quality_buckets"   -> (TextAnalysis.qualityBuckets _),
+    "zipf_slope"        -> (TextAnalysis.zipfSlope _),
     "nb_classifier"     -> (TextAnalysis.nbClassifier _),
     "source_divergence" -> (TextAnalysis.sourceDivergence _),
     "repetition_score"  -> (TextAnalysis.repetitionScore _),

@@ -99,6 +99,22 @@ object StreamBench {
           q.processAllAvailable()
         }
         q.stop(); r
+      },
+      {
+        val in = MemoryStream[streaming.WindowedTopKState.In]
+        val q = streaming.WindowedTopKState(
+            in.toDS().withWatermark("ts", "10 seconds"), sizeMs = 60000L)
+          .writeStream.format("noop").outputMode("append").start()
+        val r = measure("windowed_topk", total) { (a, b) =>
+          // row i lands at second i/1000 → windows roll over as the
+          // stream advances, so fires + purges are part of the cost
+          in.addData((a until b).map(i =>
+            streaming.WindowedTopKState.In(s"k${i % 64}", s"it${i % 1000}",
+              java.sql.Timestamp.from(
+                java.time.Instant.EPOCH.plusMillis(1000L + i.toLong)))): _*)
+          q.processAllAvailable()
+        }
+        q.stop(); r
       }
     )
 

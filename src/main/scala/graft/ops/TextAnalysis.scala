@@ -727,6 +727,70 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** zipf_slope: the corpus-health power-law fit — OLS over
+    * (ln rank, ln count) of the word-frequency table, reporting slope
+    * (Zipf's law predicts ≈ −1 for natural text; synthetic/templated
+    * corpora flatten toward 0), intercept, and r². A curation pipeline
+    * watches this number drift as ingest sources change.
+    *
+    * Scale shape: the frequency table is ONE map-side-combinable count
+    * whose size is the vocabulary (Heaps-sublinear); ranking uses the
+    * two-phase global row number (no single-task sort even for a
+    * million-word vocabulary). Determinism: ln(rank)/ln(cnt) quantize
+    * ONCE to integer micro-nats; the five OLS sums are exact int64
+    * (bounded: |Σxy| ≤ vocab · (18·10⁶)² needs vocab < 2.8·10⁴ before
+    * long overflow — far above any fixture vocabulary, and the final
+    * combination happens in double on identical operands, so both
+    * engines produce the same bits). */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(expr(wordsExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val ranked = Prims.globalRowNumber(counts, "rank", col("cnt").desc, col("w"))
+    ranked
+      .select(expr("CAST(round(ln(rank) * 1e6) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(cnt) * 1e6) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n_words"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_words"),
+        expr("""(CAST(n_words AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n_words AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)""")
+          .as("slope"),
+        expr("""(CAST(sy AS DOUBLE) - ((CAST(n_words AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n_words AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+                / n_words""").as("intercept"),
+        expr("""pow(CAST(n_words AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
+                / ((CAST(n_words AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n_words AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))""")
+          .as("r2"))
+  }
+
+  def zipfSlopeSql: String =
+    s"""WITH c AS (SELECT w, count(*) AS cnt
+       |  FROM (SELECT unnest($wordsSql) AS w FROM documents) GROUP BY w),
+       |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM c),
+       |q AS (SELECT CAST(round(ln(rank) * 1e6) AS BIGINT) AS x,
+       |    CAST(round(ln(cnt) * 1e6) AS BIGINT) AS y FROM rk),
+       |sums AS (SELECT count(*) AS n_words,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM q)
+       |SELECT n_words,
+       |  (CAST(n_words AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / (CAST(n_words AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+       |  (CAST(sy AS DOUBLE) - ((CAST(n_words AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / (CAST(n_words AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+       |    / n_words AS intercept,
+       |  pow(CAST(n_words AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
+       |    / ((CAST(n_words AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       |       * (CAST(n_words AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2
+       |FROM sums""".stripMargin
+
   def qualityBucketsSql: String =
     s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
        |c AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
@@ -940,6 +1004,7 @@ object TextAnalysis {
     "nb_classifier" -> nbClassifierSql,
     "unigram_logprob" -> unigramLogprobSql,
     "quality_buckets" -> qualityBucketsSql,
+    "zipf_slope" -> zipfSlopeSql,
     "vocab_coverage" -> vocabCoverageSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_pairs" -> winnowPairsSql,

@@ -84,6 +84,8 @@ class PlanGuardSpec extends SparkSpec {
     "unigram_logprob" -> 1,
     // LM scoring + two-phase rank range exchange
     "quality_buckets" -> 2,
+    // word-count agg + rank range exchange feed a 1-row OLS rollup
+    "zipf_slope" -> 1,
     // post-checkpoint audit joins: pair×shingle intersection (2 joins)
     // + sizes back-joins + final decile aggregation
     "minhash_calibration" -> 6,
