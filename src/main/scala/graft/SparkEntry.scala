@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "editdist_pairs"    -> (Dedup.editdistPairs _),
     "dedup_clusters"    -> (Dedup.dedupClusters _),
+    "cluster_size_histogram" -> (Dedup.clusterSizeHistogram _),
     "dedup_survivors"   -> (Dedup.dedupSurvivors _),
     "dedup_near_minhash"-> (Dedup.dedupNearMinhash _),
     "minhash_calibration" -> (Dedup.minhashCalibration _),
@@ -144,6 +145,7 @@ object SparkEntry {
     "decontaminate_bloom" -> (PipelineOps.decontaminateBloom _),
     "source_cardinality"  -> (PipelineOps.sourceCardinality _),
     "domain_mix"        -> (PipelineOps.domainMix _),
+    "domain_mix_temperature" -> (PipelineOps.domainMixTemperature _),
     "domain_mix_weighted" -> (PipelineOps.domainMixWeighted _),
     "corpus_shuffle"    -> (PipelineOps.corpusShuffle _),
     "corpus_stats"      -> (PipelineOps.corpusStats _),

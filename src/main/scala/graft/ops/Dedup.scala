@@ -678,6 +678,28 @@ object Dedup {
       .select(col("label").as("cluster_id"), col("cluster_size"), col("members"))
       .orderBy("cluster_id")
 
+  /** cluster_size_histogram: the duplicate-family size distribution —
+    * how many near-dup clusters of each size the corpus carries. The
+    * first thing an engineer reads after a dedup run: a fat tail of
+    * giant clusters means boilerplate/mirror mass (and predicts the
+    * collapse stage's work); all-2s means organic near-misses. Reuses
+    * the cluster-resolution core; the rollup is two vocabulary-small
+    * aggregations past it. */
+  def clusterSizeHistogram(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir, SmallGraphMaxEdges)
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+
+  def clusterSizeHistogramSql: String =
+    s"""SELECT cluster_size, count(*) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM (${dedupClustersSql})
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Small-graph path: classic union-find with path compression in ONE
     * executor task (not the driver). Output: (doc_id, label=min of its
     * component). */
@@ -1418,6 +1440,7 @@ object Dedup {
     "dedup_substring" -> dedupSubstringSql,
     "editdist_pairs" -> editdistPairsSql,
     "dedup_clusters" -> dedupClustersSql,
+    "cluster_size_histogram" -> clusterSizeHistogramSql,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,

@@ -267,6 +267,48 @@ object PipelineOps {
   /** Total token budget the weighted mix fills (across all sources). */
   private val MixTokenBudget = 6000L
 
+  /** domain_mix_temperature: temperature-flattened domain shares — the
+    * mT5/multilingual balancing rule. Raw token shares p_i get
+    * re-weighted to p_i^τ / Σ p_j^τ with τ = 1/2, boosting the tail
+    * sources a proportional mix starves (the standard fix for
+    * low-resource domains). τ = 1/2 is not just the common default: it
+    * makes the fit exactly computable cross-engine, because x^0.5 is
+    * IEEE-754 sqrt — CORRECTLY ROUNDED by spec, unlike pow/exp/ln which
+    * are libm-dependent. The weight is quantized once
+    * (round(sqrt(n_tok)·1e6) — identical int64 on both engines), so the
+    * share denominator is an exact integer sum and every share/boost is
+    * one double division of exact ints. Scale shape: one
+    * map-side-combinable per-source aggregation (sources are a handful
+    * at any corpus size), then a broadcast scalar cross. */
+  def domainMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir)
+      .select(col("source"), expr(s"size($wordsExpr)").cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+      .withColumn("w", expr("CAST(round(sqrt(n_tok) * 1e6) AS BIGINT)"))
+    val tot = src.agg(sum("n_tok").as("tot_tok"), sum("w").as("tot_w"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tok"),
+        (col("n_tok").cast("double") / col("tot_tok")).as("raw_share"),
+        (col("w").cast("double") / col("tot_w")).as("temp_share"),
+        ((col("w").cast("double") / col("tot_w"))
+          / (col("n_tok").cast("double") / col("tot_tok"))).as("boost"))
+      .orderBy("source")
+  }
+
+  def domainMixTemperatureSql: String =
+    s"""WITH src AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len($wordsSql)) AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT *, CAST(round(sqrt(n_tok) * 1e6) AS BIGINT) AS w FROM src),
+       |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+       |    CAST(sum(w) AS BIGINT) AS tot_w FROM w)
+       |SELECT source, n_docs, n_tok,
+       |  CAST(n_tok AS DOUBLE) / tot_tok AS raw_share,
+       |  CAST(w AS DOUBLE) / tot_w AS temp_share,
+       |  (CAST(w AS DOUBLE) / tot_w) / (CAST(n_tok AS DOUBLE) / tot_tok) AS boost
+       |FROM w, t ORDER BY source""".stripMargin
+
   /** domain_mix_weighted: token-budget proportional domain mixing — the
     * production form of [[domainMix]]. Each source gets a target token
     * PROPORTION (weight w/ΣW of [[MixTokenBudget]]; here w = numeric
@@ -924,6 +966,7 @@ object PipelineOps {
     "decontaminate_bloom" -> decontaminateSql, // bit-identical by construction
     "source_cardinality"  -> sourceCardinalitySql,
     "domain_mix"      -> domainMixSql,
+    "domain_mix_temperature" -> domainMixTemperatureSql,
     "domain_mix_weighted" -> domainMixWeightedSql,
     "corpus_shuffle"  -> corpusShuffleSql,
     "corpus_stats"    -> corpusStatsSql,

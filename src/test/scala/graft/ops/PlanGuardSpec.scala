@@ -33,6 +33,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_ivf_recall" -> "16-centroid codebook cross (broadcast literal)",
     "ann_ivf_sampled_recall" -> "16-centroid codebook cross (broadcast literal)",
     "domain_mix_weighted" -> "1-row weight-total cross (broadcast scalar)",
+    "domain_mix_temperature" -> "1-row share-denominator cross (broadcast scalar)",
     "sliding_window" -> "4-row pane-offset literal cross",
     "tpch_q15" -> "1-row max-revenue cross (broadcast scalar)",
     "heavy_hitters" -> "1-row token-total cross (broadcast scalar)",
@@ -86,6 +87,10 @@ class PlanGuardSpec extends SparkSpec {
     "quality_buckets" -> 2,
     // word-count agg + rank range exchange feed a 1-row OLS rollup
     "zipf_slope" -> 1,
+    // post-checkpoint label rollups (pair graph behind the barrier)
+    "cluster_size_histogram" -> 1,
+    // per-source agg (2-phase) + the broadcast scalar + final sort
+    "domain_mix_temperature" -> 4,
     // post-checkpoint audit joins: pair×shingle intersection (2 joins)
     // + sizes back-joins + final decile aggregation
     "minhash_calibration" -> 6,
