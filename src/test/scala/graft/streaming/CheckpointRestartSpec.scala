@@ -145,6 +145,31 @@ class CheckpointRestartSpec extends SparkSpec {
       && r.contains("\"n\":45")), s"recovered window table not fired: $a")
   }
 
+  test("slidingCarrier: pane buffers survive a kill; the watermark fires them post-restart") {
+    val s = spark
+    import s.implicits._
+    import EventWindowState._
+    // all pane state is built in batch 1 with the carrier watermark held
+    // BACK (wmTs = 1000 s), so nothing fires pre-kill; batch 2 advances
+    // the carrier and the recovered buffers fire. size 4 s, slide 2 s:
+    //   v=5 @1001 s → panes 998, 1000;  v=7 @1003 s → panes 1000, 1002
+    // expected fires: (998s, 5, 1), (1000s, 12, 2), (1002s, 7, 1)
+    val batches = Seq(
+      Seq(EvW("k", 5L, ts(1001 * M), ts(1000 * M)),
+        EvW("k", 7L, ts(1003 * M), ts(1000 * M))),
+      Seq(EvW("drv", 1L, ts(1020 * M), ts(1020 * M))), // carrier → 1020 s
+      Seq(EvW("drv", 1L, ts(1021 * M), ts(1021 * M)))) // tick: timers fire
+    val (a, b) = bothRuns(batches, interruptAfter = 1, "append")(
+      ds => EventWindowState.slidingCarrier(
+        ds.withWatermark("wmTs", "0 seconds"), sizeMs = 4000L, slideMs = 2000L).toDF())
+    assert(a == b, s"restart diverged:\n A-B=${(a diff b).take(3)}\n B-A=${(b diff a).take(3)}")
+    def fired(start: Long) = a.find(r => r.contains("\"key\":\"k\"")
+      && r.contains("\"kind\":\"fire\"") && r.contains("\"windowStart\":" + start * M / 1000))
+    assert(fired(998).exists(r => r.contains("\"sum\":5") && r.contains("\"count\":1")), s"pane 998: $a")
+    assert(fired(1000).exists(r => r.contains("\"sum\":12") && r.contains("\"count\":2")), s"pane 1000: $a")
+    assert(fired(1002).exists(r => r.contains("\"sum\":7") && r.contains("\"count\":1")), s"pane 1002: $a")
+  }
+
   test("AnomalyState: Welford baselines survive a kill") {
     val s = spark
     import s.implicits._
