@@ -141,6 +141,7 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "frame_sample"      -> (Multimodal.frameSample _),
     "train_val_split"   -> (PipelineOps.trainValSplit _),
+    "split_leakage"     -> (PipelineOps.splitLeakage _),
     "decontaminate"     -> (PipelineOps.decontaminate _),
     "decontaminate_bloom" -> (PipelineOps.decontaminateBloom _),
     "source_cardinality"  -> (PipelineOps.sourceCardinality _),

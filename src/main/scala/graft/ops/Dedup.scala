@@ -678,6 +678,11 @@ object Dedup {
       .select(col("label").as("cluster_id"), col("cluster_size"), col("members"))
       .orderBy("cluster_id")
 
+  /** Layout seam for composing modules (PipelineOps.splitLeakage):
+    * (doc_id, label) near-dup component labels at the production gate. */
+  private[graft] def clusterLabelsFor(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir, SmallGraphMaxEdges)
+
   /** cluster_size_histogram: the duplicate-family size distribution —
     * how many near-dup clusters of each size the corpus carries. The
     * first thing an engineer reads after a dedup run: a fat tail of

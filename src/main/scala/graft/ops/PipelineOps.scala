@@ -267,6 +267,55 @@ object PipelineOps {
   /** Total token budget the weighted mix fills (across all sources). */
   private val MixTokenBudget = 6000L
 
+  /** split_leakage: the eval-hygiene audit — validation documents that
+    * are near-duplicates of a training document leak the eval set into
+    * training (the benchmark-contamination failure mode, applied to
+    * your OWN held-out split). A val doc leaks when its near-dup
+    * cluster contains ≥1 train doc; each leak row carries the cluster
+    * context so the fix (move or drop) is mechanical. Run this after
+    * every re-split: hash-based splits are stable per doc but NOT
+    * dedup-aware, so every near-dup family straddling the 90/10 line
+    * is a leak until the split is assigned per CLUSTER, not per doc.
+    *
+    * Scale shape: reuses the cluster-resolution core (bucketed pair
+    * generation, size-gated components); the split column is a pure
+    * hash projection; the leak test is one label-keyed aggregation +
+    * a semi-style join back — all int64-keyed, nothing corpus². */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.clusterLabelsFor(s, dir)
+    val split = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(pmod(hash60(concat(lit("split_"), col("doc_id"))), lit(100L)) < 100L - ValPct,
+          "train").otherwise("val").as("split"))
+    val j = labels.join(split, "doc_id").localCheckpoint(true)
+    val cstats = j.groupBy("label").agg(
+      count(lit(1)).as("cluster_size"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"))
+    j.filter(col("split") === "val")
+      .join(cstats.filter(col("n_train") >= 1), "label")
+      .select(col("doc_id").as("val_doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), col("n_train"))
+      .orderBy("val_doc_id")
+  }
+
+  def splitLeakageSql: String = {
+    val h = hash60Sql("'split_' || CAST(doc_id AS VARCHAR)")
+    s"""WITH cl AS (${Dedup.dedupClustersSql}),
+       |lab AS (SELECT cluster_id AS label, CAST(m AS BIGINT) AS doc_id
+       |  FROM cl, unnest(string_split(members, ',')) AS t(m)),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN $h % 100 < ${100 - ValPct} THEN 'train' ELSE 'val' END AS split
+       |  FROM documents),
+       |j AS (SELECT lab.label, lab.doc_id, sp.split FROM lab JOIN sp USING (doc_id)),
+       |cs AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+       |  FROM j GROUP BY 1)
+       |SELECT j.doc_id AS val_doc_id, j.label AS cluster_id, cluster_size, n_train
+       |FROM j JOIN cs USING (label)
+       |WHERE j.split = 'val' AND n_train >= 1
+       |ORDER BY val_doc_id""".stripMargin
+  }
+
   /** domain_mix_temperature: temperature-flattened domain shares — the
     * mT5/multilingual balancing rule. Raw token shares p_i get
     * re-weighted to p_i^τ / Σ p_j^τ with τ = 1/2, boosting the tail
@@ -962,6 +1011,7 @@ object PipelineOps {
     "stratified_sample" -> stratifiedSampleSql,
     "doc_len_histogram" -> docLenHistogramSql,
     "train_val_split" -> trainValSplitSql,
+    "split_leakage"   -> splitLeakageSql,
     "decontaminate"   -> decontaminateSql,
     "decontaminate_bloom" -> decontaminateSql, // bit-identical by construction
     "source_cardinality"  -> sourceCardinalitySql,

@@ -89,6 +89,8 @@ class PlanGuardSpec extends SparkSpec {
     "zipf_slope" -> 1,
     // post-checkpoint label rollups (pair graph behind the barrier)
     "cluster_size_histogram" -> 1,
+    // label⋈split checkpoint + cluster-stat agg + leak join + sort
+    "split_leakage" -> 3,
     // per-source agg (2-phase) + the broadcast scalar + final sort
     "domain_mix_temperature" -> 4,
     // post-checkpoint audit joins: pair×shingle intersection (2 joins)
