@@ -142,6 +142,7 @@ object SparkEntry {
     "frame_sample"      -> (Multimodal.frameSample _),
     "train_val_split"   -> (PipelineOps.trainValSplit _),
     "split_leakage"     -> (PipelineOps.splitLeakage _),
+    "train_val_split_cluster" -> (PipelineOps.trainValSplitCluster _),
     "decontaminate"     -> (PipelineOps.decontaminate _),
     "decontaminate_bloom" -> (PipelineOps.decontaminateBloom _),
     "source_cardinality"  -> (PipelineOps.sourceCardinality _),

@@ -267,6 +267,60 @@ object PipelineOps {
   /** Total token budget the weighted mix fills (across all sources). */
   private val MixTokenBudget = 6000L
 
+  /** train_val_split_cluster: the dedup-aware split — the FIX for what
+    * [[splitLeakage]] measures. The split hash is taken over each doc's
+    * near-dup CLUSTER LABEL (its component's minimum doc_id; singletons
+    * hash their own id, which IS their label), so an entire duplicate
+    * family lands on one side of the 90/10 line and cross-split leakage
+    * is zero BY CONSTRUCTION — the rule production dedup pipelines use
+    * when they split after clustering. Same readout shape as
+    * [[trainValSplit]] plus the leak count, which this split pins at 0.
+    *
+    * Scale shape: one left join of the corpus to the (doc_id, label)
+    * frame (clustered docs are a small fraction; the join is
+    * int64-keyed), then the same hash projection and rollup. */
+  def trainValSplitCluster(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.clusterLabelsFor(s, dir)
+    val assigned = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"size($wordsExpr)").cast("long").as("toks"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("unit", coalesce(col("label"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(hash60(concat(lit("split_"), col("unit"))), lit(100L)) < 100L - ValPct,
+          "train").otherwise("val"))
+      .localCheckpoint(true)
+    // leaked = clusters seen on both sides — zero by construction, and
+    // the query PROVES it instead of asserting it
+    val leaks = assigned.filter(col("label").isNotNull)
+      .groupBy("label").agg(countDistinct("split").as("n_sides"))
+      .filter(col("n_sides") > 1)
+      .agg(count(lit(1)).as("leaked_clusters"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .crossJoin(broadcast(leaks))
+      .select("split", "n_docs", "n_tokens", "leaked_clusters")
+      .orderBy("split")
+  }
+
+  def trainValSplitClusterSql: String = {
+    val h = hash60Sql("'split_' || CAST(unit AS VARCHAR)")
+    s"""WITH cl AS (${Dedup.dedupClustersSql}),
+       |lab AS (SELECT cluster_id AS label, CAST(m AS BIGINT) AS doc_id
+       |  FROM cl, unnest(string_split(members, ',')) AS t(m)),
+       |a AS (SELECT d.doc_id, len($wordsSql) AS toks, lab.label,
+       |    coalesce(lab.label, d.doc_id) AS unit
+       |  FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+       |sp AS (SELECT *,
+       |    CASE WHEN $h % 100 < ${100 - ValPct} THEN 'train' ELSE 'val' END AS split
+       |  FROM a),
+       |lk AS (SELECT CAST(count(*) AS BIGINT) AS leaked_clusters FROM (
+       |  SELECT label FROM sp WHERE label IS NOT NULL
+       |  GROUP BY label HAVING count(DISTINCT split) > 1))
+       |SELECT split, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  leaked_clusters
+       |FROM sp, lk GROUP BY split, leaked_clusters ORDER BY split""".stripMargin
+  }
+
   /** split_leakage: the eval-hygiene audit — validation documents that
     * are near-duplicates of a training document leak the eval set into
     * training (the benchmark-contamination failure mode, applied to
@@ -1012,6 +1066,7 @@ object PipelineOps {
     "doc_len_histogram" -> docLenHistogramSql,
     "train_val_split" -> trainValSplitSql,
     "split_leakage"   -> splitLeakageSql,
+    "train_val_split_cluster" -> trainValSplitClusterSql,
     "decontaminate"   -> decontaminateSql,
     "decontaminate_bloom" -> decontaminateSql, // bit-identical by construction
     "source_cardinality"  -> sourceCardinalitySql,

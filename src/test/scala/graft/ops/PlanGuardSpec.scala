@@ -34,6 +34,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_ivf_sampled_recall" -> "16-centroid codebook cross (broadcast literal)",
     "domain_mix_weighted" -> "1-row weight-total cross (broadcast scalar)",
     "domain_mix_temperature" -> "1-row share-denominator cross (broadcast scalar)",
+    "train_val_split_cluster" -> "1-row leak-count cross (broadcast scalar)",
     "sliding_window" -> "4-row pane-offset literal cross",
     "tpch_q15" -> "1-row max-revenue cross (broadcast scalar)",
     "heavy_hitters" -> "1-row token-total cross (broadcast scalar)",
@@ -91,6 +92,8 @@ class PlanGuardSpec extends SparkSpec {
     "cluster_size_histogram" -> 1,
     // label⋈split checkpoint + cluster-stat agg + leak join + sort
     "split_leakage" -> 3,
+    // corpus⋈labels checkpoint + leak-proof distinct agg + rollup + sort
+    "train_val_split_cluster" -> 5,
     // per-source agg (2-phase) + the broadcast scalar + final sort
     "domain_mix_temperature" -> 4,
     // post-checkpoint audit joins: pair×shingle intersection (2 joins)
