@@ -141,8 +141,35 @@ object Layout {
       least(lit(cells), greatest(lit(0L),
         call_function("div", (c.cast("long") - lit(lo)) * lit(cells + 1), lit(span))))
     }
-    val ca = cell(a, aLo, aHi)
-    val cb = cell(b, bLo, bHi)
+    interleave(cell(a, aLo, aHi), cell(b, bLo, bHi))
+  }
+
+  /** Morton value with QUANTILE cell boundaries — the skew-robust form.
+    * Equal-width cells collapse on long-tailed columns (99% of a
+    * power-law column lands in cell 0, so the curve degenerates to a
+    * linear sort on the other dimension and two-sided pruning dies);
+    * equal-frequency boundaries give every cell the same row mass
+    * regardless of the value distribution. `aBounds`/`bBounds` are the
+    * 2^ZBits−1 interior cell edges (from `df.stat.approxQuantile` at
+    * write time); the cell id is the count of edges ≤ value, evaluated
+    * as a fold over the boundary literal — a write-path-only projection
+    * (the layout job), so the lambda's interpreted evaluation is paid
+    * once per ingested row, never at read time. */
+  def zValueQuantile(a: org.apache.spark.sql.Column, aBounds: Seq[Long],
+                     b: org.apache.spark.sql.Column, bBounds: Seq[Long]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val cells = (1L << ZBits) - 1
+    def cell(c: org.apache.spark.sql.Column, bounds: Seq[Long]) = {
+      require(bounds.length == cells, s"need $cells interior edges, got ${bounds.length}")
+      least(lit(cells), aggregate(typedLit(bounds), lit(0L),
+        (acc, edge) => acc + when(c.cast("long") >= edge, 1L).otherwise(0L)))
+    }
+    interleave(cell(a, aBounds), cell(b, bBounds))
+  }
+
+  private def interleave(ca: org.apache.spark.sql.Column,
+                         cb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
     (0 until ZBits).map { i =>
       shiftleft(shiftright(ca, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(cb, i).bitwiseAND(lit(1L)), 2 * i))
@@ -168,6 +195,25 @@ object Layout {
       .drop("__zv")
       .write.mode("overwrite").parquet(path)
     ((aLo, aHi), (bLo, bHi))
+  }
+
+  /** [[writeZOrdered]] with quantile cell boundaries ([[zValueQuantile]])
+    * — the variant for long-tailed clustering columns. One
+    * approxQuantile pass pins equal-frequency edges for both columns,
+    * then the same curve-sort layout. */
+  def writeZOrderedQuantile(df: DataFrame, path: String, aCol: String,
+      bCol: String, files: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val cells = (1 << ZBits) - 1
+    val probs = (1 to cells).map(_.toDouble / (cells + 1)).toArray
+    def edges(c: String): Seq[Long] =
+      df.select(col(c).cast("double").as(c))
+        .stat.approxQuantile(c, probs, 0.001).map(_.toLong).toSeq
+    df.withColumn("__zv", zValueQuantile(col(aCol), edges(aCol), col(bCol), edges(bCol)))
+      .repartitionByRange(files, col("__zv"))
+      .sortWithinPartitions("__zv")
+      .drop("__zv")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Data-skipping probe: how many files of `path` MUST a reader touch

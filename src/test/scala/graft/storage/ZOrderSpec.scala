@@ -70,6 +70,42 @@ class ZOrderSpec extends SparkSpec {
     assert(zTouch <= lTouch + 5, s"two-sided box: z=$zTouch linear=$lTouch")
   }
 
+  test("quantile z-order keeps pruning on a long-tailed column where equal-width collapses") {
+    val s = spark
+    import s.implicits._
+    // 99% of `a` mass in [0, 1000), 1% at ~10^12: equal-width cells over
+    // the observed range put the entire body in cell 0 — the curve
+    // degenerates to a linear sort on `b` and two-sided pruning dies.
+    // Quantile edges give every cell equal row mass.
+    val df = (0L until 20000L).map { id =>
+      val a = if (id % 100 == 99) 1000000000000L + id else id % 1000
+      (a, id % 4096)
+    }.toDF("a", "b")
+    val base = java.nio.file.Files.createTempDirectory("zq").toString
+    Layout.writeZOrdered(df, s"$base/ew", "a", "b", Files)
+    Layout.writeZOrderedQuantile(df, s"$base/q", "a", "b", Files)
+    assert(s.read.parquet(s"$base/q").count() == 20000L)
+
+    // an a-only predicate over ~1/8 of the BODY mass: this is where the
+    // collapse shows — under equal-width every body row is a-cell 0, so
+    // the a bits carry no information and the predicate cannot prune
+    // body files at all (the curve degenerated to a b-sort)
+    val aBox = Seq(("a", 100L, 220L))
+    val (ewTouch, ewTotal) = Layout.filesTouched(s, s"$base/ew", aBox)
+    val (qTouch, qTotal) = Layout.filesTouched(s, s"$base/q", aBox)
+    assert(ewTotal >= Files / 2 && qTotal >= Files / 2, "sane fan-out")
+    assert(ewTouch * 4 >= ewTotal * 3,
+      s"fixture must make equal-width collapse on a ($ewTouch/$ewTotal)")
+    // quantile: a-cells are equal-frequency, so the same predicate keeps
+    // its top-bit pruning — at least 2× fewer files
+    assert(qTouch * 2 <= ewTouch,
+      s"quantile must out-prune equal-width ($qTouch vs $ewTouch)")
+    // and the predicate's result is identical either way
+    def boxCount(p: String) = s.read.parquet(p)
+      .filter(col("a").between(100, 220)).count()
+    assert(boxCount(s"$base/q") == boxCount(s"$base/ew"))
+  }
+
   /** [lo, hi] covering roughly 1/`frac` of the column's value range. */
   private def rangeSlice(df: org.apache.spark.sql.DataFrame,
       c: String, frac: Int): (Long, Long) = {
