@@ -115,6 +115,20 @@ object StreamBench {
           q.processAllAvailable()
         }
         q.stop(); r
+      },
+      {
+        val in = MemoryStream[streaming.WindowedSketchState.In]
+        val q = streaming.WindowedSketchState(
+            in.toDS().withWatermark("ts", "10 seconds"), sizeMs = 60000L)
+          .writeStream.format("noop").outputMode("append").start()
+        val r = measure("windowed_hll", total) { (a, b) =>
+          in.addData((a until b).map(i =>
+            streaming.WindowedSketchState.In(s"k${i % 64}", i.toLong * 2654435761L,
+              java.sql.Timestamp.from(
+                java.time.Instant.EPOCH.plusMillis(1000L + i.toLong)))): _*)
+          q.processAllAvailable()
+        }
+        q.stop(); r
       }
     )
 

@@ -145,6 +145,24 @@ class CheckpointRestartSpec extends SparkSpec {
       && r.contains("\"n\":45")), s"recovered window table not fired: $a")
   }
 
+  test("WindowedSketchState: per-window HLL registers survive a kill") {
+    val s = spark
+    import s.implicits._
+    import WindowedSketchState._
+    // window [999,1002)s gets 3 distinct items pre-kill; the estimate
+    // fires post-restart and is exact only if the registers recovered
+    val b1 = Seq(In("k", 10L, ts(1000 * M)), In("k", 11L, ts(1000 * M)),
+      In("k", 12L, ts(1001 * M)), In("k", 10L, ts(1001 * M)))
+    val b2 = Seq(In("drv", 1L, ts(1010 * M)))
+    val b3 = Seq(In("drv", 2L, ts(1011 * M)))
+    val (a, b) = bothRuns(Seq(b1, b2, b3), interruptAfter = 1, "append")(
+      ds => WindowedSketchState(
+        ds.withWatermark("ts", "0 seconds").as[In], sizeMs = 3000L).toDF())
+    assert(a == b, s"restart diverged:\n A-B=${(a diff b).take(3)}\n B-A=${(b diff a).take(3)}")
+    assert(a.exists(r => r.contains("\"key\":\"k\"") && r.contains("\"estimate\":3")),
+      s"recovered window must count 3 distinct exactly: $a")
+  }
+
   test("slidingCarrier: pane buffers survive a kill; the watermark fires them post-restart") {
     val s = spark
     import s.implicits._
