@@ -101,6 +101,7 @@ object SparkEntry {
     "dedup_survivors"   -> (Dedup.dedupSurvivors _),
     "dedup_near_minhash"-> (Dedup.dedupNearMinhash _),
     "minhash_calibration" -> (Dedup.minhashCalibration _),
+    "source_overlap"    -> (Dedup.sourceOverlap _),
     "simhash_dedup"     -> (Dedup.simhashDedup _),
     "simhash_hamming_pairs" -> (Dedup.simhashHammingPairs _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),

@@ -705,6 +705,40 @@ object Dedup {
        |FROM (${dedupClustersSql})
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** source_overlap: the cross-source duplication matrix — for every
+    * ordered source pair (a ≤ b), how many near-dup candidate pairs
+    * straddle them. This is how an ingest pipeline decides WHERE its
+    * duplication comes from (two crawls mirroring each other vs one
+    * source self-duplicating) and which source to dedup against which.
+    * Diagonal rows are within-source duplication. Reuses the banded-LSH
+    * candidate core; the source attach is two broadcast-sized joins
+    * against the (doc_id, source) projection — at 100 TB that
+    * projection is data-sized, so they plan as int64-keyed shuffles,
+    * still pair-mass-proportional. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    minhashCandidatesWithMatches(s, dir)
+      .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+      .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_lo", "source_hi")
+  }
+
+  def sourceOverlapSql: String =
+    s"""WITH cand AS (
+       |  SELECT doc_a, doc_b FROM (${dedupNearMinhashSql})
+       |)
+       |SELECT least(sa.source, sb.source) AS source_lo,
+       |  greatest(sa.source, sb.source) AS source_hi,
+       |  count(*) AS n_pairs
+       |FROM cand
+       |JOIN documents sa ON sa.doc_id = cand.doc_a
+       |JOIN documents sb ON sb.doc_id = cand.doc_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Small-graph path: classic union-find with path compression in ONE
     * executor task (not the driver). Output: (doc_id, label=min of its
     * component). */
@@ -1451,6 +1485,7 @@ object Dedup {
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "dedup_near_minhash" -> dedupNearMinhashSql,
     "minhash_calibration" -> minhashCalibrationSql,
+    "source_overlap" -> sourceOverlapSql,
     "simhash_dedup" -> simhashDedupSql,
     "simhash_hamming_pairs" -> simhashHammingPairsSql,
     "ngram_jaccard" -> ngramJaccardSql,

@@ -94,6 +94,8 @@ class PlanGuardSpec extends SparkSpec {
     "split_leakage" -> 3,
     // corpus⋈labels checkpoint + leak-proof distinct agg + rollup + sort
     "train_val_split_cluster" -> 5,
+    // candidate core + two source attaches + matrix agg + sort
+    "source_overlap" -> 6,
     // per-source agg (2-phase) + the broadcast scalar + final sort
     "domain_mix_temperature" -> 4,
     // post-checkpoint audit joins: pair×shingle intersection (2 joins)
