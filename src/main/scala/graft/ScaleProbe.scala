@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Prims.MaterializeOps
 
 /** Empirical scale-up probe: replicate the sf0.1 testdata 10× (with
   * shifted keys, into /tmp) and compare operator runtimes against the
@@ -115,7 +116,7 @@ object ScaleProbe {
     def embOf(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), expr(Similarity.quantExpr).as("qv"))
     for ((label, dir) <- Seq("sf0.1" -> src, "10x" -> big)) {
-      val emb = embOf(dir).localCheckpoint(true)
+      val emb = embOf(dir).materialized
       def time(kind: String)(train: => Unit): Unit = {
         train // warm (JIT; training itself is uncached)
         val t0 = System.nanoTime()
@@ -208,7 +209,7 @@ object ScaleProbe {
     println(f"${"corpus"}%-7s ${"docs"}%9s ${"buckets"}%9s ${"maxbkt"}%7s " +
       f"${"hot"}%5s ${"cands"}%10s ${"pairs"}%8s ${"prec"}%6s ${"sec"}%7s")
     for ((label, dir) <- Seq("sf0.1" -> src, "10x" -> big)) {
-      val fps = Dedup.simhashFpsImpl(spark, dir, bits).localCheckpoint(true)
+      val fps = Dedup.simhashFpsImpl(spark, dir, bits).materialized
       val n = fps.count()
       val bands = (0 until nBands).map(b => fps.select(
           lit(b).as("band"),
@@ -216,7 +217,7 @@ object ScaleProbe {
             .bitwiseAND(lit((1L << bandBits) - 1)).as("bval")))
         .reduce(_ unionByName _)
       val bs = bands.groupBy("band", "bval").agg(count(lit(1)).as("bn"))
-        .localCheckpoint(true)
+        .materialized
       val row = bs.agg(
         count(lit(1)).as("buckets"), max("bn").as("maxbkt"),
         sum(when(col("bn") > 100, 1L).otherwise(0L)).as("hot"),
@@ -292,7 +293,7 @@ object ScaleProbe {
     for (n <- Seq(1000L, 10000L, 100000L, 1000000L)) {
       val pairs = spark.range(n - 1)
         .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-        .repartition(32).localCheckpoint(true)
+        .repartition(32).materialized
       val t0 = System.nanoTime()
       val (labels, rounds) = graft.ops.Dedup.alternatingStar(pairs)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -343,7 +344,7 @@ object ScaleProbe {
       .select((col("id") + root).as("doc_a"),
         (expr("(id - 1) DIV 2") + root).as("doc_b"))
     val pairs = chain.unionByName(star).unionByName(tree)
-      .repartition(32).localCheckpoint(true)
+      .repartition(32).materialized
     val edges = pairs.count()
     require(edges > Dedup.SmallGraphMaxEdges,
       s"probe premise broken: $edges edges does not exceed the " +
@@ -406,7 +407,7 @@ object ScaleProbe {
             .otherwise(pmod(col("id"), lit(100000L))).as("k"),
           (col("id") % 1000).as("v"))
         .repartition(32)
-        .localCheckpoint(true)
+        .materialized
       def time(label: String)(mk: => DataFrame): Unit = {
         mk.count() // warm
         // NOT releaseAll between samples: that would drop df's checkpoint
@@ -622,10 +623,10 @@ object ScaleProbe {
         when(pmod(col("id"), lit(2)) === 0, lit(0L))
           .otherwise(pmod(col("id"), lit(dimN))).as("k"),
         xxhash64(col("id")).as("v"))
-      .repartition(32).localCheckpoint(true)
+      .repartition(32).materialized
     val dim = spark.range(dimN).select(col("id").as("k"),
         expr("repeat('x', 64)").as("pad"))
-      .repartition(32).localCheckpoint(true)
+      .repartition(32).materialized
     // the aggregate must consume BOTH sides' payloads: summing only the
     // dim pad lets column pruning strip v from the fact shuffle, whose
     // hot partition then holds nothing but the constant key — which

@@ -58,7 +58,7 @@ object Bpe {
     val s = docs.sparkSession
     import s.implicits._
     // vocab-sized; materialized once — rounds re-aggregate THIS table
-    var words = wordTable(docs).localCheckpoint(true)
+    var words = wordTable(docs).materialized
 
     val merges = Vector.newBuilder[(Long, String, String, String, Long)]
     var r = 1
@@ -80,7 +80,7 @@ object Bpe {
         val pat = lit(s" $x $y "); val rep = lit(s" $x$y ")
         words = words
           .withColumn("seq", replace(replace(col("seq"), pat, rep), pat, rep))
-          .localCheckpoint(true) // flat lineage: round r+1 reads this, not a 2r-deep replace chain
+          .materialized // flat lineage: round r+1 reads this, not a 2r-deep replace chain
         merges += ((r.toLong, x, y, x + y, c))
         r += 1
       }

@@ -141,7 +141,7 @@ object Dedup {
     // the signature table is referenced three times (banding + both join
     // sides); eager localCheckpoint materializes it once and frees with
     // the RDD — no cache entry outlives the call (OpsSpec leak guard)
-    val sig = minhashSig(Tables.documents(s, dir)).localCheckpoint(true)
+    val sig = minhashSig(Tables.documents(s, dir)).materialized
     // band signature = hash60 of the comma-joined band values: an int64
     // join/aggregation key instead of a ~40-char string, so the bucket
     // exchange moves 8-byte keys (the same key-narrowing as the n-gram
@@ -198,9 +198,9 @@ object Dedup {
     * floor(|m/16 − i/u|·10) — two int÷int IEEE divisions both engines
     * reproduce bit-for-bit. */
   def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
-    val cands = minhashCandidatesWithMatches(s, dir).localCheckpoint(true)
+    val cands = minhashCandidatesWithMatches(s, dir).materialized
     val shr = shingleHashesFromToks(Prims.tokenized(Tables.documents(s, dir)))
-      .localCheckpoint(true)
+      .materialized
     val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(shr.toDF("doc_a", "hs"), Seq("doc_a"))
@@ -387,7 +387,7 @@ object Dedup {
     val bandMask = (1L << bandBits) - 1
     // referenced by all band projections + both join sides: pin the
     // doc-sized (doc_id, simhash) table once; blocks free with the RDD
-    val fps = simhashFpsImpl(s, dir, bits).localCheckpoint(true)
+    val fps = simhashFpsImpl(s, dir, bits).materialized
     val bands = (0 until nBands).map { k =>
       fps.select(col("doc_id"), col("simhash"), lit(k).as("band"),
         shiftrightunsigned(col("simhash"), bandBits * k)
@@ -498,7 +498,7 @@ object Dedup {
       .select("hs")
     // referenced three times (sizes + both sides of the index self-join):
     // localCheckpoint, not cache — see the leak note in dedupNearMinhash
-    val shr = sh.join(rare, "hs").localCheckpoint(true)
+    val shr = sh.join(rare, "hs").materialized
     val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shr.as("a").join(shr.as("b"),
         col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
@@ -534,7 +534,7 @@ object Dedup {
     * so the range-partitioner's sampling pass doesn't re-run the
     * expensive inverted-index join. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(s, dir).localCheckpoint(true)
+    ngramJaccardPairs(s, dir).materialized
       .orderBy("doc_a", "doc_b")
 
   def ngramJaccardSql: String =
@@ -580,7 +580,7 @@ object Dedup {
     * this reporter flags it while the Jaccard form does not. */
   def containmentPairs(s: SparkSession, dir: String): DataFrame =
     containmentPairsFromToks(s, Prims.tokenized(Tables.documents(s, dir)))
-      .localCheckpoint(true) // survivors only; don't re-run the index join under the sort's sampling pass
+      .materialized // survivors only; don't re-run the index join under the sort's sampling pass
       .orderBy("doc_a", "doc_b")
 
   def containmentPairsSql: String =
@@ -646,7 +646,7 @@ object Dedup {
     // pair-generation lineage) at the join's natural partitioning
     labelsFromPairs(s,
       ngramJaccardPairsFromToks(s, toks).select("doc_a", "doc_b")
-        .localCheckpoint(true),
+        .materialized,
       smallGraphMaxEdges)
 
   /** Size-gated cluster resolution over an already-MATERIALIZED pair
@@ -821,7 +821,7 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     // Each phase is ONE window pass — first_value over (partition by u
     // order by v) hands every row its group min in a single
     // exchange+sort, replacing the former groupBy-min + join-back pair
@@ -858,7 +858,7 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < StarMaxRounds) {
       // eager checkpoint materializes the round AND truncates lineage
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).materialized
       val row = next.agg( // cheap second action over the cached blocks
         count(lit(1)).as("c"),
         sum(col("u").cast("decimal(38,0)")).as("su"),
@@ -882,7 +882,7 @@ object Dedup {
     val labels = edges.select(col("u").as("doc_id"), col("v").as("label"))
       .unionByName(edges.select(col("v").as("doc_id"), col("v").as("label")))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     (labels, rounds)
   }
 
@@ -935,7 +935,7 @@ object Dedup {
     * reader bit-identical to its self-contained twin, and `ScaleProbe
     * artifact` measures the saved recompute. */
   def pairGraph(s: SparkSession, dir: String, outPath: String): Unit = {
-    val pairs = ngramJaccardPairs(s, dir).localCheckpoint(true)
+    val pairs = ngramJaccardPairs(s, dir).materialized
     pairs.write.mode("overwrite").parquet(s"$outPath/pairs.parquet")
     labelsFromPairs(s, pairs.select("doc_a", "doc_b"), SmallGraphMaxEdges)
       .write.mode("overwrite").parquet(s"$outPath/labels.parquet")
@@ -1167,7 +1167,7 @@ object Dedup {
       // downstream join FANS OUT quadratically per block, so parallelism
       // must be sized for the pair volume, not the input bytes
       .repartition(editPartitions(s), col("lang"), col("source"), col("lb"))
-      .localCheckpoint(true) // referenced three times: block stats + both join sides
+      .materialized // referenced three times: block stats + both join sides
     // block stats are block-cardinality rows (metadata-sized under the
     // few-huge-groups shape) — BROADCAST at every use, so the corpus side
     // never exchanges for a stats lookup; recomputing them per use is one
@@ -1209,7 +1209,7 @@ object Dedup {
       // so the range-partitioner's sampling pass re-reads the checkpoint
       // instead of re-running the blocked join + per-pair DP (the same
       // lineage-truncation discipline as ngramJaccard)
-      .localCheckpoint(true)
+      .materialized
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1270,7 +1270,7 @@ object Dedup {
       .select(col("doc_id"), lit(1).as("is_exact"))
     // near probe: band signatures from the SAME minhash family as the
     // batch near-dup path, new-batch bands semi-joined to index bands
-    val sig = minhashSig(docs).localCheckpoint(true)
+    val sig = minhashSig(docs).materialized
     val bands = (0 until NumBands).map { k =>
       sig.select(col("doc_id"), lit(k).as("band"),
         hash60(concat_ws(",",
@@ -1358,7 +1358,7 @@ object Dedup {
     * for any graph whose vertex set fits a cluster. */
   def pagerankDocs(s: SparkSession, dir: String): DataFrame =
     pagerankFromPairs(
-      ngramJaccardPairs(s, dir).select("doc_a", "doc_b").localCheckpoint(true))
+      ngramJaccardPairs(s, dir).select("doc_a", "doc_b").materialized)
       .select(col("v").as("doc_id"), col("pr_micro"), col("deg"))
       .orderBy("doc_id")
 
@@ -1370,7 +1370,7 @@ object Dedup {
         jp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v")
       .repartition(col("u"))
-      .localCheckpoint(true) // iterated over PrIters times; cut the pair-join lineage
+      .materialized // iterated over PrIters times; cut the pair-join lineage
     val degByV = edges.groupBy("u").agg(count(lit(1)).as("deg"))
       .toDF("v", "deg") // fresh attribute ids: joined against its own derivations below
     var p = degByV.select(col("v"), lit(PrUnit).as("p"))
@@ -1380,7 +1380,7 @@ object Dedup {
       p = edges.join(out, "u")
         .select(col("v"), expr(s"(outv * $PrDamp) div $PrUnit").as("c"))
         .groupBy("v").agg((lit(PrTeleport) + sum(col("c"))).as("p"))
-        .localCheckpoint(true) // vertex-sized; keeps the loop's lineage flat
+        .materialized // vertex-sized; keeps the loop's lineage flat
     }
     p.join(degByV, Seq("v")).select(col("v"), col("p").as("pr_micro"), col("deg"))
   }
@@ -1397,7 +1397,7 @@ object Dedup {
   def dedupCentralSurvivors(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
-      .localCheckpoint(true)
+      .materialized
     val labels = labelsFromPairs(s, pairs, SmallGraphMaxEdges)
     val pr = pagerankFromPairs(pairs)
     val w = Window.partitionBy("label")

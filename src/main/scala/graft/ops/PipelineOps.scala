@@ -176,7 +176,7 @@ object PipelineOps {
     val held = grams.filter(col("doc_id") < HeldoutMax)
       .select("g").distinct()
       // referenced three times (count, filter build, exact confirm join)
-      .localCheckpoint(true)
+      .materialized
     val nHeld = held.count()
     // empty held set: nothing can be contaminated (and stat.bloomFilter
     // over zero rows yields a null buffer) — short-circuit to an empty
@@ -288,7 +288,7 @@ object PipelineOps {
       .withColumn("split",
         when(pmod(hash60(concat(lit("split_"), col("unit"))), lit(100L)) < 100L - ValPct,
           "train").otherwise("val"))
-      .localCheckpoint(true)
+      .materialized
     // leaked = clusters seen on both sides — zero by construction, and
     // the query PROVES it instead of asserting it
     val leaks = assigned.filter(col("label").isNotNull)
@@ -341,7 +341,7 @@ object PipelineOps {
       .select(col("doc_id"),
         when(pmod(hash60(concat(lit("split_"), col("doc_id"))), lit(100L)) < 100L - ValPct,
           "train").otherwise("val").as("split"))
-    val j = labels.join(split, "doc_id").localCheckpoint(true)
+    val j = labels.join(split, "doc_id").materialized
     val cstats = j.groupBy("label").agg(
       count(lit(1)).as("cluster_size"),
       sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"))
@@ -895,7 +895,7 @@ object PipelineOps {
     // corpus-sized executor-local storage (see [[Prims.tokenized]]);
     // blocks free with the RDD, no cache entry outlives the call.
     val toks = timed("tokenize_checkpoint") {
-      Prims.tokenized(docs).localCheckpoint(true)
+      Prims.tokenized(docs).materialized
     }
     val scored = TextAnalysis.qualityMetricsFromToks(toks)
       .filter(col("score") >= CurateQualityMin)
@@ -1005,7 +1005,7 @@ object PipelineOps {
     // one shared (checkpointed) tokenize pass feeds quality, the token
     // counts, the contamination grams, and the collapse's shingle index
     // — see curateStages; previously each stage re-split the text
-    val toks = Prims.tokenized(docs).localCheckpoint(true)
+    val toks = Prims.tokenized(docs).materialized
     val scored = TextAnalysis.qualityMetricsFromToks(toks)
       .select(col("doc_id"), col("n_words").as("toks"),
         (col("score") >= CurateQualityMin).as("ok"))

@@ -20,6 +20,59 @@ import org.apache.spark.sql.types.DecimalType
   *     as engine-native timestamp values.
   */
 object Prims {
+  /** Conf key selecting how [[materialize]] pins a frame:
+    * `local` (default) or `reliable`. */
+  val MaterializeModeKey = "spark.graft.materialize.mode"
+
+  /** THE materialization barrier — every eager pin in graft routes
+    * through this one indirection (call sites spell it
+    * `df.materialized` via [[MaterializeOps]]).
+    *
+    * Two modes, selected by [[MaterializeModeKey]]:
+    *
+    *   - `local` (default): `localCheckpoint(eager = true)`. Blocks live
+    *     on the executors that computed them (MEMORY_AND_DISK) and the
+    *     lineage is TRUNCATED — the fast path, and the right one on
+    *     local[32] or any run where losing an executor may as well fail
+    *     the job. THE TRADE: on a real cluster a lost executor takes its
+    *     blocks with it and the truncated lineage cannot recompute them,
+    *     so ONE lost node fails every query still reading the pin. Worse
+    *     than wasted work: in [[globalRowNumber]]/[[groupedRowNumber]]/
+    *     [[globalPrefixSum]] the pin holds nondeterministic ids that the
+    *     offsets pass already observed — a silent recompute (were the
+    *     lineage not truncated) could assign DIFFERENT ids and corrupt
+    *     every rank built on them. Truncation turns that silent
+    *     corruption into a loud failure, but only `reliable` survives it.
+    *   - `reliable`: `checkpoint(eager = true)` into
+    *     `sparkContext.setCheckpointDir` — blocks are written to
+    *     fault-tolerant storage (HDFS/S3 on a cluster) and survive any
+    *     executor loss; re-reads are deterministic, so the pinned-ids
+    *     contract holds too. Costs a write+read of the frame versus
+    *     `local`'s in-memory blocks (overhead measured in
+    *     docs/SCALEPROBE_r13.md); the posture for multi-hour 100 TB runs
+    *     where node loss is expected, not exceptional.
+    *
+    * Both modes pin CONTENT (ids, sampled range boundaries, sort order)
+    * eagerly, which is what every call site actually needs; MaterializeSpec
+    * proves mode choice never changes query output. */
+  def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(MaterializeModeKey, "local") match {
+      case "local" => df.localCheckpoint(true)
+      case "reliable" =>
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          s"$MaterializeModeKey=reliable requires sparkContext.setCheckpointDir " +
+            "(a cluster-visible fault-tolerant path, e.g. hdfs://.../checkpoints)")
+        df.checkpoint(eager = true)
+      case other => sys.error(
+        s"$MaterializeModeKey: unknown mode '$other' (expected local | reliable)")
+    }
+
+  /** `df.materialized` sugar for [[materialize]] — in scope wherever
+    * `import Prims._` already is. */
+  implicit final class MaterializeOps(private val df: DataFrame) extends AnyVal {
+    def materialized: DataFrame = Prims.materialize(df)
+  }
+
   /** Exact money/measure type: matches `CAST(x AS DECIMAL(18,2))` in DuckDB. */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
@@ -112,7 +165,7 @@ object Prims {
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(true)
+      .materialized
     val stats = ranged.groupBy("__pid")
       .agg(count(lit(1)).as("c"), min("__mid").as("m"), max("__mid").as("x"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -183,7 +236,7 @@ object Prims {
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(true)
+      .materialized
     // ONE metadata collect covers both phases: per-(partition, group-run)
     // counts and id bounds. Range partitioning by (group, order) keeps
     // each group's rows in contiguous runs, so this is at most
@@ -249,7 +302,7 @@ object Prims {
       .sortWithinPartitions(sortCols: _*)
       // same pinning rationale as globalRowNumber: the sums pass and the
       // scan pass must see identical, identically-ordered partitions
-      .localCheckpoint(true)
+      .materialized
     val sums = ranged
       .groupBy(spark_partition_id().as("__pid")).agg(sum(col(valCol)).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

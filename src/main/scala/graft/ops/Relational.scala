@@ -126,12 +126,12 @@ object Relational {
     // localCheckpoint pattern Dedup.dedupClusters uses
     val start = Tables.events(s, dir)
       .select(col("event_id"), pmod(col("event_id"), lit(10)).cast("int").as("x"))
-      .localCheckpoint(true)
+      .materialized
     var done     = start.filter(col("x") > 5)
-    var feedback = start.filter(col("x") <= 5).localCheckpoint(true)
+    var feedback = start.filter(col("x") <= 5).materialized
     var guard    = 0
     while (!feedback.isEmpty && guard < 12) {
-      val stepped = feedback.withColumn("x", col("x") + 1).localCheckpoint(true)
+      val stepped = feedback.withColumn("x", col("x") + 1).materialized
       done = done.unionByName(stepped.filter(col("x") > 5))
       feedback = stepped.filter(col("x") <= 5)
       guard += 1

@@ -702,7 +702,7 @@ object Similarity {
     // narrow argmin projection — no exchange before this checkpoint
     val assigned = assignedNarrow(s, dir, centRows)
       .select("vec_id", "list_id", "qv")
-      .localCheckpoint(true)
+      .materialized
     def cosine(aq: org.apache.spark.sql.Column, bq: org.apache.spark.sql.Column) =
       QDot(aq, bq).cast("double") /
         (sqrt(QDot(aq, aq).cast("double")) * sqrt(QDot(bq, bq).cast("double")))
@@ -800,7 +800,7 @@ object Similarity {
     val centRows = codebookFor(s, dir, sampled = true)
     val assigned = assignedNarrow(s, dir, centRows)
       .select("vec_id", "list_id", "qv")
-      .localCheckpoint(true)
+      .materialized
     def cosine(aq: org.apache.spark.sql.Column, bq: org.apache.spark.sql.Column) =
       QDot(aq, bq).cast("double") /
         (sqrt(QDot(aq, aq).cast("double")) * sqrt(QDot(bq, bq).cast("double")))
@@ -1010,7 +1010,7 @@ object Similarity {
     // re-encoded once PER QUERY — and the inlined monolith is what broke
     // codegen. The barrier costs one narrow (vec_id, 8 codes) frame,
     // ~1/Dim of the corpus' width: the PQ index an ANN system persists.
-    pqEncoded(s, dir, books).localCheckpoint(true)
+    pqEncoded(s, dir, books).materialized
       .crossJoin(queries)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

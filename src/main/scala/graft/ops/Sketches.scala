@@ -70,7 +70,7 @@ object Sketches {
         struct(lit(i).as("r"), bucket(i, col("gram")).as("b"))): _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // one job; reread per broadcast slice below
+      .materialized // one job; reread per broadcast slice below
 
     // Total token mass = sum of any one sketch row (every gram lands in
     // exactly one bucket per row) — no extra pass over the corpus.

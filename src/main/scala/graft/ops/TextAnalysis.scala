@@ -209,7 +209,7 @@ object TextAnalysis {
            |          + element_at(hs, i + 2) * ${FpB}L
            |          + element_at(hs, i + 3), ${P31}L)))""".stripMargin)
           .as("fingerprint"))
-      .localCheckpoint(true)
+      .materialized
     val groups = fps.groupBy("fingerprint").agg(count(lit(1)).as("n_same"))
     fps.join(groups, "fingerprint")
       .select("doc_id", "fingerprint", "n_same")
@@ -557,11 +557,11 @@ object TextAnalysis {
     // per doc and is the barrier the single-reference projection lacks.
     val fps = winnowFps(Tables.documents(s, dir))
       .select("doc_id", "fps")
-      .localCheckpoint(true)
+      .materialized
     // referenced three times (bucket stats + both join sides): pin once,
     // blocks freed with the RDD — the same discipline as the LSH banding
     val ex = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
-      .localCheckpoint(true)
+      .materialized
     val stats = ex.groupBy("fp")
       .agg(count(lit(1)).as("n"), min("doc_id").as("fmin"))
     val kept = ex.join(stats.filter(col("n") <= MaxFpDf).select("fp"), Seq("fp"))
@@ -954,7 +954,7 @@ object TextAnalysis {
     // from this (sources × V+1)-cell frame, materialized so the corpus
     // is scanned once, not once per marginal
     val srcCnt = bucketed.groupBy("source", "b").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .materialized
     val srcTok = srcCnt.groupBy("source").agg(sum("cnt").as("tok"))
     val corpCnt = srcCnt.groupBy("b").agg(sum("cnt").as("ccnt"))
     val corpTot = corpCnt.agg(sum("ccnt").as("ctot"))
