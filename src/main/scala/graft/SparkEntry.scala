@@ -162,6 +162,8 @@ object SparkEntry {
     "doc_len_histogram" -> (PipelineOps.docLenHistogram _),
     "heavy_hitters"     -> (Sketches.heavyHitters _),
     "bpe_merges"        -> (Bpe.bpeMerges _),
+    "bpe_apply"         -> (Bpe.bpeApply _),
+    "bpe_token_histogram" -> (Bpe.bpeTokenHistogram _),
     // E3 flagship: full six-source enrichment DAG through four
     // flatMapGroupsWithState stages (graft.streaming.EnrichDag)
     "enrich_dag"        -> (graft.streaming.EnrichDag.enrichDag _),

@@ -57,6 +57,17 @@ object Bpe {
   def bpeMergesOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    trainedOf(docs)._1
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  /** Train and return BOTH artifacts: the ordered merge list (driver
+    * metadata, ≤ [[MergeRounds]] rows) and the final fully-merged word
+    * table — vocab-sized, already materialized. [[bpeMerges]] surfaces
+    * the first; [[bpeApply]]/[[bpeTokenHistogram]] consume one each. */
+  private def trainedOf(docs: DataFrame)
+      : (Vector[(Long, String, String, String, Long)], DataFrame) = {
     // vocab-sized; materialized once — rounds re-aggregate THIS table
     var words = wordTable(docs).materialized
 
@@ -85,36 +96,125 @@ object Bpe {
         r += 1
       }
     }
-    merges.result()
-      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
-      .orderBy("round")
+    (merges.result(), words)
   }
 
-  /** DuckDB oracle: the same rounds unrolled as CTE chains
-    * w0 → (p_r pair counts → b_r argmax → w_r rewrite) × MergeRounds. */
-  def bpeMergesSql: String = {
+  /** bpe_apply: ENCODE the corpus with the trained tokenizer — the
+    * consuming half of the BPE loop ([[bpeMerges]] trains; this applies
+    * the learned merges to every document and reports the per-doc token
+    * economics a data pipeline budgets with: (doc_id, n_words, n_chars,
+    * n_tokens) ORDER BY doc_id).
+    *
+    * Scale shape: training reduces to vocab-table work as in
+    * [[bpeMerges]]; the merge list then comes back to the ENCODE side as
+    * 2×[[MergeRounds]] literal `replace` calls folded into one codegen
+    * projection — the map-literal posture of unigram_logprob's scoring,
+    * NO join against the vocabulary and no second pass over the corpus.
+    * (Applying the ordered chain to a fresh char-split word reproduces
+    * the training rewrite exactly, because training applied that same
+    * chain to every vocab word.) The only exchange is the map-side-
+    * combined per-doc aggregation — scan-proportional at 100 TB.
+    *
+    * Oracle note: like bpeMergesSql, the SQL twin unrolls all
+    * [[MergeRounds]] rounds and assumes the corpus supports them (the
+    * CTE chain goes empty past an exhausted round on both sides of the
+    * training table, but the encode side here keeps whatever merges
+    * exist — fine for any real corpus; BpeSpec covers tiny ones). */
+  def bpeApply(s: SparkSession, dir: String): DataFrame =
+    bpeApplyOf(Tables.documents(s, dir))
+
+  def bpeApplyOf(docs: DataFrame): DataFrame = {
+    val merges = trainedOf(docs)._1
+    val charSplit = concat(regexp_replace(col("word"), "(.)", " $1"), lit(" "))
+    val seqCol = merges.foldLeft(charSplit) { case (c, (_, x, y, _, _)) =>
+      val pat = lit(s" $x $y "); val rep = lit(s" $x$y ")
+      replace(replace(c, pat, rep), pat, rep)
+    }
+    docs.select(col("doc_id"), explode(expr(wordsExpr)).as("word"))
+      .select(col("doc_id"), col("word"),
+        size(split(trim(seqCol), " ")).cast("long").as("ntok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("ntok")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** bpe_token_histogram: the corpus-wide token frequency table under
+    * the trained tokenizer — (token, occurrences) ORDER BY token, the
+    * table that feeds vocab-coverage and packing decisions downstream.
+    * Reads the final trained word table directly (vocab-sized: explode
+    * each word's merged symbol sequence weighted by corpus count), so
+    * past the one training tokenize pass this never touches the corpus. */
+  def bpeTokenHistogram(s: SparkSession, dir: String): DataFrame =
+    bpeTokenHistogramOf(Tables.documents(s, dir))
+
+  def bpeTokenHistogramOf(docs: DataFrame): DataFrame =
+    trainedOf(docs)._2
+      .select(explode(split(trim(col("seq")), " ")).as("token"), col("cnt"))
+      .groupBy("token").agg(sum(col("cnt")).as("occurrences"))
+      .orderBy("token")
+
+
+  /** The shared DuckDB training chain: w0 (char-split word-frequency
+    * table) → (p_r pair counts → b_r argmax → w_r rewrite) ×
+    * MergeRounds. All three BPE oracles hang off it. */
+  private def cteChain: String = {
     val rep = "' '||x||' '||y||' ', ' '||x||y||' '"
     val rounds = (1 to MergeRounds).map { r =>
-      s"""p$r AS (SELECT l[i] AS x, l[i+1] AS y, CAST(sum(cnt) AS BIGINT) AS c
+      s"""p$r AS MATERIALIZED (SELECT l[i] AS x, l[i+1] AS y, CAST(sum(cnt) AS BIGINT) AS c
          |  FROM (SELECT string_split(trim(seq), ' ') AS l, cnt FROM w${r - 1}) t,
          |    UNNEST(generate_series(1, len(l) - 1)) AS u(i)
          |  WHERE len(l) >= 2 GROUP BY 1, 2),
-         |b$r AS (SELECT x, y, c FROM p$r ORDER BY c DESC, x, y LIMIT 1),
-         |w$r AS (SELECT word, cnt,
+         |b$r AS MATERIALIZED (SELECT x, y, c FROM p$r ORDER BY c DESC, x, y LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT word, cnt,
          |    replace(replace(seq, $rep), $rep) AS seq
          |  FROM w${r - 1}, b$r)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to MergeRounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, x AS left_sym, y AS right_sym, " +
-        s"x||y AS merged, c AS pair_count FROM b$r").mkString("\nUNION ALL ")
-    s"""WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+    s"""w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
        |    regexp_replace(word, '(.)', ' \\1', 'g') || ' ' AS seq
        |  FROM (SELECT unnest($wordsSql) AS word FROM documents) t
        |  GROUP BY word),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB oracle for bpe_merges: the training chain's per-round argmax
+    * rows. */
+  def bpeMergesSql: String = {
+    val sel = (1 to MergeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, x AS left_sym, y AS right_sym, " +
+        s"x||y AS merged, c AS pair_count FROM b$r").mkString("\nUNION ALL ")
+    s"""WITH $cteChain
        |$sel
        |ORDER BY round""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map("bpe_merges" -> bpeMergesSql)
+  /** DuckDB oracle for bpe_apply: per-word token counts from the final
+    * training table w[[MergeRounds]] joined onto the exploded corpus —
+    * every corpus word is in the vocab by construction, so the join is
+    * total and the per-doc sums mirror Spark's inline replace chain. */
+  def bpeApplySql: String =
+    s"""WITH $cteChain,
+       |wt AS (SELECT word, len(word) AS nch,
+       |    len(string_split(trim(seq), ' ')) AS ntok FROM w$MergeRounds)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(nch) AS BIGINT) AS n_chars,
+       |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents) d
+       |JOIN wt USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for bpe_token_histogram: the final training table's
+    * symbol sequences exploded, weighted by corpus word count. */
+  def bpeTokenHistogramSql: String =
+    s"""WITH $cteChain
+       |SELECT token, CAST(sum(cnt) AS BIGINT) AS occurrences
+       |FROM (SELECT unnest(string_split(trim(seq), ' ')) AS token, cnt
+       |      FROM w$MergeRounds) t
+       |GROUP BY token ORDER BY token""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "bpe_merges" -> bpeMergesSql,
+    "bpe_apply" -> bpeApplySql,
+    "bpe_token_histogram" -> bpeTokenHistogramSql)
 }

@@ -53,6 +53,36 @@ object TopKState {
     }
   }
 
+  /** Merge two SpaceSaving tables (Agarwal et al., "Mergeable
+    * Summaries", PODS 2012): shared items sum counts and errs; an item
+    * tracked on one side only could have occurred up to the OTHER
+    * side's minimum counter times without being tracked there (only if
+    * that side is full), so it absorbs that minimum into both count and
+    * err — the never-under-estimate invariant survives the merge. The
+    * union is then truncated back to [[Capacity]] under the same
+    * deterministic (count desc, err asc, item) order eviction uses, so
+    * merged state keeps the hard bound and replays reproduce it
+    * bit-for-bit. This is what lets session windows merge their sketch
+    * tables when a bridging event fuses two sessions. */
+  def merge(a: Tab, b: Tab): Tab = {
+    def floorOf(t: Tab) =
+      if (t.counters.length >= Capacity) t.counters.map(_.count).min else 0L
+    val (minA, minB) = (floorOf(a), floorOf(b))
+    val bByItem = b.counters.map(c => c.item -> c).toMap
+    val aItems = a.counters.map(_.item).toSet
+    val merged =
+      a.counters.map { x =>
+        bByItem.get(x.item) match {
+          case Some(y) => Counter(x.item, x.count + y.count, x.err + y.err)
+          case None    => Counter(x.item, x.count + minB, x.err + minB)
+        }
+      } ++ b.counters.collect {
+        case y if !aItems(y.item) => Counter(y.item, y.count + minA, y.err + minA)
+      }
+    Tab(merged.sortBy(c => (-c.count, c.err, c.item)).take(Capacity),
+      a.n + b.n, a.batches + b.batches)
+  }
+
   /** Top-[[EmitK]] of a table under (count desc, err asc, item) order. */
   def top(tab: Tab): Seq[Counter] =
     tab.counters.sortBy(c => (-c.count, c.err, c.item)).take(EmitK)

@@ -17,10 +17,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the query watermark passes a window's end the window emits its
   * top-[[TopKState.EmitK]] rows ONCE (Append mode) and purges. A quiet
   * key fires through an armed EventTimeTimeout exactly like
-  * [[EventWindowState]] (timer one below the fire point). Events whose
-  * window already fired are DISCARDED — Flink's default no-lateness
-  * window behavior; the allowedLateness/side-output machinery is
-  * [[EventWindowState]]'s surface, deliberately not duplicated here.
+  * [[EventWindowState]] (timer one below the fire point). In [[apply]],
+  * events whose window already fired are DISCARDED — Flink's default
+  * no-lateness window behavior; [[lateCarrier]] is the allowedLateness
+  * composition with [[EventWindowState]]'s lifecycle (re-fire on
+  * allowed-late arrivals, kind='late' side-output rows beyond it).
   *
   * State bound: ≤ Capacity counters per live (key, window), and live
   * windows per key are bounded by the out-of-orderness horizon /
@@ -66,6 +67,90 @@ object WindowedTopKState {
       state.setTimeoutTimestamp(math.max(open.keys.map(maxTs).min - 1, wm + 1))
     }
     out.iterator
+  }
+
+  /** [[In]] plus the watermark CARRIER column ([[EventWindowState.EvW]]'s
+    * contract): `withWatermark` rides `wmTs` so late-by-event-time rows
+    * REACH the operator and can re-fire or fan out, instead of being
+    * dropped by the engine's upstream filter. */
+  final case class InW(key: String, item: String, ts: java.sql.Timestamp,
+                       wmTs: java.sql.Timestamp)
+  /** Tagged output: kind='fire' (a window's top-k — possibly RE-fired
+    * with updated counts after an allowed-late arrival) or kind='late'
+    * (beyond watermark + lateness — the side-output row echoing the
+    * event: rank 0, count 1). */
+  final case class OutL(key: String, kind: String, windowStart: Long,
+                        rank: Long, item: String, count: Long, err: Long, n: Long)
+  /** per-window: (sketch table, pendingSinceLastFire) */
+  final case class WTabL(windows: Map[Long, (TopKState.Tab, Boolean)])
+
+  /** The allowedLateness composition the reference implies
+    * (test/EventTimeTest.java:241-327 fire/re-fire/side-output rules
+    * over test/WindowTest.java:262-293's incremental window aggregate):
+    * [[EventWindowState]]'s window lifecycle with a SpaceSaving table as
+    * the window payload. Fire emits the window's top-[[TopKState.EmitK]]
+    * when the watermark passes the window end; an allowed-late event
+    * folds in and RE-fires the updated top-k immediately (Update mode —
+    * downstream replaces the window's rows); an event past
+    * watermark + lateness on its window emits as a kind='late' row for a
+    * SideOutputs.fanOut two-sink split. State bound unchanged: ≤
+    * Capacity counters per live (key, window); windows now live
+    * `allowedLatenessMs` longer before purge. */
+  def lateCarrier(ds: Dataset[InW], sizeMs: Long,
+                  allowedLatenessMs: Long): Dataset[OutL] = {
+    implicit val o = Encoders.product[OutL]
+    implicit val t = Encoders.product[WTabL]
+    implicit val k = Encoders.STRING
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout())(handleLate(sizeMs, allowedLatenessMs))
+  }
+
+  def handleLate(sizeMs: Long, latenessMs: Long)(key: String,
+      events: Iterator[InW], state: GroupState[WTabL]): Iterator[OutL] = {
+    val wm = try state.getCurrentWatermarkMs()
+      catch { case _: UnsupportedOperationException => Long.MinValue }
+    var buf = state.getOption.getOrElse(WTabL(Map.empty))
+    val out = Vector.newBuilder[OutL]
+    def maxTs(start: Long) = start + sizeMs - 1
+    def fire(start: Long, tab: TopKState.Tab): Unit =
+      TopKState.top(tab).zipWithIndex.foreach { case (c, i) =>
+        out += OutL(key, "fire", start, i + 1L, c.item, c.count, c.err, tab.n)
+      }
+
+    events.toSeq.sortBy(e => (e.ts.getTime, e.item)).foreach { e =>
+      val tsMs = e.ts.getTime
+      val start = tsMs - Math.floorMod(tsMs, sizeMs)
+      if (maxTs(start) + latenessMs <= wm) { // beyond lateness → side output
+        out += OutL(key, "late", start, 0L, e.item, 1L, 0L, 0L)
+      } else {
+        val (tab0, _) = buf.windows.getOrElse(start, (TopKState.Tab(Nil, 0L, 0L), true))
+        val tab = TopKState.add(tab0, e.item)
+        if (maxTs(start) <= wm) { // allowed-late arrival → immediate re-fire
+          fire(start, tab)
+          buf = WTabL(buf.windows + (start -> (tab, false)))
+        } else buf = WTabL(buf.windows + (start -> (tab, true)))
+      }
+    }
+    // fire everything the watermark has passed, purge beyond lateness
+    buf.windows.toSeq.sortBy(_._1).foreach { case (start, (tab, pending)) =>
+      if (maxTs(start) <= wm && pending) {
+        fire(start, tab)
+        buf = WTabL(buf.windows + (start -> (tab, false)))
+      }
+    }
+    buf = WTabL(buf.windows.filter { case (start, _) => maxTs(start) + latenessMs > wm })
+    if (buf.windows.isEmpty) state.remove()
+    else {
+      state.update(buf)
+      // same arming discipline as EventWindowState.windowCore: one below
+      // the next fire/purge point, clamped strictly above the watermark
+      val nextAction = buf.windows.map { case (st, (_, pending)) =>
+        if (pending) maxTs(st) - 1 else maxTs(st) + latenessMs - 1
+      }.min
+      state.setTimeoutTimestamp(math.max(nextAction, wm + 1))
+    }
+    out.result().iterator
   }
 
   /** Event-time tumbling per-window top-k (Append mode). Input must

@@ -203,4 +203,57 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(a.exists(r => r.contains("\"seq\":17") && r.contains("\"nPrior\":16")
       && r.contains("\"isAnomaly\":true")), s"spike not scored on recovered baseline: $a")
   }
+
+  test("WindowedTopKState.lateCarrier: fire, allowed-late re-fire and late split all ride recovered tables") {
+    val s = spark
+    import s.implicits._
+    import WindowedTopKState._
+    // the whole [0,10 s) table is built pre-kill with the carrier held
+    // back; everything observable — the fire, the allowed-late RE-fire,
+    // the late side-output routing — happens post-restart and depends
+    // on the recovered (table, pending) window state. size 10 s,
+    // lateness 5 s.
+    val batches = Seq(
+      Seq(InW("k", "x", ts(1 * M), ts(1 * M)), InW("k", "x", ts(2 * M), ts(2 * M)),
+        InW("k", "y", ts(3 * M), ts(3 * M))),
+      Seq(InW("k", "z", ts(11 * M), ts(12 * M))),  // carrier → 12 s: fires [0,10)
+      Seq(InW("k", "x", ts(5 * M), ts(14 * M))),   // allowed-late → re-fire x(3)
+      Seq(InW("k", "q", ts(21 * M), ts(21 * M))),  // carrier → 21 s: purge [0,10)
+      Seq(InW("k", "y", ts(6 * M), ts(23 * M))))   // beyond lateness → late row
+    val (a, b) = bothRuns(batches, interruptAfter = 1, "update")(
+      ds => WindowedTopKState.lateCarrier(
+        ds.withWatermark("wmTs", "0 seconds"), sizeMs = 10000L,
+        allowedLatenessMs = 5000L).toDF())
+    assert(a == b, s"restart diverged:\n A-B=${(a diff b).take(3)}\n B-A=${(b diff a).take(3)}")
+    // initial fire from the recovered table, then the re-fired count 3
+    assert(a.exists(r => r.contains("\"kind\":\"fire\"") && r.contains("\"item\":\"x\"")
+      && r.contains("\"count\":2")), s"recovered window did not fire: $a")
+    assert(a.exists(r => r.contains("\"kind\":\"fire\"") && r.contains("\"item\":\"x\"")
+      && r.contains("\"count\":3")), s"allowed-late re-fire missing: $a")
+    assert(a.exists(r => r.contains("\"kind\":\"late\"") && r.contains("\"item\":\"y\"")),
+      s"late side-output row missing: $a")
+  }
+
+  test("SessionTopKState: open sessions and their sketch tables survive a kill and merge post-restart") {
+    val s = spark
+    import s.implicits._
+    import SessionTopKState._
+    // S1's table is built pre-kill; the bridge, the merge with S2 and
+    // the fused fire all happen post-restart — the fused counts are
+    // only right if S1's SpaceSaving table was recovered. gap 10 s,
+    // watermark delay 30 s.
+    val batches = Seq(
+      Seq(In("k", "a", ts(100 * M)), In("k", "a", ts(105 * M)), In("k", "b", ts(105 * M))),
+      Seq(In("k", "c", ts(120 * M)), In("k", "c", ts(121 * M))), // S2, disjoint
+      Seq(In("k", "b", ts(112 * M))),                            // bridge: fuse S1+S2
+      Seq(In("k", "z", ts(165 * M))),                            // wm → 135 s: fused fires
+      Seq(In("k", "z2", ts(170 * M))))
+    val (a, b) = bothRuns(batches, interruptAfter = 1, "append")(
+      ds => SessionTopKState(ds.withWatermark("ts", "30 seconds"), gapMs = 10000L).toDF())
+    assert(a == b, s"restart diverged:\n A-B=${(a diff b).take(3)}\n B-A=${(b diff a).take(3)}")
+    // non-vacuous: the fused [100 s, 131 s) session fired with a=2 over n=6
+    assert(a.exists(r => r.contains("\"sessionStart\":100000") && r.contains("\"sessionEnd\":131000")
+      && r.contains("\"item\":\"a\"") && r.contains("\"count\":2") && r.contains("\"n\":6")),
+      s"fused session fire not derived from recovered tables: $a")
+  }
 }
