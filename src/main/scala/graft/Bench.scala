@@ -87,7 +87,48 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val total = results.map(t => med(t._2)).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle":$shuffle,"errors":$errJson,"sf":"$sfDir"}"""
+
+    // LAYOUT arm: the dedup/text family's documents-keyed front half,
+    // re-benched over the serve-side bucketed layout
+    // (Tables.documents under spark.graft.layout.enabled) so the
+    // recorded figures show raw-vs-laid-out side by side — the
+    // recurring-cost half of the 100 TB layout arithmetic. One-time
+    // build cost is recorded as layout.build_sec. Disable with
+    // SPARK_GRAFT_BENCH_LAYOUT=0.
+    val layoutJson: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_LAYOUT", "1") == "0") ""
+      else try {
+        val family = Seq("dedup_near_minhash", "ngram_jaccard", "minhash_calibration",
+          "simhash_dedup", "doc_fingerprint", "token_count", "quality_score")
+          .filter(SparkEntry.queries.contains)
+        val tb0 = System.nanoTime()
+        graft.storage.Layout.bucketedDocuments(spark, sfDir) // build once
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        spark.conf.set(graft.storage.Layout.EnabledKey, "true")
+        try {
+          val lres = family.map { name =>
+            val fn = SparkEntry.queries(name)
+            fn(spark, sfDir).count() // warm
+            HarnessUtil.releaseAll(spark, gc = true)
+            val sb0 = drainedShuffleBytes()
+            val samples = (1 to TimedRuns).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count()
+              val dt = (System.nanoTime() - t0) / 1e9
+              HarnessUtil.releaseAll(spark, gc = true)
+              dt
+            }.sorted
+            (name, samples, (drainedShuffleBytes() - sb0) / TimedRuns)
+          }
+          val lq = lres.map { case (k, ss, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
+          val lsb = lres.map { case (k, _, sb) => q(k) + ":" + sb }.mkString("{", ",", "}")
+          s""","layout":{"build_sec":$buildSec,"queries":$lq,"shuffle":$lsb}"""
+        } finally spark.conf.set(graft.storage.Layout.EnabledKey, "false")
+      } catch { case scala.util.control.NonFatal(e) =>
+        s""","layout":{"error":${q(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
+      }
+
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle":$shuffle$layoutJson,"errors":$errJson,"sf":"$sfDir"}"""
     // truncation-proof record: the harness keeps only a ~2,000-char tail
     // of stdout and a JSON parse of it. The FULL line (spread + shuffle
     // bytes for every query) lands in a repo file; stdout gets a COMPACT

@@ -56,6 +56,78 @@ object ScaleProbe {
     }
   }
 
+  /** `fresh10x` mode: the constant-density 10× probe that settles the
+    * pair-family attribution (docs/SCALING.md). The standard 10× replica
+    * copies documents VERBATIM, so every duplicate family gains 10
+    * replicas and its within-family pair count grows ~quadratically —
+    * the 5–25× wall ratios the pair queries record there are that
+    * replica artifact, not plan behavior. Here every copy except the
+    * first gets copy-salted tokens (fresh text: collides with nothing
+    * across copies), holding duplication DENSITY constant while volume
+    * grows 10× — under which a pair-family query whose work is
+    * candidate-proportional must track ~linear. A super-linear ratio
+    * HERE would be a real scale defect. */
+  private def fresh10xProbe(spark: SparkSession, src: String, queries: Seq[String]): Unit = {
+    val mult = 10
+    val dir = "/tmp/graft_fresh10x"
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      val copies = spark.range(mult).select(col("id").as("copy"))
+      base.crossJoin(copies)
+        .withColumn("text",
+          when(col("copy") === 0, col("text"))
+            .otherwise(concat_ws(" ",
+              expr("transform(split(text, ' '), w -> concat(w, '_', copy))"))))
+        .withColumn("doc_id", col("doc_id") + col("copy") * 1000000L)
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"fresh10x"}%9s ${"ratio"}%6s")
+    queries.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      def timed(d: String): Double = {
+        fn(spark, d).count() // warm
+        HarnessUtil.releaseAll(spark, gc = true)
+        val t0 = System.nanoTime()
+        fn(spark, d).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        HarnessUtil.releaseAll(spark, gc = true)
+        dt
+      }
+      val (b, f) = (timed(src), timed(dir))
+      println(f"$n%-24s $b%8.2f $f%9.2f ${f / b}%6.1f")
+    }
+  }
+
+  /** `materialize` mode: the overhead of reliable (fault-tolerant)
+    * materialization vs the local default, on materialize-heavy queries
+    * at sf0.1 — the number that prices Prims.materialize's
+    * `reliable` posture for long 100 TB runs (local blocks die with
+    * their executor; reliable checkpoints survive node loss). */
+  private def materializeProbe(spark: SparkSession, src: String, queries: Seq[String]): Unit = {
+    val ckpt = "/tmp/graft_reliable_ckpt_probe"
+    spark.sparkContext.setCheckpointDir(ckpt)
+    println(f"${"query"}%-24s ${"local"}%8s ${"reliable"}%9s ${"overhead"}%9s")
+    queries.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      def timed(mode: String): Double = {
+        spark.conf.set(graft.ops.Prims.MaterializeModeKey, mode)
+        try {
+          fn(spark, src).count() // warm
+          HarnessUtil.releaseAll(spark, gc = true)
+          val t0 = System.nanoTime()
+          fn(spark, src).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          HarnessUtil.releaseAll(spark, gc = true)
+          dt
+        } finally spark.conf.unset(graft.ops.Prims.MaterializeModeKey)
+      }
+      val (l, r) = (timed("local"), timed("reliable"))
+      println(f"$n%-24s $l%8.2f $r%9.2f ${(r / l - 1) * 100}%8.1f%%")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+  }
+
   /** `grouprank` mode: pin the grouped-rank skew claim with a frame big
     * enough that the single-task sort actually shows. One dominant group
     * (90% of rows) + 4 small ones, at 1M and 10M rows: the window form
@@ -707,6 +779,19 @@ object ScaleProbe {
     }
     if (args.headOption.contains("grouprank")) {
       groupRankProbe(spark)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("fresh10x")) {
+      val qs = if (args.length > 1) args.drop(1).toSeq
+        else Seq("ngram_jaccard", "minhash_calibration", "cluster_size_histogram",
+          "split_leakage", "train_val_split_cluster", "source_overlap")
+      fresh10xProbe(spark, src, qs)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("materialize")) {
+      val qs = if (args.length > 1) args.drop(1).toSeq
+        else Seq("dedup_clusters", "corpus_shuffle", "bpe_merges", "pagerank_docs")
+      materializeProbe(spark, src, qs)
       spark.stop(); return
     }
     if (args.headOption.contains("ivftrain")) {

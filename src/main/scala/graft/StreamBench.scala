@@ -35,6 +35,17 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_STATE_STORE=rocksdb benches the at-scale store posture
+    // (RocksDB + changelog checkpointing) against the default heap
+    // provider; RocksDbStateStoreSpec pins output equivalence, this
+    // pins the throughput cost (docs/STREAMBENCH_r13.md).
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "heap")
+    if (stateStore == "rocksdb") {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -133,7 +144,7 @@ object StreamBench {
     )
 
     val js = results.map { case (n, r) => s""""$n":$r""" }.mkString(",")
-    println(s"""{"metric":"stream_rows_per_sec","total_rows":$total,"ops":{$js}}""")
+    println(s"""{"metric":"stream_rows_per_sec","state_store":"$stateStore","total_rows":$total,"ops":{$js}}""")
     spark.stop()
   }
 }

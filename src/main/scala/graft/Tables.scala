@@ -33,7 +33,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  /** Layout-aware: with `spark.graft.layout.enabled=true` this serves
+    * the 32-bucket doc_id layout (graft.storage.Layout.bucketedDocuments,
+    * built once per source dir), so the dedup/text family's doc_id-keyed
+    * front half plans exchange-free — the SCALEPROBE_r12 §3 win wired
+    * into the serving path. Default is the raw parquet scan. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    if (s.conf.get(graft.storage.Layout.EnabledKey, "false").toBoolean) {
+      graft.functions.GraftExtensions.ensure(s)
+      graft.storage.Layout.bucketedDocuments(s, d)
+    } else apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** `events.ts` has shipped under two physical parquet types across testdata

@@ -86,6 +86,37 @@ object Layout {
   /** Catalog read — the ONLY read that sees bucket metadata. */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Conf key switching `Tables.documents` onto the bucketed layout. */
+  val EnabledKey = "spark.graft.layout.enabled"
+  /** Root directory for serve-side layout copies (local/tmp by default;
+    * a cluster deployment points it at shared storage). */
+  val DirKey = "spark.graft.layout.dir"
+
+  /** The SERVING-PATH bucketed `documents` (SCALEPROBE_r12 §3 proved the
+    * layout; this wires it in): 32 buckets on doc_id, built once per
+    * source dir under [[DirKey]] and registered in the session catalog,
+    * then every doc_id-keyed aggregation/join in the dedup family's
+    * front half (shingle index, minhash signatures, tokenize passes)
+    * plans WITHOUT its leading corpus-sized exchange. Reads return the
+    * catalog table (bucket metadata lives there, not in the files).
+    *
+    * Cache key is the source dir; a vanished path (tmp cleanup) or
+    * missing catalog entry rebuilds. The one-time write cost is the
+    * recurring-vs-once arithmetic of the 100 TB layout decision — at
+    * cluster scale this is the nightly ingest job, not a lazy build. */
+  def bucketedDocuments(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame =
+    this.synchronized {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tableName = s"graft_docs_b$tag"
+      val path = s"${spark.conf.get(DirKey, "/tmp/graft_layout")}/docs_$tag"
+      if (!spark.catalog.tableExists(tableName) ||
+          !new java.io.File(path).exists()) {
+        writeBucketed(spark.read.parquet(s"$dir/documents.parquet"),
+          tableName, path, "doc_id", buckets)
+      }
+      spark.table(tableName)
+    }
+
   /** Incremental re-ingest into a partitioned layout: replace ONLY the
     * partitions present in `df`, leaving every other directory's files
     * physically untouched. This is Spark's dynamic partition-overwrite

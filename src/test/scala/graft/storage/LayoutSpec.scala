@@ -241,6 +241,32 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("serving path: layout.enabled routes Tables.documents onto the bucketed copy, exchange-free front half, identical results") {
+    val s = spark
+    val name = "dedup_near_minhash"
+    val raw = graft.SparkEntry.queries(name)(s, dir).toJSON.collect().toSeq
+    // raw serving path shuffles to build the shingle index
+    assert(exchanges(graft.ops.Dedup.shingleIndexFromDocs(
+      Tables.documents(s, dir)).queryExecution.executedPlan.toString) == 1)
+    s.conf.set(Layout.EnabledKey, "true")
+    try {
+      // Tables.documents now serves the catalog bucket table...
+      val docs = Tables.documents(s, dir)
+      assert(exchanges(graft.ops.Dedup.shingleIndexFromDocs(docs)
+          .queryExecution.executedPlan.toString) == 0,
+        "the serving path must inherit the bucketed zero-exchange plan")
+      assert(exchanges(graft.ops.Dedup.minhashSig(docs)
+          .queryExecution.executedPlan.toString) == 0)
+      // ...and a full dedup query through SparkEntry is result-identical
+      val laid = graft.SparkEntry.queries(name)(s, dir).toJSON.collect().toSeq
+      assert(laid == raw, s"$name diverged under the laid-out corpus")
+      assert(raw.nonEmpty, "vacuous comparison")
+    } finally {
+      s.conf.set(Layout.EnabledKey, "false")
+      graft.HarnessUtil.releaseAll(s)
+    }
+  }
+
   test("composed layout: partition pruning and bucket-key aggregation together") {
     val events = Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
