@@ -140,6 +140,43 @@ object StreamBench {
           q.processAllAvailable()
         }
         q.stop(); r
+      },
+      {
+        val in = MemoryStream[streaming.WindowedTopKState.InW]
+        val q = streaming.WindowedTopKState.lateCarrier(
+            in.toDS().withWatermark("wmTs", "10 seconds"),
+            sizeMs = 60000L, allowedLatenessMs = 30000L)
+          .writeStream.format("noop").outputMode("update").start()
+        // same roll-over shape as windowed_topk, with the lateness
+        // lifecycle active (windows linger 30 s past end before purge)
+        val r = measure("windowed_topk_late", total) { (a, b) =>
+          in.addData((a until b).map { i =>
+            val t = java.sql.Timestamp.from(
+              java.time.Instant.EPOCH.plusMillis(1000L + i.toLong))
+            streaming.WindowedTopKState.InW(s"k${i % 64}", s"it${i % 1000}", t, t)
+          }: _*)
+          q.processAllAvailable()
+        }
+        q.stop(); r
+      },
+      {
+        val in = MemoryStream[streaming.SessionTopKState.In]
+        val q = streaming.SessionTopKState(
+            in.toDS().withWatermark("ts", "10 seconds"), gapMs = 5000L)
+          .writeStream.format("noop").outputMode("append").start()
+        // per-key inter-arrival 64 ms < gap → one live session per key
+        // inside a chunk; each chunk jumps the clock 1 h so the previous
+        // chunk's 64 sessions fire and purge — full session lifecycle
+        // (extend, fire on watermark, purge) is inside the measurement
+        val r = measure("session_topk", total) { (a, b) =>
+          in.addData((a until b).map { i =>
+            val t = java.sql.Timestamp.from(java.time.Instant.EPOCH.plusMillis(
+              1000L + i.toLong + (i / ChunkRows).toLong * 3600000L))
+            streaming.SessionTopKState.In(s"k${i % 64}", s"it${i % 1000}", t)
+          }: _*)
+          q.processAllAvailable()
+        }
+        q.stop(); r
       }
     )
 
