@@ -495,6 +495,9 @@ object Similarity {
       s" + ${dotQ.replace("a[i] * b[i]", s"$b[i] * $b[i]")}"
   }
 
+  /** Shared base CTE of every embedding oracle (quantized corpus). */
+  private def eCte: String = s"e AS (SELECT vec_id, $quantSql AS qv FROM embeddings)"
+
   private def ivfCtes(sampled: Boolean): String = {
     def d2(a: String, b: String) = d2Sql(a, b)
     // Lloyd training unrolled: c0 = hash-ranked seed sample; each pass k
@@ -528,7 +531,7 @@ object Similarity {
          |      list((sm - ((sm % cnt) + cnt) % cnt) // cnt ORDER BY pi) AS cv
          |    FROM s$k GROUP BY list_id) n USING (cent_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+    s"""WITH $eCte,
        |te AS ($teBody),
        |c0 AS (
        |  SELECT CAST(rn - 1 AS BIGINT) AS cent_id, qv AS cv FROM (
@@ -1129,7 +1132,7 @@ object Similarity {
          |      list((sm - ((sm % cnt) + cnt) % cnt) // cnt ORDER BY pi) AS cv
          |    FROM ps$k GROUP BY m, cent_id) n USING (m, cent_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+    s"""WITH $eCte,
        |ts AS (SELECT vec_id, qv FROM (
        |    SELECT vec_id, qv, row_number() OVER (ORDER BY $sampleH, vec_id) AS srn
        |    FROM e) WHERE srn <= $TrainSampleN),
