@@ -684,6 +684,65 @@ object ScaleProbe {
     } finally spark.sql("DROP TABLE IF EXISTS probe_docs")
   }
 
+  /** `layout_diag` mode: diagnose the BENCH layout-arm regression the
+    * r13 record exposed (layout wall 1.6–1.9× raw on 5 of 7 family
+    * queries at sf0.1, doc_fingerprint shuffle UP 3×). For each family
+    * query runs the raw and bucketed-serving arms side by side and
+    * reports med wall, per-run shuffle bytes, per-run TASK count, and
+    * executed-plan exchange count; dumps both executed plans to
+    * /tmp/graft_layout_diag/ for a line diff. The task count is the
+    * tell for the suspected mechanism: the 32-bucket scan pins 32
+    * single-file tasks on a 5,000-row table where the raw scan is ONE
+    * task, so every downstream partial aggregation runs 32-way with
+    * near-zero combining (shuffle rows ∝ maps × groups). */
+  private def layoutDiagProbe(spark: SparkSession, src: String): Unit = {
+    import graft.storage.Layout
+    val family = Seq("dedup_near_minhash", "ngram_jaccard", "minhash_calibration",
+      "simhash_dedup", "doc_fingerprint", "token_count", "quality_score")
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val taskCount = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskCount.incrementAndGet()
+        Option(te.taskMetrics)
+          .foreach(m => { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () })
+      }
+    })
+    def drained(): (Long, Long) = {
+      HarnessUtil.drainListeners(spark); (shuffleBytes.get(), taskCount.get())
+    }
+    Layout.bucketedDocuments(spark, src) // build outside all timing
+    val dumpDir = java.nio.file.Paths.get("/tmp/graft_layout_diag")
+    java.nio.file.Files.createDirectories(dumpDir)
+    println(f"${"query"}%-22s ${"arm"}%-7s ${"med(s)"}%7s ${"shufKB"}%8s ${"tasks"}%6s ${"exch"}%5s ${"bucketScan"}%10s")
+    family.filter(SparkEntry.queries.contains).foreach { name =>
+      val fn = SparkEntry.queries(name)
+      Seq("raw" -> false, "layout" -> true).foreach { case (arm, enabled) =>
+        spark.conf.set(Layout.EnabledKey, enabled.toString)
+        try {
+          fn(spark, src).count() // warm
+          HarnessUtil.releaseAll(spark, gc = true)
+          val df = fn(spark, src); df.count() // plan-capture run (adaptive-final)
+          val plan = df.queryExecution.executedPlan.toString
+          java.nio.file.Files.writeString(dumpDir.resolve(s"${name}_$arm.txt"), plan)
+          HarnessUtil.releaseAll(spark, gc = true)
+          val (sb0, tc0) = drained()
+          val samples = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, src).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            HarnessUtil.releaseAll(spark, gc = true)
+            dt
+          }.sorted
+          val (sb1, tc1) = drained()
+          val nExch = "(?<!Broadcast)(?<!Reused)Exchange ".r.findAllIn(plan).size
+          val bucketed = plan.contains("SelectedBucketsCount")
+          println(f"$name%-22s $arm%-7s ${samples(1)}%7.2f ${(sb1 - sb0) / 3.0 / 1024}%8.1f ${(tc1 - tc0) / 3}%6d $nExch%5d $bucketed%10s")
+        } finally spark.conf.set(Layout.EnabledKey, "false")
+      }
+    }
+  }
+
   private def aqeSkewProbe(spark: SparkSession, src: String): Unit = {
     val n = 20000000L
     val dimN = 2000000L
@@ -832,6 +891,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("layout_corpus")) {
       layoutCorpusProbe(spark, src)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("layout_diag")) {
+      layoutDiagProbe(spark, src)
       spark.stop(); return
     }
     val out = "/tmp/graft_sf1_synth"

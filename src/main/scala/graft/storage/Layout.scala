@@ -92,27 +92,72 @@ object Layout {
     * a cluster deployment points it at shared storage). */
   val DirKey = "spark.graft.layout.dir"
 
+  /** Bucket-count sizing: one bucket per ~[[targetBucketBytes]] of
+    * source bytes, clamped to [4, 4096]. The count is a LAYOUT-JOB
+    * parameter, not a constant: the r13 bench record proved that a
+    * fixed 32 buckets on a 5,000-row sf0.1 corpus pins 32 single-file
+    * scan tasks where the raw scan is ONE — and because the dedup
+    * family's `.materialized` pins preserve partitioning (AQE never
+    * coalesces a checkpoint read), every downstream stage inherited the
+    * 32-way shape: ~24× the task count per query and a map-side combine
+    * so degraded that shuffle bytes went UP on the fingerprint-keyed
+    * aggregations. Sizing by bytes gives the tiny test corpus 4 buckets
+    * (task overhead at noise level, combining near-raw) and a 100 TB
+    * corpus thousands — the same property, "bucket files around a
+    * healthy parquet size", at both ends. */
+  def autoBuckets(sourceBytes: Long): Int =
+    math.min(4096L, math.max(4L,
+      (sourceBytes + targetBucketBytes - 1) / targetBucketBytes)).toInt
+
+  /** ~128 MB of source bytes per bucket — parquet's happy file size. */
+  val targetBucketBytes: Long = 128L * 1024 * 1024
+
   /** The SERVING-PATH bucketed `documents` (SCALEPROBE_r12 §3 proved the
-    * layout; this wires it in): 32 buckets on doc_id, built once per
-    * source dir under [[DirKey]] and registered in the session catalog,
-    * then every doc_id-keyed aggregation/join in the dedup family's
-    * front half (shingle index, minhash signatures, tokenize passes)
-    * plans WITHOUT its leading corpus-sized exchange. Reads return the
-    * catalog table (bucket metadata lives there, not in the files).
+    * layout; this wires it in): [[autoBuckets]]-sized buckets on doc_id,
+    * built once per source-corpus CONTENT under [[DirKey]] and
+    * registered in the session catalog, then every doc_id-keyed
+    * aggregation/join in the dedup family's front half (shingle index,
+    * minhash signatures, tokenize passes) plans WITHOUT its leading
+    * corpus-sized exchange. Reads return the catalog table (bucket
+    * metadata lives there, not in the files).
     *
-    * Cache key is the source dir; a vanished path (tmp cleanup) or
-    * missing catalog entry rebuilds. The one-time write cost is the
-    * recurring-vs-once arithmetic of the 100 TB layout decision — at
-    * cluster scale this is the nightly ingest job, not a lazy build. */
-  def bucketedDocuments(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame =
+    * Cache key is a SHA-256 fingerprint of the source listing (every
+    * file's name + length + mtime, resolved through the Hadoop
+    * FileSystem so hdfs://-style dirs work) plus the bucket count: a
+    * regenerated documents.parquet, a changed sizing, or two dirs that
+    * merely collide on String.hashCode all get distinct tables instead
+    * of silently sharing a stale one. A vanished output path (tmp
+    * cleanup) or missing catalog entry rebuilds; superseded copies are
+    * dead weight under [[DirKey]], never served. The one-time write
+    * cost is the recurring-vs-once arithmetic of the 100 TB layout
+    * decision — at cluster scale this is the nightly ingest job, not a
+    * lazy build. `buckets = 0` (default) means size from the data. */
+  def bucketedDocuments(spark: SparkSession, dir: String, buckets: Int = 0): DataFrame =
     this.synchronized {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val tableName = s"graft_docs_b$tag"
-      val path = s"${spark.conf.get(DirKey, "/tmp/graft_layout")}/docs_$tag"
+      val hadoopConf = spark.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val srcFs = src.getFileSystem(hadoopConf)
+      val files = {
+        val it = srcFs.listFiles(src, true)
+        val b = Seq.newBuilder[(String, Long, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          b += ((f.getPath.toString, f.getLen, f.getModificationTime))
+        }
+        b.result().sortBy(_._1)
+      }
+      val n = if (buckets > 0) buckets else autoBuckets(files.map(_._2).sum)
+      val fingerprint = java.security.MessageDigest.getInstance("SHA-256")
+        .digest((s"$src b=$n" +: files.map { case (p, len, mt) => s"$p $len $mt" })
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val tag = fingerprint.take(8).map(b => f"$b%02x").mkString
+      val tableName = s"graft_docs_$tag"
+      val path = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get(DirKey, "/tmp/graft_layout")}/docs_$tag")
       if (!spark.catalog.tableExists(tableName) ||
-          !new java.io.File(path).exists()) {
+          !path.getFileSystem(hadoopConf).exists(path)) {
         writeBucketed(spark.read.parquet(s"$dir/documents.parquet"),
-          tableName, path, "doc_id", buckets)
+          tableName, path.toString, "doc_id", n)
       }
       spark.table(tableName)
     }
