@@ -36,6 +36,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_MATERIALIZE_MODE=reliable re-times the whole surface
+    // with every pin checkpointing to storage — the full-surface
+    // overhead measurement for the fault-tolerant posture (same hook
+    // as Verify; see Prims.materialize).
+    sys.env.get("SPARK_GRAFT_MATERIALIZE_MODE").foreach { mode =>
+      spark.conf.set(graft.ops.Prims.MaterializeModeKey, mode)
+      if (mode == "reliable")
+        spark.sparkContext.setCheckpointDir(
+          sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/graft_reliable_ckpt"))
+    }
 
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

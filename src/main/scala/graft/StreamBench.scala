@@ -177,6 +177,30 @@ object StreamBench {
           q.processAllAvailable()
         }
         q.stop(); r
+      },
+      {
+        // ingest-time BPE encode (StreamingBpe): per-batch published-chain
+        // re-read + the one-projection literal-replace encode. Rows here
+        // are DOCUMENTS (8 words each), so tokens/s ≈ 8× the figure.
+        // Training runs once, before the measured window, as in production.
+        val base = java.nio.file.Files.createTempDirectory("sb_bpe").toString
+        val words = Array("alpha", "bravo", "charlie", "delta",
+          "echo", "foxtrot", "golf", "hotel")
+        def text(i: Int) =
+          (0 until 8).map(j => words((i + j * 3) % words.length)).mkString(" ")
+        val corpus = (0 until 2000).map(i => (i.toLong, text(i)))
+          .toDF("doc_id", "text")
+        streaming.StreamingBpe.trainAndPublish(spark, s"$base/merges", corpus)
+        val in = MemoryStream[(Long, String)]
+        val docs = in.toDF().select($"_1".as("doc_id"), $"_2".as("text"))
+        val q = streaming.StreamingBpe.start(docs, s"$base/merges") { (batch, _) =>
+          batch.write.format("noop").mode("overwrite").save()
+        }
+        val r = measure("bpe_encode_docs", total) { (a, b) =>
+          in.addData((a until b).map(i => (i.toLong, text(i))): _*)
+          q.processAllAvailable()
+        }
+        q.stop(); r
       }
     )
 

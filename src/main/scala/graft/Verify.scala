@@ -18,6 +18,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_MATERIALIZE_MODE=reliable runs the WHOLE surface with
+    // every eager pin going through checkpoint-to-storage instead of
+    // localCheckpoint — the full-surface proof that materialize mode
+    // never changes results (MaterializeSpec pins 3 queries; this is
+    // the other ~45 pin sites). The checkpoint dir stands in for the
+    // cluster's fault-tolerant path.
+    sys.env.get("SPARK_GRAFT_MATERIALIZE_MODE").foreach { mode =>
+      spark.conf.set(graft.ops.Prims.MaterializeModeKey, mode)
+      if (mode == "reliable")
+        spark.sparkContext.setCheckpointDir(
+          sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/graft_reliable_ckpt"))
+    }
     new java.io.File(outDir).mkdirs()
     // Record every declared query's outcome so the snapshot is self-describing:
     // a failing query lands in verify_errors.json with its message instead of

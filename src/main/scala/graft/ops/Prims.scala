@@ -50,7 +50,14 @@ object Prims {
     *     contract holds too. Costs a write+read of the frame versus
     *     `local`'s in-memory blocks (overhead measured in
     *     docs/SCALEPROBE_r13.md); the posture for multi-hour 100 TB runs
-    *     where node loss is expected, not exceptional.
+    *     where node loss is expected, not exceptional. The frame is
+    *     persisted for the duration of the checkpoint write (and
+    *     unpersisted right after): `Dataset.checkpoint` launches its
+    *     write as a separate job over the UNCACHED plan, so without the
+    *     transient persist the pin would compute its input twice — and
+    *     for the nondeterministic-id primitives the checkpointed copy
+    *     is the ONLY copy ever observed, so the transient cache is
+    *     correctness-neutral, purely a cost fix.
     *
     * Both modes pin CONTENT (ids, sampled range boundaries, sort order)
     * eagerly, which is what every call site actually needs; MaterializeSpec
@@ -62,7 +69,13 @@ object Prims {
         require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
           s"$MaterializeModeKey=reliable requires sparkContext.setCheckpointDir " +
             "(a cluster-visible fault-tolerant path, e.g. hdfs://.../checkpoints)")
-        df.checkpoint(eager = true)
+        // transient persist: the eager count populates the cache, the
+        // checkpoint-write job (a SEPARATE job in RDD checkpointing)
+        // then reads cached blocks instead of recomputing the plan —
+        // without this the pin costs ~2x compute, not write+read
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally df.unpersist(blocking = false)
       case other => sys.error(
         s"$MaterializeModeKey: unknown mode '$other' (expected local | reliable)")
     }

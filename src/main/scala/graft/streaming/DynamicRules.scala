@@ -34,70 +34,22 @@ object DynamicRules {
 
   final case class Rule(eventType: String, minValue: Double, tag: String)
 
-  /** Snapshot directories kept after a publish (beyond CURRENT's, which
-    * is always kept): slack for readers still scanning an older version
-    * when the pointer flips. */
-  val KeepVersions = 3
+  /** Kept for callers/specs that size prune expectations here. */
+  val KeepVersions: Int = SnapshotStore.KeepVersions
 
-  private def fsFor(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  /** Publish a rules snapshot. Each publish writes a FRESH immutable
-    * `v<n>` directory under `path`, then atomically flips the one-line
-    * `CURRENT` pointer file onto it (temp-write + overwrite-rename —
-    * atomic on HDFS and posix filesystems). A reader that resolved the
-    * pointer before the flip keeps scanning its old snapshot's files,
-    * which a publish never touches — so concurrent publish-while-
-    * enriching (the module's intended production use) can neither fail
-    * a micro-batch nor show it a half-written set. A plain
-    * `mode("overwrite")` of one directory would: overwrite deletes
-    * before it commits. Snapshots older than the newest [[KeepVersions]]
-    * are pruned. Single writer assumed (concurrent publishers race the
-    * version number, as with any non-transactional table format). */
+  /** Publish a rules snapshot — [[SnapshotStore.publish]] (versioned
+    * immutable `v<n>` dirs + atomic CURRENT pointer flip) after the
+    * rules-specific invariant check. */
   def publish(spark: SparkSession, path: String, rules: Seq[Rule]): Unit = {
     require(rules.map(_.eventType).distinct.length == rules.length,
       "one rule per event type per snapshot (a join key must not fan out)")
     import spark.implicits._
-    val (fs, base) = fsFor(spark, path)
-    val next = listVersions(fs, base).lastOption.map(_._1 + 1).getOrElse(1L)
-    val snap = new org.apache.hadoop.fs.Path(base, f"v$next%08d")
-    rules.toDF("eventType", "minValue", "tag")
-      .coalesce(1).write.mode("overwrite").parquet(snap.toString)
-    val tmp = new org.apache.hadoop.fs.Path(base, s".CURRENT.$next.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(snap.getName.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(base.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new org.apache.hadoop.fs.Path(base, "CURRENT"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    listVersions(fs, base).dropRight(KeepVersions)
-      .filterNot(_._2.getName == snap.getName)
-      .foreach { case (_, p) => fs.delete(p, true) }
+    SnapshotStore.publish(spark, path, rules.toDF("eventType", "minValue", "tag"))
   }
 
-  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
-    if (!fs.exists(base)) Nil
-    else fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d{8}"))
-      .map(s => (s.getPath.getName.drop(1).toLong, s.getPath))
-      .sortBy(_._1)
-
-  /** Resolve the CURRENT pointer to its snapshot directory. Fails
-    * loudly — a missing pointer means nothing was ever published, and
-    * silently tagging every event 'none' would mask it. */
-  def currentSnapshot(spark: SparkSession, path: String): String = {
-    val (fs, base) = fsFor(spark, path)
-    val ptr = new org.apache.hadoop.fs.Path(base, "CURRENT")
-    require(fs.exists(ptr),
-      s"no rules snapshot published at $path (missing CURRENT pointer)")
-    val in = fs.open(ptr)
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-               finally in.close()
-    new org.apache.hadoop.fs.Path(base, name).toString
-  }
+  /** Resolve the CURRENT pointer to its snapshot directory. */
+  def currentSnapshot(spark: SparkSession, path: String): String =
+    SnapshotStore.current(spark, path)
 
   /** Enrich ONE batch (a micro-batch inside [[start]], or any batch
     * frame) against the CURRENT snapshot at `rulesPath`: events matching

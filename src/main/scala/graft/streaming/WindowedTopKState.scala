@@ -118,6 +118,7 @@ object WindowedTopKState {
         out += OutL(key, "fire", start, i + 1L, c.item, c.count, c.err, tab.n)
       }
 
+    val refire = scala.collection.mutable.SortedSet[Long]()
     events.toSeq.sortBy(e => (e.ts.getTime, e.item)).foreach { e =>
       val tsMs = e.ts.getTime
       val start = tsMs - Math.floorMod(tsMs, sizeMs)
@@ -126,12 +127,18 @@ object WindowedTopKState {
       } else {
         val (tab0, _) = buf.windows.getOrElse(start, (TopKState.Tab(Nil, 0L, 0L), true))
         val tab = TopKState.add(tab0, e.item)
-        if (maxTs(start) <= wm) { // allowed-late arrival → immediate re-fire
-          fire(start, tab)
+        if (maxTs(start) <= wm) { // allowed-late arrival → re-fire after the fold
+          refire += start
           buf = WTabL(buf.windows + (start -> (tab, false)))
         } else buf = WTabL(buf.windows + (start -> (tab, true)))
       }
     }
+    // ONE re-fire per touched already-fired window, with the post-fold
+    // table: several allowed-late events for one window in a single batch
+    // emit a single row-set (not one per event), so append-style
+    // consumers of the Update stream never see same-batch duplicates of
+    // a (key, windowStart, rank) coordinate.
+    refire.foreach(start => fire(start, buf.windows(start)._1))
     // fire everything the watermark has passed, purge beyond lateness
     buf.windows.toSeq.sortBy(_._1).foreach { case (start, (tab, pending)) =>
       if (maxTs(start) <= wm && pending) {

@@ -101,4 +101,22 @@ class BpeSpec extends SparkSpec {
     val got = Bpe.bpeTokenHistogramOf(docs).as[(String, Long)].collect().toSeq
     assert(got == Seq(("aaab", 2L), ("ab", 1L)), s"histogram mismatch: $got")
   }
+
+  test("trained artifacts are memoized: apply + histogram share one training pass") {
+    val s = spark
+    import s.implicits._
+    // corpus unique to this test — local relations with identical data
+    // canonicalize equal, so reusing another test's fixture would find
+    // the memo already warm and void the +1 assertion
+    val docs = Seq((1L, "memo memo moem"), (2L, "memo om")).toDF("doc_id", "text")
+    val before = Bpe.trainingRuns
+    Bpe.bpeApplyOf(docs).collect()
+    Bpe.bpeTokenHistogramOf(docs).collect()
+    Bpe.bpeMergesOf(docs).collect()
+    assert(Bpe.trainingRuns == before + 1,
+      s"same-corpus artifacts retrained (${Bpe.trainingRuns - before} runs) instead of hitting the memo")
+    // a DIFFERENT corpus must train fresh, not serve the memoized chain
+    Bpe.bpeApplyOf(Seq((1L, "zz zz zq")).toDF("doc_id", "text")).collect()
+    assert(Bpe.trainingRuns == before + 2, "changed corpus served a stale trained chain")
+  }
 }

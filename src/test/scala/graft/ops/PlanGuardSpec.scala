@@ -84,7 +84,7 @@ class PlanGuardSpec extends SparkSpec {
     "heavy_hitters" -> 3,
     "bpe_merges" -> 1, // merge rounds materialize at construction (vocab-table aggs + 1-row argmax collects); the returned 12-row merge table keeps its final sort only
     "bpe_apply" -> 2, // training at construction as above; encode is one codegen replace-chain projection (no vocab join) + per-doc agg exchange + final sort
-    "bpe_token_histogram" -> 2, // reads the materialized trained vocab table: token agg exchange + final sort only
+    "bpe_token_histogram" -> 3, // vocab rebuild agg + token agg + final sort: rebuilt from the memoized chain per call — the old 2-exchange read of the trained FRAME dangled past harness cleanup (Bpe.trainedMemo)
     "unigram_logprob" -> 1,
     // LM scoring + two-phase rank range exchange
     "quality_buckets" -> 2,

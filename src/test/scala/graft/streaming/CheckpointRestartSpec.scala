@@ -21,6 +21,28 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * therefore a real recovery proof, not a stateless replay. */
 class CheckpointRestartSpec extends SparkSpec {
 
+  /** Provider parameterization: the RocksDB twin suite overrides these
+    * so the ENTIRE matrix re-runs under
+    * RocksDBStateStoreProvider + changelog checkpointing (the state
+    * store is a provider choice, not a semantics choice — this is the
+    * measured proof). The conf is session-level but read at query START,
+    * and suites run sequentially in the forked test JVM, so scoping it
+    * beforeAll/afterAll flips exactly this suite's queries. */
+  protected def providerConf: Map[String, String] = Map.empty
+
+  /** Proof-hook that the provider actually took effect: the RocksDB twin
+    * asserts rocksdb custom metrics on the running query's progress. */
+  protected def assertProvider(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = ()
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    providerConf.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+  override def afterAll(): Unit = {
+    providerConf.keys.foreach(spark.conf.unset)
+    super.afterAll()
+  }
+
   private val M = 1000000L // us per second
   private def ts(us: Long): java.sql.Timestamp =
     java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000L))
@@ -51,6 +73,7 @@ class CheckpointRestartSpec extends SparkSpec {
         if (interrupt && i + 1 == interruptAfter) { q.stop(); q = start() }
       }
       q.processAllAvailable()
+      assertProvider(q)
     } finally q.stop()
     s.read.parquet(s"$base/out/b*").toJSON.collect().toSet
   }
@@ -255,5 +278,60 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(a.exists(r => r.contains("\"sessionStart\":100000") && r.contains("\"sessionEnd\":131000")
       && r.contains("\"item\":\"a\"") && r.contains("\"count\":2") && r.contains("\"n\":6")),
       s"fused session fire not derived from recovered tables: $a")
+  }
+
+  test("SessionTopKState.lateCarrier: a late bridge re-fires FIRED sessions from recovered tables") {
+    val s = spark
+    import s.implicits._
+    import SessionTopKState._
+    // both parent sessions' tables are built pre-kill; the fires, the
+    // late BRIDGE that fuses the two already-fired sessions, the fused
+    // re-fire, the purge and the beyond-lateness split all happen
+    // post-restart — the fused x:3/n:4 is only right if BOTH parents'
+    // SpaceSaving tables were recovered. gap 10 s, lateness 20 s.
+    val batches = Seq(
+      Seq(InL("k", "x", ts(1 * M), ts(1 * M)), InL("k", "x", ts(2 * M), ts(2 * M)),
+        InL("k", "y", ts(20 * M), ts(3 * M))),       // A [1,12) {x:2}, B [20,30) {y:1}
+      Seq(InL("k", "c", ts(60 * M), ts(31 * M))),    // wm 31 s: fires A and B
+      Seq(InL("k", "x", ts(11 * M), ts(32 * M))),    // late bridge → fused [1,30) re-fires
+      Seq(InL("k", "d", ts(95 * M), ts(80 * M))),    // purge fused; fire C [60,70)
+      Seq(InL("k", "q", ts(5 * M), ts(81 * M))))     // beyond lateness → late row
+    val (a, b) = bothRuns(batches, interruptAfter = 1, "update")(
+      ds => SessionTopKState.lateCarrier(ds.withWatermark("wmTs", "0 seconds"),
+        gapMs = 10000L, allowedLatenessMs = 20000L).toDF())
+    assert(a == b, s"restart diverged:\n A-B=${(a diff b).take(3)}\n B-A=${(b diff a).take(3)}")
+    assert(a.exists(r => r.contains("\"kind\":\"fire\"") && r.contains("\"sessionStart\":1000")
+      && r.contains("\"sessionEnd\":30000") && r.contains("\"item\":\"x\"")
+      && r.contains("\"count\":3") && r.contains("\"n\":4")),
+      s"fused late re-fire not derived from recovered tables: $a")
+    assert(a.exists(r => r.contains("\"kind\":\"late\"") && r.contains("\"item\":\"q\"")),
+      s"beyond-lateness side output missing: $a")
+  }
+}
+
+/** The FULL kill-restart matrix under RocksDBStateStoreProvider +
+  * changelog checkpointing — every machine above (PatternState,
+  * MultiTouchState, TopKState, WindowedTopKState incl. lateCarrier,
+  * WindowedSketchState, slidingCarrier, AnomalyState, SessionTopKState)
+  * recovers from a RocksDB checkpoint exactly as from the heap
+  * provider's. r13 proved three machines under RocksDB
+  * (RocksDbStateStoreSpec, kept for the heap-vs-rocks output-identity
+  * direction); this inherits the whole suite, so new machines added to
+  * the matrix are RocksDB-covered automatically. Each run additionally
+  * asserts rocksdb custom metrics on the query progress — the provider
+  * conf demonstrably took effect, not just sat in the session. */
+class RocksDbCheckpointRestartSpec extends CheckpointRestartSpec {
+  override protected def providerConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+  override protected def assertProvider(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ops = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+    assert(ops.nonEmpty, "no state operator progress — cannot prove provider")
+    import scala.jdk.CollectionConverters._
+    assert(ops.exists(_.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb"))),
+      s"query ran without RocksDB state store; metrics: " +
+        ops.map(_.customMetrics.keySet.asScala.take(5)).mkString(", "))
   }
 }

@@ -75,7 +75,7 @@ class DynamicRulesSpec extends SparkSpec {
     // enrich before any publish fails loudly, never silently tags 'none'
     val events = Seq(Ev(1, "a", 5.0)).toDF()
     val e = intercept[IllegalArgumentException](enrich(events, rulesPath))
-    assert(e.getMessage.contains("no rules snapshot published"))
+    assert(e.getMessage.contains("no snapshot published"))
 
     publish(s, rulesPath, Seq(Rule("a", 1.0, "v1")))
     val v1Dir = currentSnapshot(s, rulesPath)

@@ -77,4 +77,39 @@ class WindowedTopKLateSpec extends SparkSpec {
       assert(w0fires.size == 4, s"purged window re-fired: $w0fires")
     } finally q.stop()
   }
+
+  test("several allowed-late events in one batch emit ONE row-set per window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(String, String, Long, Long)]
+    val evs = input.toDS()
+      .select(col("_1").as("key"), col("_2").as("item"),
+        timestamp_seconds(col("_3")).as("ts"),
+        timestamp_seconds(col("_4")).as("wmTs"))
+      .withWatermark("wmTs", "0 seconds")
+      .as[InW]
+    val q = WindowedTopKState.lateCarrier(evs, sizeMs = 10000L, allowedLatenessMs = 10000L)
+      .writeStream.format("memory").queryName("wtopk_late_batch")
+      .outputMode("update").start()
+    try {
+      def rows() = s.table("wtopk_late_batch").as[OutL].collect().toVector
+      def step(batch: (String, String, Long, Long)*): Unit = {
+        input.addData(batch: _*); q.processAllAvailable()
+      }
+      step(("a", "x", 1L, 1L)); step(("a", "c", 11L, 12L)) // fire [0,10000): x(1)
+      val fired = rows()
+      assert(fired.map(o => (o.kind, o.item, o.count)) == Vector(("fire", "x", 1L)),
+        s"setup fire mismatch: $fired")
+      // THREE allowed-late events for the fired window in ONE batch:
+      // exactly one re-fired row-set with the final counts — no
+      // intermediate (x,2)/(y,1) emissions, no same-batch duplicate
+      // (key, windowStart, rank) coordinates for append-style consumers
+      step(("a", "x", 2L, 13L), ("a", "y", 3L, 13L), ("a", "x", 4L, 13L))
+      val refire = rows().drop(fired.size)
+      assert(refire.map(o => (o.kind, o.windowStart, o.rank, o.item, o.count, o.n)) ==
+        Vector(("fire", 0L, 1L, "x", 3L, 4L), ("fire", 0L, 2L, "y", 1L, 4L)),
+        s"batched late events must emit one final row-set: $refire")
+    } finally q.stop()
+  }
 }
