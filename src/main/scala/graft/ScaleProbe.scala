@@ -829,7 +829,9 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val src = "/root/testdata/sf0.1"
+    // overridable so probes (layout_diag in particular) can run against
+    // a 10x replica dir instead of the canonical sf0.1
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("density")) {
       val qs = if (args.length > 1) args.drop(1).toSeq
         else Seq("dedup_near_minhash", "ngram_jaccard")

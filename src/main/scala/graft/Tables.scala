@@ -43,6 +43,19 @@ object Tables {
       graft.functions.GraftExtensions.ensure(s)
       graft.storage.Layout.bucketedDocuments(s, d)
     } else apply(s, d, "documents")
+
+  /** The raw (never-bucketed) documents scan, regardless of the layout
+    * conf — for consumers whose front half is NOT doc_id-keyed. A
+    * doc_id bucketing removes exchanges only under doc_id-clustered
+    * aggregation/join requirements; a consumer keyed on something else
+    * (the shingle-hash pair family) gains nothing, and WORSE, every
+    * incidental doc_id-clustered step in its plan goes exchange-free at
+    * BUCKET-COUNT parallelism — on a byte-sized-bucket toy corpus that
+    * pinned ngram_jaccard's shingle DISTINCT to 4 tasks and cost 6.4×
+    * wall at 10× volume (SCALEPROBE_r14 §1). Layouts are chosen per
+    * access pattern; this is the other pattern's accessor. */
+  def documentsRaw(s: SparkSession, d: String): DataFrame =
+    apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** `events.ts` has shipped under two physical parquet types across testdata

@@ -484,7 +484,11 @@ object Dedup {
     * probability, and the oracle applies the SAME hash, so both engines
     * agree bit-for-bit regardless. */
   private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairsFromToks(s, Prims.tokenized(Tables.documents(s, dir)))
+    // documentsRaw, not documents: the pair core's exchanges are
+    // shingle-hash-keyed, so the doc_id serving layout is definitionally
+    // neutral here and only pins the scan-side DISTINCT to bucket-count
+    // parallelism (Tables.documentsRaw's scaladoc has the r14 numbers)
+    ngramJaccardPairsFromToks(s, Prims.tokenized(Tables.documentsRaw(s, dir)))
 
   /** Candidate (doc_a < doc_b) pairs sharing ≥1 rare shingle, with the
     * exact intersection count and both docs' distinct-shingle sizes —
@@ -579,7 +583,8 @@ object Dedup {
     * all-pairs. OpsSpec plants a verbatim-substring doc and pins that
     * this reporter flags it while the Jaccard form does not. */
   def containmentPairs(s: SparkSession, dir: String): DataFrame =
-    containmentPairsFromToks(s, Prims.tokenized(Tables.documents(s, dir)))
+    // documentsRaw: hs-keyed pair core — see ngramJaccardPairs
+    containmentPairsFromToks(s, Prims.tokenized(Tables.documentsRaw(s, dir)))
       .materialized // survivors only; don't re-run the index join under the sort's sampling pass
       .orderBy("doc_a", "doc_b")
 
@@ -634,7 +639,9 @@ object Dedup {
     * lifetime instead. */
   private def clusterLabels(s: SparkSession, dir: String,
                             smallGraphMaxEdges: Long): DataFrame =
-    clusterLabelsFromToks(s, Prims.tokenized(Tables.documents(s, dir)),
+    // documentsRaw: the resolution's front half is the hs-keyed pair
+    // core — see ngramJaccardPairs
+    clusterLabelsFromToks(s, Prims.tokenized(Tables.documentsRaw(s, dir)),
       smallGraphMaxEdges)
 
   /** [[clusterLabels]] over a pre-tokenized `(doc_id, ws)` frame

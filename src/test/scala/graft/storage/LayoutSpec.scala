@@ -267,6 +267,28 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hs-keyed pair family opts OUT of the serving layout (reads raw under layout.enabled)") {
+    val s = spark
+    val raw = graft.SparkEntry.queries("ngram_jaccard")(s, dir).toJSON.collect().toSeq
+    s.conf.set(Layout.EnabledKey, "true")
+    try {
+      // build the bucketed table so a mis-route WOULD find it in the catalog
+      Layout.bucketedDocuments(s, dir)
+      val q = graft.SparkEntry.queries("ngram_jaccard")(s, dir)
+      // the pair core's exchanges are shingle-hash-keyed: a doc_id layout
+      // is neutral at best and pins doc_id-clustered steps to bucket-count
+      // parallelism at worst (Tables.documentsRaw scaladoc) — so the plan
+      // must scan the raw parquet, not the catalog bucket table
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("SelectedBucketsCount"),
+        s"ngram_jaccard must not route through the bucketed serving table:\n$plan")
+      assert(q.toJSON.collect().toSeq == raw, "opt-out changed the result")
+    } finally {
+      s.conf.set(Layout.EnabledKey, "false")
+      graft.HarnessUtil.releaseAll(s)
+    }
+  }
+
   test("composed layout: partition pruning and bucket-key aggregation together") {
     val events = Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
