@@ -16,6 +16,14 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same hook as Verify/Bench: probe individual queries under either
+    // materialize mode (SPARK_GRAFT_MATERIALIZE_MODE=reliable)
+    sys.env.get("SPARK_GRAFT_MATERIALIZE_MODE").foreach { mode =>
+      spark.conf.set(graft.ops.Prims.MaterializeModeKey, mode)
+      if (mode == "reliable")
+        spark.sparkContext.setCheckpointDir(
+          sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/graft_reliable_ckpt"))
+    }
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("word_count")
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()

@@ -48,16 +48,26 @@ object Prims {
     *     fault-tolerant storage (HDFS/S3 on a cluster) and survive any
     *     executor loss; re-reads are deterministic, so the pinned-ids
     *     contract holds too. Costs a write+read of the frame versus
-    *     `local`'s in-memory blocks (overhead measured in
-    *     docs/SCALEPROBE_r13.md); the posture for multi-hour 100 TB runs
-    *     where node loss is expected, not exceptional. The frame is
-    *     persisted for the duration of the checkpoint write (and
-    *     unpersisted right after): `Dataset.checkpoint` launches its
-    *     write as a separate job over the UNCACHED plan, so without the
-    *     transient persist the pin would compute its input twice — and
-    *     for the nondeterministic-id primitives the checkpointed copy
-    *     is the ONLY copy ever observed, so the transient cache is
-    *     correctness-neutral, purely a cost fix.
+    *     `local`'s in-memory blocks; the posture for multi-hour 100 TB
+    *     runs where node loss is expected, not exceptional.
+    *
+    *     On the write job's apparent "double compute": `Dataset
+    *     .checkpoint(eager)` runs a count job and then a SEPARATE
+    *     checkpoint-write job over the plan — but nearly every pin in
+    *     graft sits just downstream of an exchange, and the write job's
+    *     recompute re-READS that exchange's shuffle files (map outputs
+    *     outlive the first job), so only the narrow post-shuffle stage
+    *     re-executes. Measured at sf0.1 the whole reliable pin is
+    *     +12–15% wall on the worst pin-heavy queries (SCALEPROBE_r14
+    *     §2). A transient `df.persist` around the checkpoint — the
+    *     obvious "avoid recompute" move — is measurably WORSE (2–2.3×
+    *     wall on the same queries): the SQL-level cache substitutes an
+    *     InMemoryRelation whose columnar build costs more than the
+    *     stage it saves and perturbs the planned shape. Don't add it
+    *     back. For the nondeterministic-id primitives the checkpointed
+    *     copy is the only copy any consumer ever observes (the eager
+    *     count discards its values), so the write-job recompute is
+    *     correctness-neutral; MaterializeSpec pins byte-identity.
     *
     * Both modes pin CONTENT (ids, sampled range boundaries, sort order)
     * eagerly, which is what every call site actually needs; MaterializeSpec
@@ -69,13 +79,7 @@ object Prims {
         require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
           s"$MaterializeModeKey=reliable requires sparkContext.setCheckpointDir " +
             "(a cluster-visible fault-tolerant path, e.g. hdfs://.../checkpoints)")
-        // transient persist: the eager count populates the cache, the
-        // checkpoint-write job (a SEPARATE job in RDD checkpointing)
-        // then reads cached blocks instead of recomputing the plan —
-        // without this the pin costs ~2x compute, not write+read
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try df.checkpoint(eager = true)
-        finally df.unpersist(blocking = false)
+        df.checkpoint(eager = true)
       case other => sys.error(
         s"$MaterializeModeKey: unknown mode '$other' (expected local | reliable)")
     }
