@@ -130,9 +130,34 @@ object Bench {
             }.sorted
             (name, samples, (drainedShuffleBytes() - sb0) / TimedRuns)
           }
-          val lq = lres.map { case (k, ss, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
-          val lsb = lres.map { case (k, _, sb) => q(k) + ":" + sb }.mkString("{", ",", "}")
-          s""","layout":{"build_sec":$buildSec,"queries":$lq,"shuffle":$lsb}"""
+          // fact-pair arm: the orderkey-clustered TPC-H family over the
+          // co-bucketed lineitem/orders layout (Layout.bucketedFacts)
+          val tpchFamily = Seq("tpch_q3", "tpch_q4", "tpch_q12", "tpch_q18", "tpch_q21")
+            .filter(SparkEntry.queries.contains)
+          val tf0 = System.nanoTime()
+          graft.storage.Layout.bucketedFacts(spark, sfDir) // build once
+          val tpchBuildSec = (System.nanoTime() - tf0) / 1e9
+          spark.conf.set(graft.storage.Layout.TpchEnabledKey, "true")
+          val tres = try {
+            tpchFamily.map { name =>
+              val fn = SparkEntry.queries(name)
+              fn(spark, sfDir).count() // warm
+              HarnessUtil.releaseAll(spark, gc = true)
+              val sb0 = drainedShuffleBytes()
+              val samples = (1 to TimedRuns).map { _ =>
+                val t0 = System.nanoTime()
+                fn(spark, sfDir).count()
+                val dt = (System.nanoTime() - t0) / 1e9
+                HarnessUtil.releaseAll(spark, gc = true)
+                dt
+              }.sorted
+              (name, samples, (drainedShuffleBytes() - sb0) / TimedRuns)
+            }
+          } finally spark.conf.set(graft.storage.Layout.TpchEnabledKey, "false")
+          val all = lres ++ tres
+          val lq = all.map { case (k, ss, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
+          val lsb = all.map { case (k, _, sb) => q(k) + ":" + sb }.mkString("{", ",", "}")
+          s""","layout":{"build_sec":$buildSec,"tpch_build_sec":$tpchBuildSec,"queries":$lq,"shuffle":$lsb}"""
         } finally spark.conf.set(graft.storage.Layout.EnabledKey, "false")
       } catch { case scala.util.control.NonFatal(e) =>
         s""","layout":{"error":${q(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""

@@ -31,8 +31,21 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** Layout-aware fact pair: with `spark.graft.layout.tpch.enabled=true`
+    * these serve the co-bucketed orderkey layout
+    * (graft.storage.Layout.bucketedFacts) — the lineitem⋈orders join and
+    * every orderkey-clustered aggregation plan exchange-free on both
+    * sides. Default is the raw parquet scan. */
+  def orders(s: SparkSession, d: String): DataFrame =
+    if (s.conf.get(graft.storage.Layout.TpchEnabledKey, "false").toBoolean) {
+      graft.functions.GraftExtensions.ensure(s)
+      graft.storage.Layout.bucketedFacts(s, d)._2
+    } else apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    if (s.conf.get(graft.storage.Layout.TpchEnabledKey, "false").toBoolean) {
+      graft.functions.GraftExtensions.ensure(s)
+      graft.storage.Layout.bucketedFacts(s, d)._1
+    } else apply(s, d, "lineitem")
   /** Layout-aware: with `spark.graft.layout.enabled=true` this serves
     * the 32-bucket doc_id layout (graft.storage.Layout.bucketedDocuments,
     * built once per source dir), so the dedup/text family's doc_id-keyed

@@ -134,33 +134,91 @@ object Layout {
     * lazy build. `buckets = 0` (default) means size from the data. */
   def bucketedDocuments(spark: SparkSession, dir: String, buckets: Int = 0): DataFrame =
     this.synchronized {
-      val hadoopConf = spark.sparkContext.hadoopConfiguration
-      val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-      val srcFs = src.getFileSystem(hadoopConf)
-      val files = {
-        val it = srcFs.listFiles(src, true)
-        val b = Seq.newBuilder[(String, Long, Long)]
-        while (it.hasNext) {
-          val f = it.next()
-          b += ((f.getPath.toString, f.getLen, f.getModificationTime))
-        }
-        b.result().sortBy(_._1)
-      }
-      val n = if (buckets > 0) buckets else autoBuckets(files.map(_._2).sum)
-      val fingerprint = java.security.MessageDigest.getInstance("SHA-256")
-        .digest((s"$src b=$n" +: files.map { case (p, len, mt) => s"$p $len $mt" })
-          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val tag = fingerprint.take(8).map(b => f"$b%02x").mkString
-      val tableName = s"graft_docs_$tag"
-      val path = new org.apache.hadoop.fs.Path(
-        s"${spark.conf.get(DirKey, "/tmp/graft_layout")}/docs_$tag")
-      if (!spark.catalog.tableExists(tableName) ||
-          !path.getFileSystem(hadoopConf).exists(path)) {
-        writeBucketed(spark.read.parquet(s"$dir/documents.parquet"),
-          tableName, path.toString, "doc_id", n)
-      }
-      spark.table(tableName)
+      val (files, srcBytes) = sourceListing(spark, s"$dir/documents.parquet")
+      val n = if (buckets > 0) buckets else autoBuckets(srcBytes)
+      serveBucketed(spark, s"$dir/documents.parquet", "docs", "doc_id", n, files)
     }
+
+  /** (sorted (path, len, mtime) listing, total bytes) of a source parquet
+    * dir — the content identity every serve-side copy is keyed on. */
+  private def sourceListing(spark: SparkSession,
+      srcDir: String): (Seq[(String, Long, Long)], Long) = {
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val it = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listFiles(src, true)
+    val b = Seq.newBuilder[(String, Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      b += ((f.getPath.toString, f.getLen, f.getModificationTime))
+    }
+    val files = b.result().sortBy(_._1)
+    (files, files.map(_._2).sum)
+  }
+
+  /** Build-or-serve one bucketed copy keyed on the source CONTENT
+    * fingerprint (bucketedDocuments' caching rules, factored for every
+    * serve-side table). */
+  private def serveBucketed(spark: SparkSession, srcDir: String,
+      prefix: String, key: String, buckets: Int,
+      files: Seq[(String, Long, Long)]): DataFrame = {
+    val fingerprint = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((s"$srcDir b=$buckets" +: files.map { case (p, len, mt) => s"$p $len $mt" })
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tag = fingerprint.take(8).map(b => f"$b%02x").mkString
+    val tableName = s"graft_${prefix}_$tag"
+    val path = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get(DirKey, "/tmp/graft_layout")}/${prefix}_$tag")
+    if (!spark.catalog.tableExists(tableName) ||
+        !path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) {
+      writeBucketed(spark.read.parquet(srcDir), tableName, path.toString,
+        key, buckets)
+    }
+    spark.table(tableName)
+  }
+
+  /** Conf key switching `Tables.lineitem`/`Tables.orders` onto the
+    * CO-BUCKETED fact layout. Separate from [[EnabledKey]]: the two
+    * layouts serve different query families and a deployment opts into
+    * each by its own access patterns. */
+  val TpchEnabledKey = "spark.graft.layout.tpch.enabled"
+
+  /** The co-bucketed TPC-H fact pair: `lineitem` and `orders`, SAME
+    * bucket count, both on the order key, each bucket file sorted by it.
+    * This is the classic warehouse fact layout — the lineitem⋈orders
+    * equi-join and every orderkey-clustered aggregation (the q3/q4/q12/
+    * q18/q21 family's fact shuffle) plan with NO exchange on either
+    * side, and one file per bucket lets SortMergeJoin skip its per-run
+    * sorts too: "shuffle both facts every run" becomes "shuffle once at
+    * write time".
+    *
+    * Bucket count: `max(autoBuckets(larger side), defaultParallelism)`.
+    * The bytes term keeps bucket files parquet-healthy at warehouse
+    * scale (at 100 TB it is thousands, and the floor is irrelevant); the
+    * defaultParallelism FLOOR is the lesson of the ngram_jaccard layout
+    * probe (SCALEPROBE_r14 §1): exchange-free stages inherit bucket-count
+    * parallelism, so a bucketed fact table must never be narrower than
+    * the cluster, or every downstream orderkey stage starves. The floor
+    * differs from [[bucketedDocuments]] deliberately — the doc corpus at
+    * toy scale measured FASTER at 4 buckets (its raw scan is 1 task
+    * anyway), while the fact tables are row-heavy enough that narrow
+    * aggregation loses what the removed exchange saves.
+    *
+    * Returns (lineitem, orders). Cache identity covers BOTH sources'
+    * content plus the shared bucket count, so regenerating either side
+    * rebuilds the pair consistently. */
+  def bucketedFacts(spark: SparkSession, dir: String,
+      buckets: Int = 0): (DataFrame, DataFrame) = this.synchronized {
+    val (lf, lBytes) = sourceListing(spark, s"$dir/lineitem.parquet")
+    val (of, oBytes) = sourceListing(spark, s"$dir/orders.parquet")
+    val n = if (buckets > 0) buckets
+      else math.max(autoBuckets(math.max(lBytes, oBytes)),
+        spark.sparkContext.defaultParallelism)
+    // each side's fingerprint includes the OTHER side's listing: the
+    // pair is one layout decision, never half-rebuilt
+    val joint = lf ++ of
+    (serveBucketed(spark, s"$dir/lineitem.parquet", "lineitem", "l_orderkey", n, joint),
+      serveBucketed(spark, s"$dir/orders.parquet", "orders", "o_orderkey", n, joint))
+  }
 
   /** Incremental re-ingest into a partitioned layout: replace ONLY the
     * partitions present in `df`, leaving every other directory's files

@@ -289,6 +289,39 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed facts: lineitem⋈orders joins and orderkey aggs plan exchange-free, results identical") {
+    val s = spark
+    val rawQ18 = graft.SparkEntry.queries("tpch_q18")(s, dir).toJSON.collect().toSeq
+    val rawQ12 = graft.SparkEntry.queries("tpch_q12")(s, dir).toJSON.collect().toSeq
+    s.conf.set(Layout.TpchEnabledKey, "true")
+    try {
+      val (li, ord) = Layout.bucketedFacts(s, dir)
+      // the fact⋈fact equi-join: no shuffle exchange on EITHER side
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      val jplan = joined.queryExecution.executedPlan.toString
+      assert(exchanges(jplan) == 0,
+        s"co-bucketed fact join must not shuffle:\n$jplan")
+      // the serving path routes Tables.lineitem/orders onto the pair
+      // (asserted by catalog table name: a BARE scan of a bucketed table
+      // rightly plans "Bucketed: false — disabled by query planner" when
+      // no operator needs the distribution, so bucket-scan markers only
+      // appear in plans like `joined` above)
+      assert(Tables.lineitem(s, dir).queryExecution.executedPlan.toString
+          .contains("graft_lineitem_"),
+        "Tables.lineitem must serve the bucketed copy under the tpch layout conf")
+      // ...and the orderkey-clustered query family is result-identical
+      assert(graft.SparkEntry.queries("tpch_q18")(s, dir).toJSON.collect().toSeq == rawQ18,
+        "tpch_q18 diverged under the co-bucketed fact layout")
+      assert(graft.SparkEntry.queries("tpch_q12")(s, dir).toJSON.collect().toSeq == rawQ12,
+        "tpch_q12 diverged under the co-bucketed fact layout")
+      assert(rawQ18.nonEmpty && rawQ12.nonEmpty, "vacuous comparison")
+    } finally {
+      s.conf.set(Layout.TpchEnabledKey, "false")
+      graft.HarnessUtil.releaseAll(s)
+    }
+  }
+
   test("composed layout: partition pruning and bucket-key aggregation together") {
     val events = Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
