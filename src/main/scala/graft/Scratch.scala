@@ -24,6 +24,14 @@ object Scratch {
         spark.sparkContext.setCheckpointDir(
           sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/graft_reliable_ckpt"))
     }
+    // probe knobs: SPARK_GRAFT_LAYOUT=1 / SPARK_GRAFT_LAYOUT_TPCH=1 turn
+    // the serving layouts on for the timed run; SPARK_GRAFT_PRINT_PLAN=1
+    // dumps each query's executed plan after its timed run
+    if (sys.env.get("SPARK_GRAFT_LAYOUT").contains("1"))
+      spark.conf.set(graft.storage.Layout.EnabledKey, "true")
+    if (sys.env.get("SPARK_GRAFT_LAYOUT_TPCH").contains("1"))
+      spark.conf.set(graft.storage.Layout.TpchEnabledKey, "true")
+    val printPlan = sys.env.get("SPARK_GRAFT_PRINT_PLAN").contains("1")
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("word_count")
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
@@ -45,6 +53,10 @@ object Scratch {
       HarnessUtil.drainListeners(spark)
       println(f"TIMING $n%-24s $dt%8.2fs  rows=$rows  " +
         f"shuffle=${(shuffleBytes.get() - sb0) / 1024.0 / 1024.0}%.2f MB")
+      if (printPlan) {
+        val df = fn(spark, sfDir); df.count()
+        println(s"PLAN $n\n${df.queryExecution.executedPlan}")
+      }
       HarnessUtil.releaseAll(spark)
     }
     spark.stop()

@@ -760,9 +760,19 @@ object Tpch {
       .withColumn("is_late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select("l_orderkey", "l_suppkey", "is_late")
-    val perOrder = l.groupBy(col("l_orderkey").as("po_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+    // two-level agg instead of countDistinct: per-(order, supplier)
+    // collapse, then per-order counts. Same result (a supplier is "late"
+    // iff ANY of its lines is), but every level is orderkey-CLUSTERED —
+    // countDistinct plans an Expand whose first exchange keys on
+    // (orderkey, suppkey, gid), which an orderkey-bucketed lineitem
+    // cannot satisfy, re-shuffling the whole fact twice; this shape is
+    // exchange-FREE under the co-bucketed layout and moves supplier-
+    // level (not line-level) rows in its second exchange on raw
+    val perSupp = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("is_late")).as("supp_late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey").as("po_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"))
     val sup = Tables.supplier(s, dir)
       .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_1")
         .select("n_nationkey")),
