@@ -72,26 +72,52 @@ object Bpe {
     * cleanup between queries legitimately unpersists, leaving later
     * reads dangling on dead blocks (the rule written down at
     * [[Dedup]].clusterLabels; violating it here surfaced as
-    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in the bench fleet). Keyed on the
-    * CANONICALIZED analyzed plan, so a different corpus (or a re-read of
-    * a regenerated path, which canonicalizes to different file listings)
-    * trains fresh; weak on the session so short-lived test sessions
-    * don't leak entries. */
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in the bench fleet). Keyed on
+    * [[corpusKey]] — the canonicalized plan's semanticHash PLUS a
+    * content fingerprint (name+len+mtime) of every file-source root in
+    * the plan. The fingerprint term matters because Spark's
+    * InMemoryFileIndex equality compares only rootPaths: a re-read of
+    * the SAME path after its parquet files were regenerated
+    * canonicalizes EQUAL, and a plan-only key would serve a stale
+    * trained chain (and StreamingBpe.trainAndPublish would publish a
+    * stale tokenizer). The key is a plain String — nothing in the memo
+    * value references the plan or the session, so the WeakHashMap's
+    * weak-on-session eviction actually fires (a retained canonicalized
+    * plan would strongly reference the session via HadoopFsRelation and
+    * pin the entry for the JVM lifetime). */
   private val trainedMemo = new java.util.WeakHashMap[
     SparkSession,
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Vector[(Long, String, String, String, Long)])]()
+    (String, Vector[(Long, String, String, String, Long)])]()
+
+  /** Session-independent identity of a corpus plan: semanticHash of the
+    * canonicalized analyzed plan + per-root source-listing fingerprints
+    * (graft.storage.Layout.listingFingerprint) for every file relation
+    * in it. LocalRelation corpora contribute no file roots — their data
+    * lives in the plan and the semanticHash term covers it. */
+  private def corpusKey(docs: DataFrame): String = {
+    val plan = docs.queryExecution.analyzed.canonicalized
+    val srcFps = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(p =>
+              graft.storage.Layout.listingFingerprint(docs.sparkSession, p.toString))
+          case other => Seq(other.getClass.getName)
+        }
+    }.flatten
+    s"${plan.semanticHash()}|${srcFps.mkString(";")}"
+  }
 
   /** The ordered merge list for `docs` — memo hit or fresh training. */
   private def trainedOf(docs: DataFrame)
       : Vector[(Long, String, String, String, Long)] =
     trainedMemo.synchronized {
-      val plan = docs.queryExecution.analyzed.canonicalized
+      val key = corpusKey(docs)
       Option(trainedMemo.get(docs.sparkSession)) match {
-        case Some((p, cached)) if p == plan => cached
+        case Some((k, cached)) if k == key => cached
         case _ =>
           val trained = trainNow(docs)
-          trainedMemo.put(docs.sparkSession, (plan, trained))
+          trainedMemo.put(docs.sparkSession, (key, trained))
           trained
       }
     }

@@ -134,15 +134,71 @@ object Layout {
     * lazy build. `buckets = 0` (default) means size from the data. */
   def bucketedDocuments(spark: SparkSession, dir: String, buckets: Int = 0): DataFrame =
     this.synchronized {
-      val (files, srcBytes) = sourceListing(spark, s"$dir/documents.parquet")
-      val n = if (buckets > 0) buckets else autoBuckets(srcBytes)
-      serveBucketed(spark, s"$dir/documents.parquet", "docs", "doc_id", n, files)
+      served(spark, s"docs|$dir|$buckets", Seq(s"$dir/documents.parquet")) {
+        val (files, srcBytes) = sourceListing(spark, s"$dir/documents.parquet")
+        val n = if (buckets > 0) buckets else autoBuckets(srcBytes)
+        Seq(serveBucketed(spark, s"$dir/documents.parquet", "docs", "doc_id", n, files))
+      } match { case Seq((name, _)) => spark.table(name) }
     }
+
+  /** Per-session cache of serve-side resolutions: the full recursive
+    * source listing + SHA-256 fingerprint is an O(files) driver cost
+    * that used to run on EVERY `Tables.documents`/`lineitem`/`orders`
+    * access under this object's global lock — per query CONSTRUCTION,
+    * inside Bench's timed samples (where the raw arm has no
+    * equivalent), and serializing concurrent readers. Steady-state
+    * serving is now a map lookup guarded by cheap per-access checks:
+    * the source DIRECTORIES' mtimes (file create/delete under a dir
+    * bumps its mtime, so a regenerated parquet dir re-fingerprints;
+    * an in-place byte overwrite of an existing file would not — no
+    * writer graft runs does that), catalog presence, and output-path
+    * existence (tmp cleanup → rebuild). Values are names/paths only —
+    * driver metadata, never DataFrames (the Bpe-memo contract), and
+    * nothing in the value retains the session, so weak eviction works. */
+  private val serveCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.HashMap[String, (Seq[Long], Seq[(String, String)])]]()
+
+  /** Cache-or-build: returns (tableName, outputPath) pairs for `key`,
+    * running `build` only when the quick checks fail. Callers hold the
+    * [[Layout]] lock. */
+  private def served(spark: SparkSession, key: String, srcDirs: Seq[String])(
+      build: => Seq[(String, String)]): Seq[(String, String)] = {
+    val m = Option(serveCache.get(spark)).getOrElse {
+      val fresh = scala.collection.mutable.HashMap.empty[String, (Seq[Long], Seq[(String, String)])]
+      serveCache.put(spark, fresh)
+      fresh
+    }
+    val hc = spark.sparkContext.hadoopConfiguration
+    def mtime(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hc)
+      if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L
+    }
+    val sigs = srcDirs.map(mtime)
+    m.get(key) match {
+      case Some((cachedSigs, tables)) if cachedSigs == sigs &&
+          tables.forall { case (name, path) =>
+            spark.catalog.tableExists(name) && {
+              val p = new org.apache.hadoop.fs.Path(path)
+              p.getFileSystem(hc).exists(p)
+            }
+          } => tables
+      case _ =>
+        val built = build
+        m.put(key, (sigs, built))
+        built
+    }
+  }
+
+  /** Observability hook for the serve-cache spec: counts full recursive
+    * listings (the O(files) cost the [[served]] cache exists to avoid). */
+  private[graft] var relistings = 0
 
   /** (sorted (path, len, mtime) listing, total bytes) of a source parquet
     * dir — the content identity every serve-side copy is keyed on. */
   private def sourceListing(spark: SparkSession,
       srcDir: String): (Seq[(String, Long, Long)], Long) = {
+    relistings += 1
     val src = new org.apache.hadoop.fs.Path(srcDir)
     val it = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .listFiles(src, true)
@@ -157,14 +213,12 @@ object Layout {
 
   /** Build-or-serve one bucketed copy keyed on the source CONTENT
     * fingerprint (bucketedDocuments' caching rules, factored for every
-    * serve-side table). */
+    * serve-side table). Returns (tableName, outputPath) — driver
+    * metadata the [[served]] cache can hold without pinning plans. */
   private def serveBucketed(spark: SparkSession, srcDir: String,
       prefix: String, key: String, buckets: Int,
-      files: Seq[(String, Long, Long)]): DataFrame = {
-    val fingerprint = java.security.MessageDigest.getInstance("SHA-256")
-      .digest((s"$srcDir b=$buckets" +: files.map { case (p, len, mt) => s"$p $len $mt" })
-        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val tag = fingerprint.take(8).map(b => f"$b%02x").mkString
+      files: Seq[(String, Long, Long)]): (String, String) = {
+    val tag = listingTag(s"$srcDir b=$buckets", files)
     val tableName = s"graft_${prefix}_$tag"
     val path = new org.apache.hadoop.fs.Path(
       s"${spark.conf.get(DirKey, "/tmp/graft_layout")}/${prefix}_$tag")
@@ -173,7 +227,26 @@ object Layout {
       writeBucketed(spark.read.parquet(srcDir), tableName, path.toString,
         key, buckets)
     }
-    spark.table(tableName)
+    (tableName, path.toString)
+  }
+
+  /** 16-hex-char SHA-256 tag of a source listing (+ a caller salt) —
+    * the content identity serve-side copies and memo keys hang off. */
+  private[graft] def listingTag(salt: String,
+      files: Seq[(String, Long, Long)]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest((salt +: files.map { case (p, len, mt) => s"$p $len $mt" })
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
+  /** Content fingerprint of a parquet dir for MEMO KEYS (Bpe's trained
+    * chain): name+len+mtime of every file, hashed. A path that does not
+    * exist fingerprints as "absent" rather than throwing — callers key
+    * plans whose sources may be non-file (LocalRelation tests). */
+  private[graft] def listingFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) "absent"
+    else listingTag(dir, sourceListing(spark, dir)._1)
   }
 
   /** Conf key switching `Tables.lineitem`/`Tables.orders` onto the
@@ -208,16 +281,19 @@ object Layout {
     * rebuilds the pair consistently. */
   def bucketedFacts(spark: SparkSession, dir: String,
       buckets: Int = 0): (DataFrame, DataFrame) = this.synchronized {
-    val (lf, lBytes) = sourceListing(spark, s"$dir/lineitem.parquet")
-    val (of, oBytes) = sourceListing(spark, s"$dir/orders.parquet")
-    val n = if (buckets > 0) buckets
-      else math.max(autoBuckets(math.max(lBytes, oBytes)),
-        spark.sparkContext.defaultParallelism)
-    // each side's fingerprint includes the OTHER side's listing: the
-    // pair is one layout decision, never half-rebuilt
-    val joint = lf ++ of
-    (serveBucketed(spark, s"$dir/lineitem.parquet", "lineitem", "l_orderkey", n, joint),
-      serveBucketed(spark, s"$dir/orders.parquet", "orders", "o_orderkey", n, joint))
+    served(spark, s"facts|$dir|$buckets",
+        Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet")) {
+      val (lf, lBytes) = sourceListing(spark, s"$dir/lineitem.parquet")
+      val (of, oBytes) = sourceListing(spark, s"$dir/orders.parquet")
+      val n = if (buckets > 0) buckets
+        else math.max(autoBuckets(math.max(lBytes, oBytes)),
+          spark.sparkContext.defaultParallelism)
+      // each side's fingerprint includes the OTHER side's listing: the
+      // pair is one layout decision, never half-rebuilt
+      val joint = lf ++ of
+      Seq(serveBucketed(spark, s"$dir/lineitem.parquet", "lineitem", "l_orderkey", n, joint),
+        serveBucketed(spark, s"$dir/orders.parquet", "orders", "o_orderkey", n, joint))
+    } match { case Seq((l, _), (o, _)) => (spark.table(l), spark.table(o)) }
   }
 
   /** Incremental re-ingest into a partitioned layout: replace ONLY the

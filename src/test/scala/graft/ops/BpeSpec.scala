@@ -119,4 +119,31 @@ class BpeSpec extends SparkSpec {
     Bpe.bpeApplyOf(Seq((1L, "zz zz zq")).toDF("doc_id", "text")).collect()
     assert(Bpe.trainingRuns == before + 2, "changed corpus served a stale trained chain")
   }
+
+  test("memo retrains when the SAME path is regenerated with new content") {
+    // Spark's InMemoryFileIndex equality compares only rootPaths, so a
+    // plan-only memo key canonicalizes a regenerated path EQUAL and
+    // serves a stale chain — the memo key's source-listing fingerprint
+    // term exists precisely for this case. (File names are fresh UUIDs
+    // per write, so the fingerprint flips even within one mtime tick.)
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_regen").toString + "/corpus.parquet"
+    Seq((1L, "regen regen ab")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val before = Bpe.trainingRuns
+    val first = Bpe.bpeMergesOf(s.read.parquet(dir)).collect()
+    assert(Bpe.trainingRuns == before + 1)
+    // re-read of the same path, same content: memo hit (fingerprint equal)
+    Bpe.bpeApplyOf(s.read.parquet(dir)).collect()
+    assert(Bpe.trainingRuns == before + 1,
+      "same-path same-content re-read retrained instead of hitting the memo")
+    // regenerate the path with DIFFERENT content: must train fresh
+    Seq((1L, "qq qq qx")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val second = Bpe.bpeMergesOf(s.read.parquet(dir)).collect()
+    assert(Bpe.trainingRuns == before + 2,
+      "regenerated path served the stale trained chain")
+    assert(!first.sameElements(second), "retraining produced the old chain")
+  }
 }

@@ -347,4 +347,35 @@ class LayoutSpec extends SparkSpec {
       graft.HarnessUtil.releaseAll(spark)
     }
   }
+
+  test("serve cache: steady-state serving is a map lookup, not a relisting; a regenerated source invalidates") {
+    val s = spark
+    val src = java.nio.file.Files.createTempDirectory("layout_cache").toString
+    Tables.documents(s, dir).limit(50)
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    try {
+      val before = Layout.relistings
+      val first = Layout.bucketedDocuments(s, src)
+      val n1 = first.count()
+      val builds = Layout.relistings - before
+      assert(builds >= 1, "the first serve must fingerprint the source")
+      // steady state: the full recursive listing + SHA must NOT re-run
+      // per access (it used to, under the global lock, inside Bench's
+      // timed layout samples — the first-touch bias the r14 verdict
+      // flagged); the cheap per-access check is two dir-mtime stats
+      Layout.bucketedDocuments(s, src).count()
+      Layout.bucketedDocuments(s, src).count()
+      assert(Layout.relistings == before + builds,
+        s"cache hit still relisted (${Layout.relistings - before - builds} extra listings)")
+      // regenerating the source flips the dir mtime + file names: the
+      // cache must invalidate, re-fingerprint, and serve the NEW content
+      Tables.documents(s, dir).limit(80)
+        .write.mode("overwrite").parquet(s"$src/documents.parquet")
+      val second = Layout.bucketedDocuments(s, src)
+      assert(Layout.relistings > before + builds,
+        "regenerated source served the stale resolution without re-fingerprinting")
+      assert(second.count() == 80 && n1 == 50,
+        "regenerated source must serve the new content")
+    } finally graft.HarnessUtil.releaseAll(s)
+  }
 }
