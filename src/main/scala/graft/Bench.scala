@@ -60,23 +60,31 @@ object Bench {
 
     def q(s: String): String = HarnessUtil.jsonQ(s)
 
+    // one warm-up run (not recorded) + TimedRuns timed samples, sorted;
+    // the SAME protocol everywhere a query is timed — main fleet and
+    // both sides of the layout A/B — so recorded numbers are comparable
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (IndexedSeq[Double], Long) = {
+      fn(spark, sfDir).count() // warm-up (not recorded)
+      HarnessUtil.releaseAll(spark, gc = true) // cache entries AND
+                                    // checkpoint blocks must not leak
+                                    // across queries (memory pressure
+                                    // skews later timings)
+      val sb0 = drainedShuffleBytes()
+      val samples = (1 to TimedRuns).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        HarnessUtil.releaseAll(spark, gc = true)
+        dt
+      }.sorted
+      (samples, (drainedShuffleBytes() - sb0) / TimedRuns)
+    }
+
     val errors = scala.collection.mutable.Map[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        fn(spark, sfDir).count() // warm-up (not recorded)
-        HarnessUtil.releaseAll(spark, gc = true) // cache entries AND
-                                      // checkpoint blocks must not leak
-                                      // across queries (memory pressure
-                                      // skews later timings)
-        val sb0 = drainedShuffleBytes()
-        val samples = (1 to TimedRuns).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          HarnessUtil.releaseAll(spark, gc = true)
-          dt
-        }.sorted
-        val perRunShuffle = (drainedShuffleBytes() - sb0) / TimedRuns
+        val (samples, perRunShuffle) = timeQuery(fn)
         (name, samples, perRunShuffle)
       } catch {
         case e: Throwable =>
@@ -98,69 +106,66 @@ object Bench {
       .map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val total = results.map(t => med(t._2)).filter(_ >= 0).sum
 
-    // LAYOUT arm: the dedup/text family's documents-keyed front half,
-    // re-benched over the serve-side bucketed layout
-    // (Tables.documents under spark.graft.layout.enabled) so the
-    // recorded figures show raw-vs-laid-out side by side — the
-    // recurring-cost half of the 100 TB layout arithmetic. One-time
-    // build cost is recorded as layout.build_sec. Disable with
-    // SPARK_GRAFT_BENCH_LAYOUT=0.
+    // LAYOUT arm: the families with a serve-side layout, re-benched as a
+    // SELF-CONTAINED A/B — each query is timed raw then laid-out
+    // BACK-TO-BACK in the same JVM era (same warm-up protocol on both
+    // sides via timeQuery). The r14 record showed why interleaving is
+    // not optional: comparing the layout arm (timed at the END of a
+    // 139-query run) against raw numbers recorded mid-fleet charged
+    // era effects (heap/GC baseline, catalog first-touch) to the layout
+    // side, recording q3/q21 at 1.5-1.7x raw while fresh-JVM probes
+    // measured 0.5-0.7x. One-time build cost is recorded per layout as
+    // *_build_sec. Disable with SPARK_GRAFT_BENCH_LAYOUT=0.
     val layoutJson: String =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_LAYOUT", "1") == "0") ""
       else try {
-        val family = Seq("dedup_near_minhash", "ngram_jaccard", "minhash_calibration",
-          "simhash_dedup", "doc_fingerprint", "token_count", "quality_score")
-          .filter(SparkEntry.queries.contains)
-        val tb0 = System.nanoTime()
-        graft.storage.Layout.bucketedDocuments(spark, sfDir) // build once
-        val buildSec = (System.nanoTime() - tb0) / 1e9
-        spark.conf.set(graft.storage.Layout.EnabledKey, "true")
-        try {
-          val lres = family.map { name =>
+        // (name, rawSamples, rawShuffle, layoutSamples, layoutShuffle)
+        def abArm(family: Seq[String], confKey: String)
+            : Seq[(String, IndexedSeq[Double], Long, IndexedSeq[Double], Long)] =
+          family.filter(SparkEntry.queries.contains).map { name =>
             val fn = SparkEntry.queries(name)
-            fn(spark, sfDir).count() // warm
-            HarnessUtil.releaseAll(spark, gc = true)
-            val sb0 = drainedShuffleBytes()
-            val samples = (1 to TimedRuns).map { _ =>
-              val t0 = System.nanoTime()
-              fn(spark, sfDir).count()
-              val dt = (System.nanoTime() - t0) / 1e9
-              HarnessUtil.releaseAll(spark, gc = true)
-              dt
-            }.sorted
-            (name, samples, (drainedShuffleBytes() - sb0) / TimedRuns)
+            spark.conf.set(confKey, "false")
+            val (rs, rsb) = timeQuery(fn)
+            spark.conf.set(confKey, "true")
+            val (ls, lsb) = try timeQuery(fn)
+              finally spark.conf.set(confKey, "false")
+            (name, rs, rsb, ls, lsb)
           }
-          // fact-pair arm: the orderkey-clustered TPC-H family over the
-          // co-bucketed lineitem/orders layout (Layout.bucketedFacts)
-          val tpchFamily = Seq("tpch_q3", "tpch_q4", "tpch_q12", "tpch_q18", "tpch_q21")
-            .filter(SparkEntry.queries.contains)
-          val tf0 = System.nanoTime()
-          graft.storage.Layout.bucketedFacts(spark, sfDir) // build once
-          val tpchBuildSec = (System.nanoTime() - tf0) / 1e9
-          spark.conf.set(graft.storage.Layout.TpchEnabledKey, "true")
-          val tres = try {
-            tpchFamily.map { name =>
-              val fn = SparkEntry.queries(name)
-              fn(spark, sfDir).count() // warm
-              HarnessUtil.releaseAll(spark, gc = true)
-              val sb0 = drainedShuffleBytes()
-              val samples = (1 to TimedRuns).map { _ =>
-                val t0 = System.nanoTime()
-                fn(spark, sfDir).count()
-                val dt = (System.nanoTime() - t0) / 1e9
-                HarnessUtil.releaseAll(spark, gc = true)
-                dt
-              }.sorted
-              (name, samples, (drainedShuffleBytes() - sb0) / TimedRuns)
-            }
-          } finally spark.conf.set(graft.storage.Layout.TpchEnabledKey, "false")
-          val all = lres ++ tres
-          val lq = all.map { case (k, ss, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
-          val lsb = all.map { case (k, _, sb) => q(k) + ":" + sb }.mkString("{", ",", "}")
-          s""","layout":{"build_sec":$buildSec,"tpch_build_sec":$tpchBuildSec,"queries":$lq,"shuffle":$lsb}"""
-        } finally spark.conf.set(graft.storage.Layout.EnabledKey, "false")
+        def timedBuild(build: => Unit): Double = {
+          val t0 = System.nanoTime(); build; (System.nanoTime() - t0) / 1e9
+        }
+        // corpus layout: the doc_id-keyed dedup/text front half
+        val buildSec = timedBuild(graft.storage.Layout.bucketedDocuments(spark, sfDir))
+        val docRes = abArm(
+          Seq("dedup_near_minhash", "ngram_jaccard", "minhash_calibration",
+            "simhash_dedup", "doc_fingerprint", "token_count", "quality_score"),
+          graft.storage.Layout.EnabledKey)
+        // fact-pair layout: the orderkey-clustered TPC-H family over the
+        // co-bucketed lineitem/orders layout (Layout.bucketedFacts)
+        val tpchBuildSec = timedBuild(graft.storage.Layout.bucketedFacts(spark, sfDir))
+        val tpchRes = abArm(
+          Seq("tpch_q3", "tpch_q4", "tpch_q12", "tpch_q18", "tpch_q21"),
+          graft.storage.Layout.TpchEnabledKey)
+        // time-series layout: the event family over the date-partitioned
+        // serving copy (Layout.partitionedEvents + PartitionDateInference
+        // directory pruning on ts-range predicates)
+        val eventsBuildSec = timedBuild(graft.storage.Layout.partitionedEvents(spark, sfDir))
+        val eventsRes = abArm(
+          Seq("events_incremental_rollup", "events_rollup", "funnel",
+            "sessionize", "cohort_retention", "asof_attribution"),
+          graft.storage.Layout.EventsEnabledKey)
+        val all = docRes ++ tpchRes ++ eventsRes
+        val lq  = all.map { case (k, _, _, ss, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
+        val lsb = all.map { case (k, _, _, _, sb) => q(k) + ":" + sb }.mkString("{", ",", "}")
+        val rq  = all.map { case (k, ss, _, _, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
+        val rsb = all.map { case (k, _, sb, _, _) => q(k) + ":" + sb }.mkString("{", ",", "}")
+        s""","layout":{"build_sec":$buildSec,"tpch_build_sec":$tpchBuildSec,"events_build_sec":$eventsBuildSec,"queries":$lq,"shuffle":$lsb,"raw":{"queries":$rq,"shuffle":$rsb}}"""
       } catch { case scala.util.control.NonFatal(e) =>
         s""","layout":{"error":${q(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
+      } finally {
+        spark.conf.set(graft.storage.Layout.EnabledKey, "false")
+        spark.conf.set(graft.storage.Layout.TpchEnabledKey, "false")
+        spark.conf.set(graft.storage.Layout.EventsEnabledKey, "false")
       }
 
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle":$shuffle$layoutJson,"errors":$errJson,"sf":"$sfDir"}"""

@@ -58,6 +58,7 @@ object SparkEntry {
     "cohort_retention"  -> (EventAnalytics.cohortRetention _),
     "debounce"          -> (EventAnalytics.debounce _),
     "events_rollup"     -> (EventAnalytics.eventsRollup _),
+    "events_incremental_rollup" -> (EventAnalytics.incrementalRollup _),
     "sessionize"        -> (EventAnalytics.sessionize _),
     "user_journey"      -> (EventAnalytics.userJourney _),
     "events_pivot"      -> (EventAnalytics.eventsPivot _),
@@ -396,6 +397,7 @@ object SparkEntry {
       "cohort_retention" -> EventAnalytics.cohortRetentionSql,
       "debounce" -> EventAnalytics.debounceSql,
       "events_rollup" -> EventAnalytics.eventsRollupSql,
+      "events_incremental_rollup" -> EventAnalytics.incrementalRollupSql,
       "sessionize" -> EventAnalytics.sessionizeSql,
       "user_journey" -> EventAnalytics.userJourneySql,
       "events_pivot" -> EventAnalytics.eventsPivotSql,

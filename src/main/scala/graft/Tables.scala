@@ -82,7 +82,19 @@ object Tables {
     *     TimestampType — identical epoch micros under UTC session tz.
     *   - timestamp[us] with tz: already TimestampType, pass through.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    if (s.conf.get(graft.storage.Layout.EventsEnabledKey, "false").toBoolean) {
+      // date-partitioned serving copy (one directory per day) + the
+      // PartitionDateInference rule: ts-range predicates prune whole
+      // directories at planning time. Schema and values are identical
+      // to the normalized raw read (the layout build wrote exactly it).
+      graft.functions.GraftExtensions.ensure(s)
+      graft.storage.Layout.partitionedEvents(s, d)
+    } else eventsNormalized(s, d)
+
+  /** The raw read + ts normalization, regardless of the layout conf —
+    * also the source the layout build itself reads. */
+  private[graft] def eventsNormalized(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw =
       try apply(s, d, "events")

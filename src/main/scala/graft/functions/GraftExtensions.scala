@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => QDotRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.PartitionDateInference)
     ext.injectFunction((
       new FunctionIdentifier("qdot"),
       new ExpressionInfo(classOf[QDot].getName, "qdot"),
@@ -55,6 +56,16 @@ object GraftExtensions {
     if (!spark.catalog.functionExists("pq_encode")) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "pq_encode", PqEncode.builder, "built-in")
+    }
+    // Optimizer rules cannot be injected post-build; for harness-owned
+    // sessions the runtime hook is experimental.extraOptimizations (a
+    // fixed-point batch after the main optimizer, still before physical
+    // planning — early enough for FileSourceStrategy to classify the
+    // derived predicates as partition filters). The rule is idempotent,
+    // so coexisting with the injected copy is harmless.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PartitionDateInference)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PartitionDateInference
     }
   }
 }

@@ -95,6 +95,45 @@ object EventAnalytics {
        |GROUP BY ROLLUP (event_type, day)
        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
 
+  /** Bounds of [[incrementalRollup]]'s time slice — one mid-fixture
+    * week, the "re-run last week" incremental workload. */
+  val IncrementalFrom = "2024-01-08"
+  val IncrementalUntil = "2024-01-15"
+
+  /** events_incremental_rollup: the INCREMENTAL-job form of the rollup
+    * surface — per-(event_type, day) counts and exact value sums over a
+    * one-week ts slice. This is the time-family query whose 100 TB
+    * behavior is owned by the serving LAYOUT, not the plan: under the
+    * date-partitioned events copy (`spark.graft.layout.events.enabled`,
+    * `storage/Layout.partitionedEvents`) the ts-range predicate becomes
+    * a partition-directory filter via
+    * [[graft.plans.PartitionDateInference]], so the scan lists 8 of 30
+    * day directories here — and yesterday's directory out of thousands
+    * at warehouse scale — instead of reading the full table and
+    * discarding 77% of it post-scan. On the raw path the same predicate
+    * is an ordinary parquet pushdown (row-group min/max skipping): same
+    * result, file-listing cost proportional to the whole table.
+    * Aggregation itself is map-side combinable, (type, day)-bounded. */
+  def incrementalRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts") >= lit(IncrementalFrom).cast("timestamp") &&
+        col("ts") < lit(IncrementalUntil).cast("timestamp"))
+      .select(col("event_type"), expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sumDec2(col("value")).as("sum_value"))
+      .orderBy("event_type", "day")
+
+  def incrementalRollupSql: String =
+    s"""SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // $DayUs AS day,
+       |  count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '$IncrementalFrom'
+       |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$IncrementalUntil'
+       |GROUP BY event_type, day
+       |ORDER BY event_type, day""".stripMargin
+
   /** Debounce gap: a repeat of the same (user, event_type) within 6 h
     * of its predecessor is suppressed. */
   private val DebounceUs = 21600000000L

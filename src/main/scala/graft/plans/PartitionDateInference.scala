@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+
+/** Generated-column partition-predicate inference: the optimizer rule
+  * that makes a DATE-partitioned layout prune on the TIMESTAMP
+  * predicates queries actually write.
+  *
+  * The problem it solves: the time-series serving layout
+  * (`graft.storage.Layout.partitionedEvents`) partitions by a derived
+  * column `ts_date = to_date(ts)`, because a date is the right
+  * directory granularity at 100 TB (one directory per day; a
+  * high-cardinality partition column is death by small files). But
+  * queries filter on `ts` — `ts >= TIMESTAMP '2024-01-08'` — and Spark
+  * does not derive `ts_date >= DATE '2024-01-08'` from it on its own,
+  * so the scan would list and read every partition despite the layout.
+  * This rule closes that gap, the same move engines with generated
+  * columns make (the lakehouse "partition predicate derivation"
+  * pattern).
+  *
+  * Mechanics: for a `Filter` directly above a file-source relation
+  * (predicate pushdown has already run inside the same fixed-point
+  * batch, so pushed filters sit in exactly this shape) whose partition
+  * schema contains a DateType column named `<c>_date` for a timestamp
+  * column `c` in the relation output — the NAMING CONVENTION the layout
+  * writer guarantees — every conjunct comparing `c` against a timestamp
+  * literal yields a derived conjunct on `<c>_date`:
+  *
+  *   ts >= L, ts > L   →  ts_date >= date(L)
+  *   ts <= U, ts < U   →  ts_date <= date(U)
+  *   ts = V            →  ts_date = date(V)
+  *
+  * All derivations are CONSERVATIVE widenings (day truncation is
+  * monotone non-decreasing, and `<`/`>` are widened to the inclusive
+  * day), so the derived predicate can never drop a qualifying row —
+  * it only lets `FileSourceStrategy` classify it as a partition filter
+  * and skip whole directories at listing time. Day conversion uses the
+  * session time zone for TimestampType (matching what `to_date` did at
+  * write time under the same session) and UTC for TimestampNTZ.
+  *
+  * The rule is idempotent — a derived conjunct that is already present
+  * (semantically) is not re-added — so it is safe in a fixed-point
+  * batch, whether injected via `GraftExtensions` (operator-optimization
+  * rules) or appended at runtime to `spark.experimental
+  * .extraOptimizations` for harness-owned sessions.
+  */
+object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, rel: LogicalRelation) =>
+      rel.relation match {
+        case fs: HadoopFsRelation if fs.partitionSchema.nonEmpty =>
+          val derived = inferred(cond, rel.output, fs)
+          if (derived.isEmpty) f
+          else Filter(derived.foldLeft(cond)(And), rel)
+        case _ => f
+      }
+  }
+
+  private def inferred(cond: Expression, output: Seq[Attribute],
+      fs: HadoopFsRelation): Seq[Expression] = {
+    // timestamp attr -> its DateType partition attr, by the `<c>_date`
+    // naming convention (case-insensitive resolution, like the analyzer)
+    val partNames = fs.partitionSchema.filter(_.dataType == DateType)
+      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    val pairs: Map[ExprId, Attribute] = output.collect {
+      case ts if (ts.dataType == TimestampType || ts.dataType == TimestampNTZType) &&
+          partNames.contains(ts.name.toLowerCase(java.util.Locale.ROOT) + "_date") =>
+        output.find(_.name.equalsIgnoreCase(ts.name + "_date"))
+          .map(d => ts.exprId -> d)
+    }.flatten.toMap
+    if (pairs.isEmpty) return Nil
+
+    val conjuncts = splitConjunctivePredicates(cond)
+    def day(micros: Long, tsType: org.apache.spark.sql.types.DataType): Int =
+      tsType match {
+        case TimestampType =>
+          DateTimeUtils.microsToDays(micros, DateTimeUtils.getZoneId(conf.sessionLocalTimeZone))
+        case _ => DateTimeUtils.microsToDays(micros, java.time.ZoneOffset.UTC)
+      }
+    def lower(a: Attribute, micros: Long): Option[Expression] = pairs.get(a.exprId)
+      .map(d => GreaterThanOrEqual(d, Literal(day(micros, a.dataType), DateType)))
+    def upper(a: Attribute, micros: Long): Option[Expression] = pairs.get(a.exprId)
+      .map(d => LessThanOrEqual(d, Literal(day(micros, a.dataType), DateType)))
+    def eq(a: Attribute, micros: Long): Option[Expression] = pairs.get(a.exprId)
+      .map(d => EqualTo(d, Literal(day(micros, a.dataType), DateType)))
+
+    val candidates = conjuncts.flatMap {
+      case GreaterThanOrEqual(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType)) => lower(a, m)
+      case GreaterThan(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType))        => lower(a, m)
+      case LessThanOrEqual(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType))    => upper(a, m)
+      case LessThan(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType))           => upper(a, m)
+      case EqualTo(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType))            => eq(a, m)
+      // literal-first spellings
+      case LessThanOrEqual(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute)    => lower(a, m)
+      case LessThan(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute)           => lower(a, m)
+      case GreaterThanOrEqual(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute) => upper(a, m)
+      case GreaterThan(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute)        => upper(a, m)
+      case EqualTo(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute)            => eq(a, m)
+      case _ => None
+    }
+    // idempotence: never re-add a conjunct that is already there
+    candidates.filterNot(c => conjuncts.exists(_.semanticEquals(c))).distinct
+  }
+}

@@ -178,7 +178,8 @@ object Layout {
     m.get(key) match {
       case Some((cachedSigs, tables)) if cachedSigs == sigs &&
           tables.forall { case (name, path) =>
-            spark.catalog.tableExists(name) && {
+            // name is empty for path-only (non-catalog) layouts
+            (name.isEmpty || spark.catalog.tableExists(name)) && {
               val p = new org.apache.hadoop.fs.Path(path)
               p.getFileSystem(hc).exists(p)
             }
@@ -295,6 +296,44 @@ object Layout {
         serveBucketed(spark, s"$dir/orders.parquet", "orders", "o_orderkey", n, joint))
     } match { case Seq((l, _), (o, _)) => (spark.table(l), spark.table(o)) }
   }
+
+  /** Conf key switching `Tables.events` onto the date-partitioned
+    * serving layout. The third leg of the layout story: documents get
+    * buckets (key co-location), the TPC-H facts get co-buckets (join
+    * co-location), and the time-series table gets partition DIRECTORIES
+    * — the layout whose win is planning-time pruning on time ranges,
+    * the dominant access pattern for event data at 100 TB (an
+    * incremental job touching yesterday reads one directory of
+    * thousands). */
+  val EventsEnabledKey = "spark.graft.layout.events.enabled"
+
+  /** The SERVING-PATH date-partitioned `events`: one directory per day
+    * (`ts_date=YYYY-MM-DD`), built once per source CONTENT under
+    * [[DirKey]] (same fingerprint caching as [[bucketedDocuments]],
+    * path-only — no catalog entry needed for directory pruning). The
+    * served frame drops the derived `ts_date` so consumers see exactly
+    * the raw schema; queries keep filtering on `ts`, and
+    * [[graft.plans.PartitionDateInference]] derives the `ts_date`
+    * bounds that make `FileSourceStrategy` skip whole directories at
+    * listing time. Day cardinality is bounded by the time span — the
+    * low-cardinality requirement [[writePartitioned]] documents. */
+  def partitionedEvents(spark: SparkSession, dir: String): DataFrame =
+    this.synchronized {
+      served(spark, s"events|$dir", Seq(s"$dir/events.parquet")) {
+        val (files, _) = sourceListing(spark, s"$dir/events.parquet")
+        val tag = listingTag(s"$dir/events.parquet partitioned", files)
+        val path = new org.apache.hadoop.fs.Path(
+          s"${spark.conf.get(DirKey, "/tmp/graft_layout")}/events_$tag")
+        if (!path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) {
+          val ev = graft.Tables.eventsNormalized(spark, dir)
+          writePartitioned(
+            ev.withColumn("ts_date", org.apache.spark.sql.functions.to_date(
+              org.apache.spark.sql.functions.col("ts"))),
+            path.toString, Seq("ts_date"))
+        }
+        Seq(("", path.toString))
+      } match { case Seq((_, p)) => spark.read.parquet(p).drop("ts_date") }
+    }
 
   /** Incremental re-ingest into a partitioned layout: replace ONLY the
     * partitions present in `df`, leaving every other directory's files

@@ -348,6 +348,34 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("events layout: ts-range predicates prune day directories through Tables.events, identical results") {
+    val s = spark
+    val name = "events_incremental_rollup"
+    val raw = graft.SparkEntry.queries(name)(s, dir).toJSON.collect().toSeq
+    s.conf.set(Layout.EventsEnabledKey, "true")
+    try {
+      val q = graft.SparkEntry.queries(name)(s, dir)
+      val scan = leafScan(q)
+      // PartitionDateInference must turn the ts bounds into ts_date
+      // partition filters: [2024-01-08, 2024-01-15] inclusive = 8 of
+      // the fixture's 30 day directories listed, the rest never opened
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "ts_date")),
+        s"no derived ts_date partition filter in: ${scan.partitionFilters}")
+      assert(scan.selectedPartitions.partitionCount == 8,
+        s"expected 8 of 30 day directories, scanned ${scan.selectedPartitions.partitionCount}")
+      assert(q.toJSON.collect().toSeq == raw,
+        "events layout serving path diverged from the raw read")
+      assert(raw.nonEmpty, "vacuous comparison")
+      // an UNfiltered time query must still see every partition (the
+      // conservative-widening contract: inference never over-prunes)
+      val all = leafScan(graft.SparkEntry.queries("events_rollup")(s, dir))
+      assert(all.selectedPartitions.partitionCount == 30)
+    } finally {
+      s.conf.set(Layout.EventsEnabledKey, "false")
+      graft.HarnessUtil.releaseAll(s)
+    }
+  }
+
   test("serve cache: steady-state serving is a map lookup, not a relisting; a regenerated source invalidates") {
     val s = spark
     val src = java.nio.file.Files.createTempDirectory("layout_cache").toString
