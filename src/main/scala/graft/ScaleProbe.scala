@@ -67,9 +67,9 @@ object ScaleProbe {
     * grows 10× — under which a pair-family query whose work is
     * candidate-proportional must track ~linear. A super-linear ratio
     * HERE would be a real scale defect. */
-  private def fresh10xProbe(spark: SparkSession, src: String, queries: Seq[String]): Unit = {
-    val mult = 10
-    val dir = "/tmp/graft_fresh10x"
+  private def fresh10xProbe(spark: SparkSession, src: String, queries: Seq[String],
+      mult: Int = 10): Unit = {
+    val dir = s"/tmp/graft_fresh${mult}x"
     if (!new java.io.File(s"$dir/documents.parquet").exists()) {
       val base = spark.read.parquet(s"$src/documents.parquet")
       val copies = spark.range(mult).select(col("id").as("copy"))
@@ -82,20 +82,29 @@ object ScaleProbe {
         .drop("copy")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
-    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"fresh10x"}%9s ${"ratio"}%6s")
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics)
+          .foreach(m => { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () })
+    })
+    println(f"${"query"}%-24s ${"sf0.1"}%8s ${s"fresh${mult}x"}%9s ${"ratio"}%6s ${"shufMB1x"}%9s ${s"shufMB${mult}x"}%10s ${"shufRatio"}%9s")
     queries.foreach { n =>
       val fn = SparkEntry.queries(n)
-      def timed(d: String): Double = {
+      def timed(d: String): (Double, Double) = {
         fn(spark, d).count() // warm
         HarnessUtil.releaseAll(spark, gc = true)
+        HarnessUtil.drainListeners(spark)
+        val sb0 = shuffleBytes.get()
         val t0 = System.nanoTime()
         fn(spark, d).count()
         val dt = (System.nanoTime() - t0) / 1e9
         HarnessUtil.releaseAll(spark, gc = true)
-        dt
+        HarnessUtil.drainListeners(spark)
+        (dt, (shuffleBytes.get() - sb0) / 1024.0 / 1024.0)
       }
-      val (b, f) = (timed(src), timed(dir))
-      println(f"$n%-24s $b%8.2f $f%9.2f ${f / b}%6.1f")
+      val ((b, bmb), (f, fmb)) = (timed(src), timed(dir))
+      println(f"$n%-24s $b%8.2f $f%9.2f ${f / b}%6.1f $bmb%9.1f $fmb%10.1f ${fmb / math.max(bmb, 0.001)}%9.1f")
     }
   }
 
@@ -606,6 +615,91 @@ object ScaleProbe {
     }
   }
 
+  /** `custkey` mode: is the custkey exchange (orders⋈customer in
+    * q13/q18) worth a THIRD co-bucketed fact layout? Evidence gathered:
+    * (1) raw q13/q18 wall + shuffle at sf0.1 and 10×, with a count of
+    * how many of each plan's exchanges actually key on custkey;
+    * (2) a direct A/B of the q13 core against an ad-hoc custkey
+    * co-bucketed (orders, customer) pair at 10×, broadcast disabled so
+    * the comparison models the at-scale SMJ path (at 100 TB customer
+    * does not broadcast). Ship the layout only if the custkey exchange
+    * DOMINATES the raw wall at 10× — the r14 verdict's decision rule. */
+  private def custkeyProbe(spark: SparkSession, src: String, big: String): Unit = {
+    import graft.storage.Layout
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics)
+          .foreach(m => { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () })
+    })
+    def drained(): Long = { HarnessUtil.drainListeners(spark); shuffleBytes.get() }
+    def timed(mk: () => DataFrame): (Double, Double) = {
+      mk().count() // warm
+      HarnessUtil.releaseAll(spark, gc = true)
+      val sb0 = drained()
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        HarnessUtil.releaseAll(spark, gc = true)
+        dt
+      }.sorted
+      (samples(1), (drained() - sb0) / 3.0 / 1024 / 1024)
+    }
+
+    println(f"${"query"}%-10s ${"dir"}%-6s ${"med(s)"}%8s ${"shufMB"}%8s ${"custkey-exch/total"}%18s")
+    for ((label, dir) <- Seq("sf0.1" -> src, "10x" -> big); qn <- Seq("tpch_q13", "tpch_q18")) {
+      val fn = SparkEntry.queries(qn)
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val exchLines = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      val ck = exchLines.count(_.contains("custkey"))
+      val (med, mb) = timed(() => fn(spark, dir))
+      println(f"$qn%-10s $label%-6s $med%8.2f $mb%8.1f ${s"$ck/${exchLines.size}"}%18s")
+    }
+
+    // A/B: the q13 core on raw vs custkey co-bucketed pair at 10×
+    def q13Core(c: DataFrame, o: DataFrame): DataFrame =
+      c.select("c_custkey")
+        .join(o.filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    val base = "/tmp/graft_custkey_probe"
+    val n = math.max(Layout.autoBuckets(
+      new java.io.File(s"$big/orders.parquet").listFiles()
+        .filter(_.isFile).map(_.length).sum),
+      spark.sparkContext.defaultParallelism)
+    val tw0 = System.nanoTime()
+    Layout.writeBucketed(spark.read.parquet(s"$big/orders.parquet"),
+      "ckp_ord", s"$base/ord", "o_custkey", n)
+    Layout.writeBucketed(spark.read.parquet(s"$big/customer.parquet"),
+      "ckp_cust", s"$base/cust", "c_custkey", n)
+    val writeSec = (System.nanoTime() - tw0) / 1e9
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      println(f"${"q13-core@10x"}%-14s ${"med(s)"}%8s ${"shufMB"}%8s ${"exchanges"}%10s")
+      Seq(
+        ("raw", () => q13Core(spark.read.parquet(s"$big/customer.parquet"),
+          spark.read.parquet(s"$big/orders.parquet"))),
+        ("ck-bucketed", () => q13Core(Layout.table(spark, "ckp_cust"),
+          Layout.table(spark, "ckp_ord")))
+      ).foreach { case (label, mk) =>
+        val plan = mk().queryExecution.executedPlan.toString
+        val nExch = "(?<!Broadcast)(?<!Reused)Exchange ".r.findAllIn(plan).size
+        val (med, mb) = timed(() => mk())
+        println(f"$label%-14s $med%8.2f $mb%8.1f $nExch%10d")
+      }
+      println(f"(one-time custkey bucketed write at 10x: $writeSec%.2f s, $n buckets)")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS ckp_ord")
+      spark.sql("DROP TABLE IF EXISTS ckp_cust")
+    }
+  }
+
   /** `layout_corpus` mode: the Layout payoff on the CORPUS tables at
     * sf0.1 — `documents` bucketed by doc_id (32 buckets), `events`
     * day-partitioned. Workloads: the dedup family's shared per-doc
@@ -849,6 +943,15 @@ object ScaleProbe {
       fresh10xProbe(spark, src, qs)
       spark.stop(); return
     }
+    if (args.headOption.contains("fresh30x")) {
+      // the ≥30× leg of the constant-density scaling evidence
+      // (docs/SCALING.md): same salted-copy construction at 30× volume,
+      // reduced member set — the sub-linear claim's load-bearing run
+      val qs = if (args.length > 1) args.drop(1).toSeq
+        else Seq("dedup_near_minhash", "minhash_calibration", "winnow_pairs")
+      fresh10xProbe(spark, src, qs, mult = 30)
+      spark.stop(); return
+    }
     if (args.headOption.contains("materialize")) {
       val qs = if (args.length > 1) args.drop(1).toSeq
         else Seq("dedup_clusters", "corpus_shuffle", "bpe_merges", "pagerank_docs")
@@ -889,6 +992,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("layout")) {
       layoutProbe(spark, src)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("custkey")) {
+      custkeyProbe(spark, src, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
       spark.stop(); return
     }
     if (args.headOption.contains("layout_corpus")) {

@@ -179,6 +179,33 @@ object StreamBench {
         q.stop(); r
       },
       {
+        // the session machine WITH allowedLateness on merging windows
+        // (SessionTopKState.lateCarrier): same key/clock shape as
+        // session_topk, but 1/16 of events arrive with ts 15 s behind
+        // the carrier watermark — inside the 30 s lateness horizon, so
+        // they fold into retained (open or fired) sessions and trigger
+        // the batched re-fire path; events landing just after a chunk's
+        // 1 h clock jump fall BEYOND lateness and exit as kind='late'
+        // side-output rows. The delta vs session_topk prices the
+        // retained-session bookkeeping + late-fold machinery.
+        val in = MemoryStream[streaming.SessionTopKState.InL]
+        val q = streaming.SessionTopKState.lateCarrier(
+            in.toDS().withWatermark("wmTs", "10 seconds"),
+            gapMs = 5000L, allowedLatenessMs = 30000L)
+          .writeStream.format("noop").outputMode("update").start()
+        val r = measure("session_topk_late", total) { (a, b) =>
+          in.addData((a until b).map { i =>
+            val base = 1000L + i.toLong + (i / ChunkRows).toLong * 3600000L
+            val ts = if (i % 16 == 0) base - 15000L else base
+            streaming.SessionTopKState.InL(s"k${i % 64}", s"it${i % 1000}",
+              java.sql.Timestamp.from(java.time.Instant.EPOCH.plusMillis(ts)),
+              java.sql.Timestamp.from(java.time.Instant.EPOCH.plusMillis(base)))
+          }: _*)
+          q.processAllAvailable()
+        }
+        q.stop(); r
+      },
+      {
         // ingest-time BPE encode (StreamingBpe): per-batch published-chain
         // re-read + the one-projection literal-replace encode. Rows here
         // are DOCUMENTS (8 words each), so tokens/s ≈ 8× the figure.
