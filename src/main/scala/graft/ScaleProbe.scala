@@ -700,6 +700,59 @@ object ScaleProbe {
     }
   }
 
+  /** `eventslayout` mode: the three events serving arms at 10× — raw,
+    * date-only directories (the shipped default under
+    * `layout.events.enabled`), and the COMPOSED date+user_id-bucketed
+    * form (`layout.events.buckets=N`) — over the time family. Decision
+    * input for whether the composed layout should ever be the default:
+    * the user-keyed full-scan members (funnel/sessionize/cohort) trade
+    * their user_id exchange against dirs × buckets file fragmentation,
+    * and the crossover is a data-scale property this probe records
+    * honestly at fixture scale. */
+  private def eventsLayoutProbe(spark: SparkSession, big: String): Unit = {
+    import graft.storage.Layout
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics)
+          .foreach(m => { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () })
+    })
+    def drained(): Long = { HarnessUtil.drainListeners(spark); shuffleBytes.get() }
+    def timed(mk: () => DataFrame): (Double, Double) = {
+      mk().count() // warm
+      HarnessUtil.releaseAll(spark, gc = true)
+      val sb0 = drained()
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        HarnessUtil.releaseAll(spark, gc = true)
+        dt
+      }.sorted
+      (samples(1), (drained() - sb0) / 3.0 / 1024 / 1024)
+    }
+    val qs = Seq("events_incremental_rollup", "events_rollup", "funnel",
+      "sessionize", "cohort_retention", "asof_attribution")
+    val arms = Seq(
+      ("raw", () => { spark.conf.set(Layout.EventsEnabledKey, "false") }),
+      ("date-only", () => { spark.conf.set(Layout.EventsEnabledKey, "true")
+        spark.conf.set(Layout.EventsBucketsKey, "0") }),
+      ("composed-32", () => { spark.conf.set(Layout.EventsEnabledKey, "true")
+        spark.conf.set(Layout.EventsBucketsKey, "32") }))
+    try {
+      println(f"${"query"}%-28s ${"arm"}%-12s ${"med(s)"}%8s ${"shufMB"}%8s")
+      for (q <- qs; (label, set) <- arms) {
+        set()
+        val fn = SparkEntry.queries(q)
+        val (med, mb) = timed(() => fn(spark, big))
+        println(f"$q%-28s $label%-12s $med%8.2f $mb%8.1f")
+      }
+    } finally {
+      spark.conf.set(Layout.EventsEnabledKey, "false")
+      spark.conf.set(Layout.EventsBucketsKey, "0")
+    }
+  }
+
   /** `layout_corpus` mode: the Layout payoff on the CORPUS tables at
     * sf0.1 — `documents` bucketed by doc_id (32 buckets), `events`
     * day-partitioned. Workloads: the dedup family's shared per-doc
@@ -996,6 +1049,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("custkey")) {
       custkeyProbe(spark, src, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
+      spark.stop(); return
+    }
+    if (args.headOption.contains("eventslayout")) {
+      eventsLayoutProbe(spark, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
       spark.stop(); return
     }
     if (args.headOption.contains("layout_corpus")) {

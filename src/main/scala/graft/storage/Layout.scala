@@ -307,6 +307,21 @@ object Layout {
     * thousands). */
   val EventsEnabledKey = "spark.graft.layout.events.enabled"
 
+  /** Bucket count for the COMPOSED events layout (date directories +
+    * user_id buckets inside each, [[writePartitionedBucketed]]): 0 —
+    * the default — serves date-only directories. The composed form
+    * additionally removes the user_id exchange from the
+    * funnel/sessionize/cohort family (their aggregations and windows
+    * are user-keyed, and a partitioned+bucketed scan still reports
+    * HashPartitioning on the bucket column), at the cost of
+    * dirs × buckets files — which is why it is an explicit per-
+    * deployment choice rather than the default: at fixture scale the
+    * fragmentation costs more than the exchange (ScaleProbe
+    * `eventslayout` records the crossover), at warehouse scale both
+    * terms grow but the removed exchange is corpus-sized while the
+    * file count stays days × buckets. */
+  val EventsBucketsKey = "spark.graft.layout.events.buckets"
+
   /** The SERVING-PATH date-partitioned `events`: one directory per day
     * (`ts_date=YYYY-MM-DD`), built once per source CONTENT under
     * [[DirKey]] (same fingerprint caching as [[bucketedDocuments]],
@@ -319,20 +334,39 @@ object Layout {
     * low-cardinality requirement [[writePartitioned]] documents. */
   def partitionedEvents(spark: SparkSession, dir: String): DataFrame =
     this.synchronized {
-      served(spark, s"events|$dir", Seq(s"$dir/events.parquet")) {
-        val (files, _) = sourceListing(spark, s"$dir/events.parquet")
-        val tag = listingTag(s"$dir/events.parquet partitioned", files)
-        val path = new org.apache.hadoop.fs.Path(
-          s"${spark.conf.get(DirKey, "/tmp/graft_layout")}/events_$tag")
-        if (!path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) {
-          val ev = graft.Tables.eventsNormalized(spark, dir)
-          writePartitioned(
-            ev.withColumn("ts_date", org.apache.spark.sql.functions.to_date(
-              org.apache.spark.sql.functions.col("ts"))),
-            path.toString, Seq("ts_date"))
-        }
-        Seq(("", path.toString))
-      } match { case Seq((_, p)) => spark.read.parquet(p).drop("ts_date") }
+      val buckets = spark.conf.get(EventsBucketsKey, "0").toInt
+      def withDate(df: DataFrame): DataFrame =
+        df.withColumn("ts_date", org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")))
+      if (buckets > 0) {
+        // composed: date directories + user_id buckets (catalog table —
+        // bucket metadata lives there, not in the files)
+        served(spark, s"events|$dir|b=$buckets", Seq(s"$dir/events.parquet")) {
+          val (files, _) = sourceListing(spark, s"$dir/events.parquet")
+          val tag = listingTag(s"$dir/events.parquet b=$buckets", files)
+          val tableName = s"graft_events_$tag"
+          val path = new org.apache.hadoop.fs.Path(
+            s"${spark.conf.get(DirKey, "/tmp/graft_layout")}/events_$tag")
+          if (!spark.catalog.tableExists(tableName) ||
+              !path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) {
+            writePartitionedBucketed(withDate(graft.Tables.eventsNormalized(spark, dir)),
+              tableName, path.toString, Seq("ts_date"), "user_id", buckets)
+          }
+          Seq((tableName, path.toString))
+        } match { case Seq((name, _)) => spark.table(name).drop("ts_date") }
+      } else {
+        served(spark, s"events|$dir", Seq(s"$dir/events.parquet")) {
+          val (files, _) = sourceListing(spark, s"$dir/events.parquet")
+          val tag = listingTag(s"$dir/events.parquet partitioned", files)
+          val path = new org.apache.hadoop.fs.Path(
+            s"${spark.conf.get(DirKey, "/tmp/graft_layout")}/events_$tag")
+          if (!path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) {
+            writePartitioned(withDate(graft.Tables.eventsNormalized(spark, dir)),
+              path.toString, Seq("ts_date"))
+          }
+          Seq(("", path.toString))
+        } match { case Seq((_, p)) => spark.read.parquet(p).drop("ts_date") }
+      }
     }
 
   /** Incremental re-ingest into a partitioned layout: replace ONLY the

@@ -1,0 +1,88 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the partition-predicate inference rule beyond the
+  * end-to-end serving-path assertions in LayoutSpec: predicate
+  * spellings (literal-first, strict bounds, equality), the TimestampNTZ
+  * day conversion, and the naming-convention guard. Each case checks
+  * the EXECUTED plan's selected partition count — the same decision
+  * FileSourceStrategy makes at listing time, so a regression here is a
+  * full-table scan at 100 TB, invisible in results. */
+class PartitionDateInferenceSpec extends SparkSpec {
+
+  /** 4-day fixture (2024-02-01..04, 24 hourly rows each), written
+    * date-partitioned by the `<col>_date` convention; `ntz` controls
+    * the timestamp flavor so both day conversions are exercised. */
+  private def fixture(ntz: Boolean): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pdi").toString
+    val tsType = if (ntz) "timestamp_ntz" else "timestamp"
+    (0 until 96).map(i => (i.toLong, f"2024-02-${1 + i / 24}%02dT${i % 24}%02d:30:00"))
+      .toDF("id", "ts_s")
+      .select(col("id"), col("ts_s").cast(tsType).as("ts"))
+      .withColumn("ts_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("ts_date").parquet(dir)
+    dir
+  }
+
+  private def partitionsScanned(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    plan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+  }
+
+  test("range bounds prune: ts >= L AND ts < U lists only the covered days") {
+    val df = spark.read.parquet(fixture(ntz = false))
+      .filter(col("ts") >= lit("2024-02-02").cast("timestamp") &&
+        col("ts") < lit("2024-02-04").cast("timestamp"))
+    // lower day 02, conservative upper day 04 inclusive -> 3 of 4
+    assert(partitionsScanned(df) == 3)
+    assert(df.count() == 48) // rows stay exact: 02 and 03 only
+  }
+
+  test("equality prunes to one day") {
+    val df = spark.read.parquet(fixture(ntz = false))
+      .filter(col("ts") === lit("2024-02-03 05:30:00").cast("timestamp"))
+    assert(partitionsScanned(df) == 1)
+    assert(df.count() == 1)
+  }
+
+  test("literal-first spelling derives the same bound") {
+    val df = spark.read.parquet(fixture(ntz = false))
+      .filter(lit("2024-02-03").cast("timestamp") <= col("ts"))
+    assert(partitionsScanned(df) == 2) // days 03, 04
+    assert(df.count() == 48)
+  }
+
+  test("TimestampNTZ columns convert days in UTC and prune identically") {
+    val df = spark.read.parquet(fixture(ntz = true))
+      .filter(col("ts") >= lit("2024-02-04").cast("timestamp_ntz"))
+    assert(partitionsScanned(df) == 1)
+    assert(df.count() == 24)
+  }
+
+  test("no inference without the <col>_date naming pair") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pdi_neg").toString
+    (0 until 48).map(i => (i.toLong, f"2024-02-${1 + i / 24}%02dT${i % 24}%02d:30:00"))
+      .toDF("id", "ts_s")
+      .select(col("id"), col("ts_s").cast("timestamp").as("ts"))
+      .withColumn("other_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("other_date").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("ts") >= lit("2024-02-02").cast("timestamp"))
+    // convention not met -> rule must stay silent; every partition listed
+    assert(partitionsScanned(df) == 2)
+    assert(df.count() == 24)
+  }
+}

@@ -376,6 +376,33 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("composed events layout: user buckets remove the user_id exchange, date pruning still applies, identical results") {
+    val s = spark
+    val rawFunnel = graft.SparkEntry.queries("funnel")(s, dir).toJSON.collect().toSeq
+    s.conf.set(Layout.EventsEnabledKey, "true")
+    s.conf.set(Layout.EventsBucketsKey, "8")
+    try {
+      // user-keyed aggregation over the composed table: bucket metadata
+      // makes the scan HashPartitioning(user_id), so no exchange —
+      // partition directories do not break bucket co-location
+      val perUser = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      assert(exchanges(perUser.queryExecution.executedPlan.toString) == 0,
+        "user_id aggregation must be exchange-free on the composed layout")
+      // the date-inference pruning leg is unchanged by composing buckets
+      val pruned = graft.SparkEntry.queries("events_incremental_rollup")(s, dir)
+      assert(leafScan(pruned).selectedPartitions.partitionCount == 8,
+        "composed layout must still prune day directories")
+      assert(graft.SparkEntry.queries("funnel")(s, dir).toJSON.collect().toSeq == rawFunnel,
+        "funnel diverged under the composed events layout")
+      assert(rawFunnel.nonEmpty, "vacuous comparison")
+    } finally {
+      s.conf.set(Layout.EventsEnabledKey, "false")
+      s.conf.set(Layout.EventsBucketsKey, "0")
+      graft.HarnessUtil.releaseAll(s)
+    }
+  }
+
   test("serve cache: steady-state serving is a map lookup, not a relisting; a regenerated source invalidates") {
     val s = spark
     val src = java.nio.file.Files.createTempDirectory("layout_cache").toString
