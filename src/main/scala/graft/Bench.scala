@@ -46,6 +46,7 @@ object Bench {
         spark.sparkContext.setCheckpointDir(
           sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/graft_reliable_ckpt"))
     }
+    HarnessUtil.applyEnvConf(spark) // e.g. layout confs for an arm-wide run
 
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

@@ -61,6 +61,21 @@ private[graft] object HarnessUtil {
     try org.apache.spark.GraftSparkShim.waitListenerBusEmpty(spark.sparkContext, 10000L)
     catch { case _: java.util.concurrent.TimeoutException => () }
 
+  /** Apply `SPARK_GRAFT_CONF="k=v;k=v"` to the session — the generic
+    * knob for running a harness main under non-default session confs.
+    * The motivating use: Verify over the SERVING LAYOUTS
+    * (`SPARK_GRAFT_CONF="spark.graft.layout.enabled=true;..."`) proves
+    * on the FULL oracle surface that no layout changes a result — the
+    * per-query LayoutSpec identity checks, promoted to all of
+    * SparkEntry. */
+  def applyEnvConf(spark: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
+
   /** Free everything a finished query pinned: catalog cache entries,
     * localCheckpoint blocks, AND tracked data-sized broadcasts.
     * clearCache() alone misses the latter two (RDD-level persists and

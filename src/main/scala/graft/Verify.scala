@@ -30,6 +30,7 @@ object Verify {
         spark.sparkContext.setCheckpointDir(
           sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/graft_reliable_ckpt"))
     }
+    HarnessUtil.applyEnvConf(spark)
     new java.io.File(outDir).mkdirs()
     // Record every declared query's outcome so the snapshot is self-describing:
     // a failing query lands in verify_errors.json with its message instead of
