@@ -206,6 +206,27 @@ object StreamBench {
         q.stop(); r
       },
       {
+        // streaming ingest into the date-partitioned parquet layout
+        // (PartitionedIngest.start): every micro-batch commits real
+        // parquet files across 4 day directories behind the
+        // FileStreamSink metadata log — the path a 100 TB events table
+        // is ingested through. Prices the end-to-end sink (encode +
+        // file write + log commit), not just state machinery.
+        val base = java.nio.file.Files.createTempDirectory("sb_ingest").toString
+        val in = MemoryStream[(Long, java.sql.Timestamp)]
+        val q = streaming.PartitionedIngest.start(
+          in.toDF().select($"_1".as("event_id"), $"_2".as("ts")),
+          s"$base/sink", s"$base/ckpt")
+        val r = measure("partitioned_ingest", total) { (a, b) =>
+          in.addData((a until b).map { i =>
+            (i.toLong, java.sql.Timestamp.from(java.time.Instant.EPOCH
+              .plusMillis((i % 4).toLong * 86400000L + i.toLong)))
+          }: _*)
+          q.processAllAvailable()
+        }
+        q.stop(); r
+      },
+      {
         // ingest-time BPE encode (StreamingBpe): per-batch published-chain
         // re-read + the one-projection literal-replace encode. Rows here
         // are DOCUMENTS (8 words each), so tokens/s ≈ 8× the figure.
