@@ -39,9 +39,16 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   * monotone non-decreasing, and `<`/`>` are widened to the inclusive
   * day), so the derived predicate can never drop a qualifying row —
   * it only lets `FileSourceStrategy` classify it as a partition filter
-  * and skip whole directories at listing time. Day conversion uses the
-  * session time zone for TimestampType (matching what `to_date` did at
-  * write time under the same session) and UTC for TimestampNTZ.
+  * and skip whole directories at listing time. Day conversion is the
+  * UTC calendar day on BOTH timestamp flavors — the `<col>_date`
+  * contract `graft.storage.Layout.utcDate` pins on the write side.
+  * Session-tz conversion on either side would be worse than no
+  * pruning: a writer-UTC/reader-PST pair's off-by-one-day bounds
+  * silently DROP qualifying rows. With both sides pinned, any session
+  * time zone writes and prunes consistently (spec: the same fixture
+  * prunes correctly under a Pacific-time session). For TimestampNTZ
+  * the wall-clock micros ARE the day basis (matching `to_date` on NTZ,
+  * which is tz-free).
   *
   * The rule is idempotent — a derived conjunct that is already present
   * (semantically) is not re-added — so it is safe in a fixed-point
@@ -77,18 +84,16 @@ object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
     if (pairs.isEmpty) return Nil
 
     val conjuncts = splitConjunctivePredicates(cond)
-    def day(micros: Long, tsType: org.apache.spark.sql.types.DataType): Int =
-      tsType match {
-        case TimestampType =>
-          DateTimeUtils.microsToDays(micros, DateTimeUtils.getZoneId(conf.sessionLocalTimeZone))
-        case _ => DateTimeUtils.microsToDays(micros, java.time.ZoneOffset.UTC)
-      }
+    // UTC day for TimestampType (epoch micros), wall-clock day for NTZ —
+    // both are microsToDays at UTC, the utcDate write-side contract
+    def day(micros: Long): Int =
+      DateTimeUtils.microsToDays(micros, java.time.ZoneOffset.UTC)
     def lower(a: Attribute, micros: Long): Option[Expression] = pairs.get(a.exprId)
-      .map(d => GreaterThanOrEqual(d, Literal(day(micros, a.dataType), DateType)))
+      .map(d => GreaterThanOrEqual(d, Literal(day(micros), DateType)))
     def upper(a: Attribute, micros: Long): Option[Expression] = pairs.get(a.exprId)
-      .map(d => LessThanOrEqual(d, Literal(day(micros, a.dataType), DateType)))
+      .map(d => LessThanOrEqual(d, Literal(day(micros), DateType)))
     def eq(a: Attribute, micros: Long): Option[Expression] = pairs.get(a.exprId)
-      .map(d => EqualTo(d, Literal(day(micros, a.dataType), DateType)))
+      .map(d => EqualTo(d, Literal(day(micros), DateType)))
 
     val candidates = conjuncts.flatMap {
       case GreaterThanOrEqual(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType)) => lower(a, m)

@@ -322,6 +322,26 @@ object Layout {
     * file count stays days × buckets. */
   val EventsBucketsKey = "spark.graft.layout.events.buckets"
 
+  /** The UTC calendar day of a TimestampType instant, as a DateType
+    * column — SESSION-TZ-INDEPENDENT, unlike `to_date`. This is the
+    * `<col>_date` naming-convention CONTRACT: partition values written
+    * by graft layouts are UTC days, and
+    * [[graft.plans.PartitionDateInference]] derives bounds as UTC days,
+    * so a session running under any time zone writes and prunes
+    * consistently. (A session-tz derivation on either side would make a
+    * writer-UTC/reader-PST pair silently DROP qualifying rows — worse
+    * than no pruning.) Arithmetic is exact: `m - pmod(m, day)` is an
+    * exact multiple of a day (pmod is non-negative, so this is FLOOR
+    * even for pre-1970 instants), and integer `div` of an exact
+    * multiple is exact. */
+  def utcDate(tsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val day = lit(86400000000L)
+    val m = unix_micros(tsCol)
+    date_add(to_date(lit("1970-01-01")),
+      call_function("div", m - pmod(m, day), day).cast("int"))
+  }
+
   /** The SERVING-PATH date-partitioned `events`: one directory per day
     * (`ts_date=YYYY-MM-DD`), built once per source CONTENT under
     * [[DirKey]] (same fingerprint caching as [[bucketedDocuments]],
@@ -336,8 +356,8 @@ object Layout {
     this.synchronized {
       val buckets = spark.conf.get(EventsBucketsKey, "0").toInt
       def withDate(df: DataFrame): DataFrame =
-        df.withColumn("ts_date", org.apache.spark.sql.functions.to_date(
-          org.apache.spark.sql.functions.col("ts")))
+        df.withColumn("ts_date",
+          utcDate(org.apache.spark.sql.functions.col("ts")))
       if (buckets > 0) {
         // composed: date directories + user_id buckets (catalog table —
         // bucket metadata lives there, not in the files)

@@ -35,7 +35,7 @@ object PartitionedIngest {
     * [[graft.plans.PartitionDateInference]] exactly as on the batch
     * layout. */
   def start(events: DataFrame, path: String, checkpoint: String): StreamingQuery =
-    events.withColumn("ts_date", to_date(col("ts")))
+    events.withColumn("ts_date", graft.storage.Layout.utcDate(col("ts")))
       .writeStream.format("parquet")
       .partitionBy("ts_date")
       .option("path", path)

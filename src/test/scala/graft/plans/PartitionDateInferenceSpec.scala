@@ -70,6 +70,39 @@ class PartitionDateInferenceSpec extends SparkSpec {
     assert(df.count() == 24)
   }
 
+  test("non-UTC session: the UTC-pinned day contract prunes without dropping rows") {
+    // the failure this guards: session-tz day derivation on either side
+    // makes a writer/reader tz mismatch prune off-by-one-day — silently
+    // WRONG results. With Layout.utcDate (write) and the rule's UTC
+    // conversion (read) both tz-independent, an America/Los_Angeles
+    // session writes dirs and derives bounds consistently.
+    val s = spark
+    import s.implicits._
+    val prevTz = s.conf.get("spark.sql.session.timeZone")
+    s.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("pdi_tz").toString
+      (0 until 96).map(i => (i.toLong, f"2024-02-${1 + i / 24}%02dT${i % 24}%02d:30:00"))
+        .toDF("id", "ts_s")
+        .select(col("id"), col("ts_s").cast("timestamp").as("ts")) // LA wall times
+        .withColumn("ts_date", graft.storage.Layout.utcDate(col("ts")))
+        .write.mode("overwrite").partitionBy("ts_date").parquet(dir)
+      // LA evenings spill into the NEXT UTC day directory: 5 dirs total
+      val bound = lit("2024-02-03").cast("timestamp") // LA midnight instant
+      val pruned = spark.read.parquet(dir).filter(col("ts") >= bound)
+      // ground truth via a form the rule cannot prune on (full scan)
+      val boundMicros = s.sql(
+        "SELECT unix_micros(TIMESTAMP '2024-02-03 00:00:00')").head.getLong(0)
+      val truth = spark.read.parquet(dir)
+        .filter(unix_micros(col("ts")) >= boundMicros).count()
+      assert(truth == 48)
+      assert(pruned.count() == truth,
+        "tz-mismatched day derivation dropped qualifying rows")
+      assert(partitionsScanned(pruned) == 3,
+        "UTC days 03..05 of 5 — pruning must still engage under a non-UTC session")
+    } finally s.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("no inference without the <col>_date naming pair") {
     val s = spark
     import s.implicits._
