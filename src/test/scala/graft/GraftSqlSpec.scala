@@ -22,4 +22,35 @@ class GraftSqlSpec extends SparkSpec {
         |FROM embeddings WHERE vec_id = 0""".stripMargin).collect().head.getLong(0)
     assert(dot > 0)
   }
+
+  test("SQL layer inherits the serving layout: ad-hoc ts-range SQL prunes day directories") {
+    val dir = "/root/testdata/sf0.001"
+    val noLayout = Graft.sql(spark, dir,
+      """SELECT count(*) AS n FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'""".stripMargin)
+      .collect().head.getLong(0)
+    spark.conf.set(graft.storage.Layout.EventsEnabledKey, "true")
+    try {
+      val q = Graft.sql(spark, dir,
+        """SELECT count(*) AS n FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'""".stripMargin)
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val scanned = plan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount }
+        .getOrElse(fail("no FileSourceScanExec under the SQL view"))
+      // a SQL user writing plain WHERE ts >= ... gets the same 8-of-30
+      // directory pruning the DataFrame path gets — view + inference
+      // rule compose, no layout-aware SQL required
+      assert(scanned == 8, s"expected 8 of 30 day directories, scanned $scanned")
+      assert(q.collect().head.getLong(0) == noLayout,
+        "SQL over the layout diverged from the raw view")
+    } finally {
+      spark.conf.set(graft.storage.Layout.EventsEnabledKey, "false")
+      HarnessUtil.releaseAll(spark)
+    }
+  }
 }
