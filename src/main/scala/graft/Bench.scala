@@ -120,17 +120,30 @@ object Bench {
     val layoutJson: String =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_LAYOUT", "1") == "0") ""
       else try {
-        // (name, rawSamples, rawShuffle, layoutSamples, layoutShuffle)
+        // (name, rawSamples, rawShuffle, layoutSamples, layoutShuffle).
+        // Arm ORDER alternates per query (even index: raw first; odd:
+        // layout first): a fixed raw-then-layout order would hand any
+        // residual intra-pair era effect (page cache warmed by the first
+        // arm's runs, JIT) systematically to the second side — the same
+        // one-directional bias class interleaving removed at fleet
+        // scale, one level down. Alternation cancels it across the
+        // family instead of accumulating it on one arm.
         def abArm(family: Seq[String], confKey: String)
             : Seq[(String, IndexedSeq[Double], Long, IndexedSeq[Double], Long)] =
-          family.filter(SparkEntry.queries.contains).map { name =>
-            val fn = SparkEntry.queries(name)
-            spark.conf.set(confKey, "false")
-            val (rs, rsb) = timeQuery(fn)
-            spark.conf.set(confKey, "true")
-            val (ls, lsb) = try timeQuery(fn)
-              finally spark.conf.set(confKey, "false")
-            (name, rs, rsb, ls, lsb)
+          family.filter(SparkEntry.queries.contains).zipWithIndex.map {
+            case (name, i) =>
+              val fn = SparkEntry.queries(name)
+              def arm(on: Boolean) = {
+                spark.conf.set(confKey, on.toString)
+                try timeQuery(fn) finally spark.conf.set(confKey, "false")
+              }
+              if (i % 2 == 0) {
+                val (rs, rsb) = arm(on = false); val (ls, lsb) = arm(on = true)
+                (name, rs, rsb, ls, lsb)
+              } else {
+                val (ls, lsb) = arm(on = true); val (rs, rsb) = arm(on = false)
+                (name, rs, rsb, ls, lsb)
+              }
           }
         def timedBuild(build: => Unit): Double = {
           val t0 = System.nanoTime(); build; (System.nanoTime() - t0) / 1e9

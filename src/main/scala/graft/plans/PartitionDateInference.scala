@@ -55,8 +55,52 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   * batch, whether injected via `GraftExtensions` (operator-optimization
   * rules) or appended at runtime to `spark.experimental
   * .extraOptimizations` for harness-owned sessions.
+  *
+  * PROVENANCE GATE: the naming convention alone is NOT proof of the
+  * UTC-day contract. An external table partitioned by session-tz
+  * `to_date(ts)` — the common lakehouse idiom — read under a non-UTC
+  * session would get UTC-day bounds derived against session-tz
+  * directories and silently DROP qualifying rows (an LA-session row at
+  * 23:00 lands in the prior day's directory). So the rule fires only on
+  * relations whose every root path carries the
+  * [[graft.storage.Layout.UtcDaysMarker]] provenance marker — written
+  * by every graft layout/ingest path, and assertable for a user's own
+  * contract-honoring table via [[graft.storage.Layout.markUtcDays]] —
+  * or when the session opts into trusting the bare convention with
+  * [[PartitionDateInference.TrustConventionKey]]. Positive marker
+  * checks are cached per root path (a marker never disappears while a
+  * layout is live); negative checks re-stat, so marking a path takes
+  * effect on the next query without session surgery.
   */
 object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Session conf: `true` trusts the `<c>_date` naming convention with
+    * no provenance marker — only safe when every such table in the
+    * session honors the UTC-day write contract. Default `false`. */
+  val TrustConventionKey = "spark.graft.layout.inference.trustConvention"
+
+  /** root-path → marker-present, positives only (a negative can become
+    * positive when `seal`/`markUtcDays` runs later in the JVM). */
+  private val markerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def trusted(fs: HadoopFsRelation): Boolean = {
+    val roots = fs.location.rootPaths
+    roots.nonEmpty && roots.forall { root =>
+      val key = root.toString
+      markerCache.containsKey(key) || {
+        val ok =
+          try {
+            val p = new org.apache.hadoop.fs.Path(root,
+              graft.storage.Layout.UtcDaysMarker)
+            p.getFileSystem(fs.sparkSession.sparkContext.hadoopConfiguration)
+              .exists(p)
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (ok) markerCache.put(key, true)
+        ok
+      }
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, rel: LogicalRelation) =>
@@ -82,6 +126,11 @@ object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
           .map(d => ts.exprId -> d)
     }.flatten.toMap
     if (pairs.isEmpty) return Nil
+    // provenance gate AFTER the convention check: the marker stat runs
+    // only for tables that would actually be inferred on (positives are
+    // cached, so a served layout pays one stat per JVM, not per query)
+    if (!conf.getConfString(TrustConventionKey, "false").toBoolean &&
+        !trusted(fs)) return Nil
 
     val conjuncts = splitConjunctivePredicates(cond)
     // UTC day for TimestampType (epoch micros), wall-clock day for NTZ —
@@ -107,6 +156,29 @@ object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThanOrEqual(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute) => upper(a, m)
       case GreaterThan(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute)        => upper(a, m)
       case EqualTo(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute)            => eq(a, m)
+      // null-safe equality against a NON-NULL literal is plain equality
+      // (`ts <=> NULL` matches only null ts, whose ts_date is also null —
+      // no day to derive; the typed pattern rejects null values)
+      case EqualNullSafe(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType))      => eq(a, m)
+      case EqualNullSafe(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute)      => eq(a, m)
+      // IN-lists (the pivoted-dashboard spelling): every row passing
+      // `ts IN (t1..tn)` has ts_date in the literals' UTC days — null
+      // list elements never MATCH extra rows, so dropping them from the
+      // derived day set is still a conservative superset. Both the
+      // pre-OptimizeIn `In` form and the converted `InSet` (value set of
+      // epoch micros) appear here depending on batch ordering.
+      case In(a: Attribute, list) if list.nonEmpty && list.forall {
+            case Literal(_, TimestampType | TimestampNTZType) => true
+            case _ => false } =>
+        val days = list.collect { case Literal(m: Long, _) => day(m) }.distinct
+        if (days.isEmpty) None // all-null list: matches nothing, derive nothing
+        else pairs.get(a.exprId).map(d => In(d, days.map(Literal(_, DateType))))
+      case InSet(a: Attribute, hset)
+          if (a.dataType == TimestampType || a.dataType == TimestampNTZType) &&
+            hset.nonEmpty =>
+        val days = hset.collect { case m: java.lang.Long => day(m.longValue) }
+        if (days.isEmpty) None
+        else pairs.get(a.exprId).map(d => InSet(d, days.map(x => x: Any)))
       case _ => None
     }
     // idempotence: never re-add a conjunct that is already there

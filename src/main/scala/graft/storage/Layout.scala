@@ -147,16 +147,37 @@ object Layout {
     * access under this object's global lock — per query CONSTRUCTION,
     * inside Bench's timed samples (where the raw arm has no
     * equivalent), and serializing concurrent readers. Steady-state
-    * serving is now a map lookup guarded by cheap per-access checks:
-    * the source DIRECTORIES' mtimes (file create/delete under a dir
-    * bumps its mtime, so a regenerated parquet dir re-fingerprints;
-    * an in-place byte overwrite of an existing file would not — no
-    * writer graft runs does that), catalog presence, and output-path
-    * existence (tmp cleanup → rebuild). Values are names/paths only —
-    * driver metadata, never DataFrames (the Bpe-memo contract), and
-    * nothing in the value retains the session, so weak eviction works. */
+    * serving is now a map lookup guarded by a cheap per-access
+    * signature ([[quickSig]]: root mtime + direct-child names/lens/
+    * mtimes from ONE listStatus call), catalog presence, and
+    * output-path existence (tmp cleanup → rebuild). Values are
+    * names/paths only — driver metadata, never DataFrames (the
+    * Bpe-memo contract), and nothing in the value retains the session,
+    * so weak eviction works. */
   private val serveCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.HashMap[String, (Seq[Long], Seq[(String, String)])]]()
+    scala.collection.mutable.HashMap[String, (Seq[String], Seq[(String, String)])]]()
+
+  /** Cheap per-access change signature of a source dir: root mtime,
+    * direct-child count, and a hash of every direct child's
+    * (name, len, mtime) — one non-recursive listStatus call, no
+    * SHA-over-recursive-walk. The child-name term closes the
+    * mtime-granularity hole a bare dir-mtime check leaves: a source
+    * regenerated within the SAME filesystem mtime tick as the cached
+    * stat still flips the part-file UUID names, so the signature
+    * changes even when the root mtime cannot. (The remaining
+    * out-of-contract case is an in-place byte overwrite preserving
+    * name+len+mtime — no writer graft runs does that.) */
+  private def quickSig(spark: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val rootMtime = fs.getFileStatus(p).getModificationTime
+      val kids = fs.listStatus(p).map(k =>
+        s"${k.getPath.getName} ${k.getLen} ${k.getModificationTime}").sorted
+      s"$rootMtime|${kids.length}|${kids.mkString("\n").hashCode}"
+    }
+  }
 
   /** Cache-or-build: returns (tableName, outputPath) pairs for `key`,
     * running `build` only when the quick checks fail. Callers hold the
@@ -164,17 +185,12 @@ object Layout {
   private def served(spark: SparkSession, key: String, srcDirs: Seq[String])(
       build: => Seq[(String, String)]): Seq[(String, String)] = {
     val m = Option(serveCache.get(spark)).getOrElse {
-      val fresh = scala.collection.mutable.HashMap.empty[String, (Seq[Long], Seq[(String, String)])]
+      val fresh = scala.collection.mutable.HashMap.empty[String, (Seq[String], Seq[(String, String)])]
       serveCache.put(spark, fresh)
       fresh
     }
     val hc = spark.sparkContext.hadoopConfiguration
-    def mtime(d: String): Long = {
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(hc)
-      if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L
-    }
-    val sigs = srcDirs.map(mtime)
+    val sigs = srcDirs.map(quickSig(spark, _))
     m.get(key) match {
       case Some((cachedSigs, tables)) if cachedSigs == sigs &&
           tables.forall { case (name, path) =>
@@ -192,14 +208,16 @@ object Layout {
   }
 
   /** Observability hook for the serve-cache spec: counts full recursive
-    * listings (the O(files) cost the [[served]] cache exists to avoid). */
-  private[graft] var relistings = 0
+    * listings (the O(files) cost the [[served]] cache exists to avoid).
+    * Atomic — incremented under the [[Layout]] lock from serve builds
+    * AND under the Bpe memo lock from [[listingFingerprint]]. */
+  private[graft] val relistings = new java.util.concurrent.atomic.AtomicInteger
 
   /** (sorted (path, len, mtime) listing, total bytes) of a source parquet
     * dir — the content identity every serve-side copy is keyed on. */
   private def sourceListing(spark: SparkSession,
       srcDir: String): (Seq[(String, Long, Long)], Long) = {
-    relistings += 1
+    relistings.incrementAndGet()
     val src = new org.apache.hadoop.fs.Path(srcDir)
     val it = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .listFiles(src, true)
@@ -243,11 +261,29 @@ object Layout {
   /** Content fingerprint of a parquet dir for MEMO KEYS (Bpe's trained
     * chain): name+len+mtime of every file, hashed. A path that does not
     * exist fingerprints as "absent" rather than throwing — callers key
-    * plans whose sources may be non-file (LocalRelation tests). */
+    * plans whose sources may be non-file (LocalRelation tests).
+    *
+    * Cached per dir behind the same [[quickSig]] cheap check the serve
+    * cache uses: `Bpe.corpusKey` calls this on every BPE query access
+    * (under the trainedMemo lock), and an uncached form re-ran the full
+    * recursive listing + SHA per access — reintroducing on the BPE path
+    * exactly the O(files) driver cost the serve cache was added to
+    * eliminate. The signature's child-name term keeps the one-mtime-tick
+    * regeneration defense the memo key relies on (fresh part-file UUIDs
+    * flip the signature even inside one mtime tick). */
+  private val fingerprintCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   private[graft] def listingFingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) "absent"
-    else listingTag(dir, sourceListing(spark, dir)._1)
+    val sig = quickSig(spark, dir)
+    if (sig == "absent") return "absent"
+    Option(fingerprintCache.get(dir)) match {
+      case Some((cachedSig, fp)) if cachedSig == sig => fp
+      case _ =>
+        val fp = listingTag(dir, sourceListing(spark, dir)._1)
+        fingerprintCache.put(dir, (sig, fp))
+        fp
+    }
   }
 
   /** Conf key switching `Tables.lineitem`/`Tables.orders` onto the
@@ -322,6 +358,42 @@ object Layout {
     * file count stays days × buckets. */
   val EventsBucketsKey = "spark.graft.layout.events.buckets"
 
+  /** Conf key pointing `Tables.events` at an EXISTING date-partitioned
+    * serving directory — the production deployment seam: a streaming
+    * pipeline lands micro-batches via
+    * [[graft.streaming.PartitionedIngest.start]], `seal`s them into a
+    * serving copy nightly, `expirePartitions` enforces the horizon, and
+    * the query surface reads THAT copy through the same accessor (and
+    * the same [[graft.plans.PartitionDateInference]] pruning — seal
+    * marks the copy with [[UtcDaysMarker]]) instead of rebuilding a
+    * layout from a batch source. Takes precedence over the
+    * build-from-source path when [[EventsEnabledKey]] is on. */
+  val EventsServingDirKey = "spark.graft.layout.events.servingDir"
+
+  /** Provenance marker file for date-partitioned layouts whose
+    * `<col>_date` partition values honor the UTC-day write contract
+    * ([[utcDate]]). [[graft.plans.PartitionDateInference]] derives
+    * partition bounds ONLY for relations whose root paths carry this
+    * marker (or under its explicit trust-convention conf): the naming
+    * convention alone is not proof — an external table partitioned by
+    * session-tz `to_date(ts)` read under a non-UTC session would get
+    * UTC bounds derived against session-tz directories and silently
+    * drop rows. Underscore-prefixed, so Spark/parquet file discovery
+    * ignores it. */
+  val UtcDaysMarker = "_graft_utc_days"
+
+  /** Assert the UTC-day contract for a date-partitioned directory by
+    * dropping [[UtcDaysMarker]] at its root. Called by every graft
+    * layout/ingest writer; public so a user whose OWN table honors the
+    * contract (partition values derived tz-independently, e.g. via
+    * [[utcDate]]) can opt it into [[graft.plans.PartitionDateInference]]
+    * pruning. Idempotent. */
+  def markUtcDays(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, UtcDaysMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.create(p, true).close()
+  }
+
   /** The UTC calendar day of a TimestampType instant, as a DateType
     * column — SESSION-TZ-INDEPENDENT, unlike `to_date`. This is the
     * `<col>_date` naming-convention CONTRACT: partition values written
@@ -354,6 +426,11 @@ object Layout {
     * low-cardinality requirement [[writePartitioned]] documents. */
   def partitionedEvents(spark: SparkSession, dir: String): DataFrame =
     this.synchronized {
+      // deployment seam: an ingest-sealed serving copy, if configured,
+      // IS the layout — no build-from-source (see EventsServingDirKey)
+      val servingDir = spark.conf.get(EventsServingDirKey, "")
+      if (servingDir.nonEmpty)
+        return spark.read.parquet(servingDir).drop("ts_date")
       val buckets = spark.conf.get(EventsBucketsKey, "0").toInt
       def withDate(df: DataFrame): DataFrame =
         df.withColumn("ts_date",
@@ -372,6 +449,7 @@ object Layout {
             writePartitionedBucketed(withDate(graft.Tables.eventsNormalized(spark, dir)),
               tableName, path.toString, Seq("ts_date"), "user_id", buckets)
           }
+          markUtcDays(spark, path.toString) // provenance for the inference rule
           Seq((tableName, path.toString))
         } match { case Seq((name, _)) => spark.table(name).drop("ts_date") }
       } else {
@@ -384,6 +462,7 @@ object Layout {
             writePartitioned(withDate(graft.Tables.eventsNormalized(spark, dir)),
               path.toString, Seq("ts_date"))
           }
+          markUtcDays(spark, path.toString) // provenance for the inference rule
           Seq(("", path.toString))
         } match { case Seq((_, p)) => spark.read.parquet(p).drop("ts_date") }
       }

@@ -24,17 +24,47 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * layout (the nightly "close out the day" job), after which
   * [[graft.storage.Layout.compact]] and [[expirePartitions]] apply
   * freely and the serving path reads it like any other layout copy.
+  *
+  * ==Late events vs sealed/expired partitions==
+  *
+  * The pinned policy (spec: PartitionedIngestSpec "late rows across a
+  * seal boundary"):
+  *
+  *  - The SINK accepts appends into ANY day directory forever — a
+  *    FileStreamSink has no notion of "sealed", and rejecting late rows
+  *    at the sink would mean dropping data the watermark already
+  *    admitted.
+  *  - A late row for an already-SEALED day is folded in by the next
+  *    seal: sealing is an idempotent per-day snapshot of the sink, so
+  *    re-sealing (full [[seal]], or [[sealDays]] on exactly the touched
+  *    days — the incremental nightly form) replaces the day's serving
+  *    directory with sink truth. Between seals the serving copy lags
+  *    the sink by design; readers needing the late rows read the sink.
+  *  - A late row for an EXPIRED day (older than the seal's `keepFrom`
+  *    horizon) is EXCLUDED at seal time and COUNTED in the returned
+  *    [[SealStats]] — a seal must never resurrect a partition retention
+  *    already dropped, and a silently vanishing row is an operational
+  *    blind spot, so the count is the caller's alert hook.
   */
 object PartitionedIngest {
+
+  /** What a [[seal]] did: rows landed in the serving copy, and rows
+    * dropped because their day fell before the retention horizon (the
+    * late-beyond-horizon count a caller alerts on). */
+  final case class SealStats(rowsSealed: Long, rowsBeyondHorizon: Long)
 
   /** Start appending `events` (must carry a TimestampType `ts`; a
     * watermark upstream bounds any stateful transforms before the
     * sink) into a date-partitioned parquet sink. The derived `ts_date`
-    * partition column follows the `<col>_date` convention, so
-    * ts-range predicates prune the sink's directories through
+    * partition column follows the `<col>_date` convention and the sink
+    * root is marked with the UTC-day provenance marker, so ts-range
+    * predicates prune the sink's directories through
     * [[graft.plans.PartitionDateInference]] exactly as on the batch
     * layout. */
-  def start(events: DataFrame, path: String, checkpoint: String): StreamingQuery =
+  def start(events: DataFrame, path: String, checkpoint: String): StreamingQuery = {
+    // provenance before first commit: the sink writes UTC days
+    // (Layout.utcDate), so the inference rule may trust it immediately
+    graft.storage.Layout.markUtcDays(events.sparkSession, path)
     events.withColumn("ts_date", graft.storage.Layout.utcDate(col("ts")))
       .writeStream.format("parquet")
       .partitionBy("ts_date")
@@ -42,6 +72,7 @@ object PartitionedIngest {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+  }
 
   /** Seal a (stopped) streaming sink into a plain partitioned serving
     * copy at `servingPath`: the read respects the sink's
@@ -49,12 +80,58 @@ object PartitionedIngest {
     * orphaned task files — and the rewrite coalesces each day's
     * accumulated micro-batch files into task-sized ones. After this,
     * the copy is an ordinary layout directory: compactable, expirable,
-    * and free of the log's ownership. */
-  def seal(spark: SparkSession, sinkPath: String, servingPath: String): Unit =
-    spark.read.parquet(sinkPath)
-      .write.mode("overwrite")
+    * and free of the log's ownership.
+    *
+    * `keepFrom` (ISO `YYYY-MM-DD`, optional) is the retention horizon:
+    * days strictly older are excluded from the seal — so a late row
+    * landing in the sink for an already-expired day can never
+    * resurrect the partition — and their row count comes back in
+    * [[SealStats]] for the caller's audit/alerting.
+    *
+    * The write is pinned to STATIC partition-overwrite mode (saved and
+    * restored around the write): the serving copy is a full snapshot of
+    * the sink, so days that vanished from the sink since the last seal
+    * must vanish from the copy too. Under a session-global DYNAMIC mode
+    * the overwrite would only replace days present in the sink and the
+    * copy would silently diverge. (The INCREMENTAL form with the
+    * opposite requirement is [[sealDays]].) */
+  def seal(spark: SparkSession, sinkPath: String, servingPath: String,
+      keepFrom: Option[String] = None): SealStats = {
+    val all = spark.read.parquet(sinkPath)
+    val horizon = keepFrom.map(d => lit(d).cast("date"))
+    val kept = horizon.map(h => all.filter(col("ts_date") >= h)).getOrElse(all)
+    val beyond = horizon.map(h => all.filter(col("ts_date") < h).count()).getOrElse(0L)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "STATIC")
+    try kept.write.mode("overwrite")
       .partitionBy("ts_date")
       .parquet(servingPath)
+    finally spark.conf.set(key, prev)
+    graft.storage.Layout.markUtcDays(spark, servingPath)
+    SealStats(spark.read.parquet(servingPath).count(), beyond)
+  }
+
+  /** Incremental seal: replace EXACTLY the named `ts_date` days in the
+    * serving copy with sink truth, leaving every other day's files
+    * physically untouched — the nightly job ("yesterday, plus any days
+    * the late-arrival log touched") that makes re-sealing O(days
+    * changed) instead of O(table). This is how a late row lands in an
+    * already-sealed day: re-seal that day. Uses dynamic
+    * partition-overwrite pinned to this one write
+    * ([[graft.storage.Layout.overwritePartitions]]). Returns the rows
+    * written. Days listed but absent from the sink are left as they
+    * are — deleting a partition is retention's job
+    * ([[expirePartitions]]), not seal's. */
+  def sealDays(spark: SparkSession, sinkPath: String, servingPath: String,
+      days: Seq[String]): Long = {
+    require(days.nonEmpty, "sealDays needs at least one day")
+    val slice = spark.read.parquet(sinkPath)
+      .filter(col("ts_date").isin(days.map(java.sql.Date.valueOf): _*))
+    graft.storage.Layout.overwritePartitions(slice, servingPath, Seq("ts_date"))
+    graft.storage.Layout.markUtcDays(spark, servingPath)
+    slice.count()
+  }
 
   /** Retention: drop every `ts_date=<day>` directory strictly OLDER
     * than `keepFrom` (ISO `YYYY-MM-DD`; lexicographic order IS
@@ -63,7 +140,9 @@ object PartitionedIngest {
     * dropped), never a scan — on a PLAIN layout (seal a streaming sink
     * first; deleting under a live `_spark_metadata` log would
     * desynchronize it). Returns the days dropped, for the caller's
-    * audit log. */
+    * audit log. Pair with the SAME `keepFrom` passed to [[seal]] so a
+    * late row for a dropped day cannot re-create the directory at the
+    * next seal. */
   def expirePartitions(spark: SparkSession, path: String,
       keepFrom: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)

@@ -26,6 +26,9 @@ class PartitionDateInferenceSpec extends SparkSpec {
       .select(col("id"), col("ts_s").cast(tsType).as("ts"))
       .withColumn("ts_date", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("ts_date").parquet(dir)
+    // the fixture honors the UTC contract (to_date under the UTC test
+    // session = UTC days); assert its provenance like any user table
+    graft.storage.Layout.markUtcDays(s, dir)
     dir
   }
 
@@ -87,6 +90,7 @@ class PartitionDateInferenceSpec extends SparkSpec {
         .select(col("id"), col("ts_s").cast("timestamp").as("ts")) // LA wall times
         .withColumn("ts_date", graft.storage.Layout.utcDate(col("ts")))
         .write.mode("overwrite").partitionBy("ts_date").parquet(dir)
+      graft.storage.Layout.markUtcDays(s, dir)
       // LA evenings spill into the NEXT UTC day directory: 5 dirs total
       val bound = lit("2024-02-03").cast("timestamp") // LA midnight instant
       val pruned = spark.read.parquet(dir).filter(col("ts") >= bound)
@@ -101,6 +105,89 @@ class PartitionDateInferenceSpec extends SparkSpec {
       assert(partitionsScanned(pruned) == 3,
         "UTC days 03..05 of 5 — pruning must still engage under a non-UTC session")
     } finally s.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("IN-list derives ts_date IN (its days) — the pivoted-dashboard spelling") {
+    val df = spark.read.parquet(fixture(ntz = false))
+      .filter(col("ts").isin(
+        java.sql.Timestamp.valueOf("2024-02-01 03:30:00"),
+        java.sql.Timestamp.valueOf("2024-02-03 17:30:00")))
+    assert(partitionsScanned(df) == 2, "IN-list must prune to exactly its days")
+    assert(df.count() == 2)
+  }
+
+  test("IN-list under a non-UTC session prunes to UTC days without dropping rows") {
+    val s = spark
+    import s.implicits._
+    val prevTz = s.conf.get("spark.sql.session.timeZone")
+    s.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("pdi_in_tz").toString
+      (0 until 96).map(i => (i.toLong, f"2024-02-${1 + i / 24}%02dT${i % 24}%02d:30:00"))
+        .toDF("id", "ts_s")
+        .select(col("id"), col("ts_s").cast("timestamp").as("ts")) // LA wall times
+        .withColumn("ts_date", graft.storage.Layout.utcDate(col("ts")))
+        .write.mode("overwrite").partitionBy("ts_date").parquet(dir)
+      graft.storage.Layout.markUtcDays(s, dir)
+      // 20:30 LA = 04:30 NEXT UTC day — the instant whose UTC day differs
+      // from its session day, the exact off-by-one the contract pins;
+      // the second literal sits on a distinct UTC day (01) so the derived
+      // set is {01, 03} of the 5 directories. Literals parsed under the
+      // SESSION tz, like the fixture's rows.
+      val df = spark.read.parquet(dir)
+        .filter(col("ts").isin(
+          lit("2024-02-02 20:30:00").cast("timestamp"), // UTC day 02-03
+          lit("2024-02-01 10:30:00").cast("timestamp"))) // UTC day 02-01
+      assert(df.count() == 2,
+        "tz-mismatched IN-day derivation dropped qualifying rows")
+      assert(partitionsScanned(df) == 2, "IN-list must prune under any session tz")
+    } finally s.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("long IN-list survives OptimizeIn's InSet conversion and still prunes") {
+    // > spark.sql.optimizer.inSetConversionThreshold (10) literals, so the
+    // optimizer rewrites In -> InSet; the rule must derive from that form
+    val hours = (0 until 12).map(h => java.sql.Timestamp.valueOf(f"2024-02-02 $h%02d:30:00"))
+    val df = spark.read.parquet(fixture(ntz = false))
+      .filter(col("ts").isin(hours: _*))
+    assert(partitionsScanned(df) == 1, "InSet form must prune to its one day")
+    assert(df.count() == 12)
+  }
+
+  test("null-safe equality derives like equality") {
+    val df = spark.read.parquet(fixture(ntz = false))
+      .filter(col("ts") <=> lit("2024-02-02 07:30:00").cast("timestamp"))
+    assert(partitionsScanned(df) == 1)
+    assert(df.count() == 1)
+  }
+
+  test("provenance gate: an unmarked <col>_date table is NOT inferred on (tz-safety), unless the session trusts the convention") {
+    val s = spark
+    import s.implicits._
+    // the lakehouse idiom the gate defends against: partition values from
+    // session-tz to_date — only safe because this session is UTC, but the
+    // rule cannot know that, so without the marker it must stay silent
+    val dir = java.nio.file.Files.createTempDirectory("pdi_unmarked").toString
+    (0 until 96).map(i => (i.toLong, f"2024-02-${1 + i / 24}%02dT${i % 24}%02d:30:00"))
+      .toDF("id", "ts_s")
+      .select(col("id"), col("ts_s").cast("timestamp").as("ts"))
+      .withColumn("ts_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("ts_date").parquet(dir)
+    def q = spark.read.parquet(dir)
+      .filter(col("ts") >= lit("2024-02-03").cast("timestamp"))
+    assert(partitionsScanned(q) == 4,
+      "no marker, no trust conf -> the rule must not derive partition bounds")
+    assert(q.count() == 48)
+    // explicit session-level trust restores the convention-only behavior
+    s.conf.set(PartitionDateInference.TrustConventionKey, "true")
+    try {
+      assert(partitionsScanned(q) == 2, "trusted convention must prune")
+      assert(q.count() == 48)
+    } finally s.conf.unset(PartitionDateInference.TrustConventionKey)
+    // and marking the path afterwards takes effect on the next query
+    // (negative checks are not cached)
+    graft.storage.Layout.markUtcDays(s, dir)
+    assert(partitionsScanned(q) == 2, "marking a path must enable pruning immediately")
   }
 
   test("no inference without the <col>_date naming pair") {

@@ -409,10 +409,10 @@ class LayoutSpec extends SparkSpec {
     Tables.documents(s, dir).limit(50)
       .write.mode("overwrite").parquet(s"$src/documents.parquet")
     try {
-      val before = Layout.relistings
+      val before = Layout.relistings.get()
       val first = Layout.bucketedDocuments(s, src)
       val n1 = first.count()
-      val builds = Layout.relistings - before
+      val builds = Layout.relistings.get() - before
       assert(builds >= 1, "the first serve must fingerprint the source")
       // steady state: the full recursive listing + SHA must NOT re-run
       // per access (it used to, under the global lock, inside Bench's
@@ -420,14 +420,14 @@ class LayoutSpec extends SparkSpec {
       // flagged); the cheap per-access check is two dir-mtime stats
       Layout.bucketedDocuments(s, src).count()
       Layout.bucketedDocuments(s, src).count()
-      assert(Layout.relistings == before + builds,
-        s"cache hit still relisted (${Layout.relistings - before - builds} extra listings)")
+      assert(Layout.relistings.get() == before + builds,
+        s"cache hit still relisted (${Layout.relistings.get() - before - builds} extra listings)")
       // regenerating the source flips the dir mtime + file names: the
       // cache must invalidate, re-fingerprint, and serve the NEW content
       Tables.documents(s, dir).limit(80)
         .write.mode("overwrite").parquet(s"$src/documents.parquet")
       val second = Layout.bucketedDocuments(s, src)
-      assert(Layout.relistings > before + builds,
+      assert(Layout.relistings.get() > before + builds,
         "regenerated source served the stale resolution without re-fingerprinting")
       assert(second.count() == 80 && n1 == 50,
         "regenerated source must serve the new content")

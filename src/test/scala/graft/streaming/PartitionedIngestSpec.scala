@@ -70,4 +70,114 @@ class PartitionedIngestSpec extends SparkSpec {
     assert(PartitionedIngest.expirePartitions(spark, serving, "2024-03-02").isEmpty,
       "expiry must be idempotent")
   }
+
+  test("the deployment lifecycle end-to-end: ingest → seal(horizon) → expire → serve through Tables.events with pruning + batch identity") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("plifecycle").toString
+    val (sink, ckpt, serving, batch) =
+      (s"$base/sink", s"$base/ckpt", s"$base/serving", s"$base/batch")
+
+    // 30 days × 2 rows (2024-03-01..30), fed as three micro-batches —
+    // the month a production events table accumulates between seals
+    val rows = for (d <- 1 to 30; h <- Seq(9, 21)) yield
+      ((d * 100 + h).toLong, ts(f"2024-03-$d%02d $h%02d:00:00"))
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = PartitionedIngest.start(
+      in.toDF().select($"_1".as("event_id"), $"_2".as("ts")), sink, ckpt)
+    try rows.grouped(20).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    // nightly close-out: seal everything inside the 28-day horizon
+    val stats = PartitionedIngest.seal(spark, sink, serving, keepFrom = Some("2024-03-03"))
+    assert(stats.rowsSealed == 56 && stats.rowsBeyondHorizon == 4,
+      s"expected 56 sealed + 4 beyond the horizon, got $stats")
+    // retention against the same horizon: seal already excluded those
+    // days, so there is nothing to drop — the two tools agree
+    assert(PartitionedIngest.expirePartitions(spark, serving, "2024-03-03").isEmpty)
+
+    // serve the SEALED copy through the production accessor
+    s.conf.set(graft.storage.Layout.EventsEnabledKey, "true")
+    s.conf.set(graft.storage.Layout.EventsServingDirKey, serving)
+    try {
+      val servedAll = graft.Tables.events(s, base)
+      assert(servedAll.count() == 56)
+      assert(!servedAll.columns.contains("ts_date"),
+        "the accessor must serve the raw schema (partition column dropped)")
+      // the week-slice query plans 8 of the 28 surviving day directories
+      // through PartitionDateInference (seal marked the copy's provenance)
+      val week = servedAll
+        .filter(col("ts") >= lit("2024-03-10").cast("timestamp") &&
+          col("ts") < lit("2024-03-17").cast("timestamp"))
+      assert(scanOf(week).selectedPartitions.partitionCount == 8,
+        "ts week-slice must prune the sealed copy to its (conservative) 8 days")
+      assert(week.count() == 14)
+      // row identity vs the BATCH layout of the same retained data: the
+      // streaming ingest+seal path and the batch write are two routes to
+      // ONE layout contract
+      val retained = rows.filter(_._2.toString >= "2024-03-03")
+        .toDF("event_id", "ts")
+      graft.storage.Layout.writePartitioned(
+        retained.withColumn("ts_date",
+          graft.storage.Layout.utcDate(col("ts"))), batch, Seq("ts_date"))
+      val servedRows = servedAll.orderBy("event_id").collect().toSeq
+      val batchRows = spark.read.parquet(batch).drop("ts_date")
+        .select("event_id", "ts").orderBy("event_id").collect().toSeq
+      assert(servedRows == batchRows,
+        "sealed serving copy diverged from the batch layout of the same data")
+      assert(servedRows.size == 56, "vacuous comparison")
+    } finally {
+      s.conf.unset(graft.storage.Layout.EventsServingDirKey)
+      s.conf.set(graft.storage.Layout.EventsEnabledKey, "false")
+    }
+  }
+
+  test("late rows across a seal boundary: folded in by re-seal, never resurrecting expired days") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("plate").toString
+    val (sink, ckpt, serving) = (s"$base/sink", s"$base/ckpt", s"$base/serving")
+
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = PartitionedIngest.start(
+      in.toDF().select($"_1".as("event_id"), $"_2".as("ts")), sink, ckpt)
+    try {
+      in.addData((1 to 5).map(d => (d.toLong, ts(f"2024-03-$d%02d 10:00:00"))): _*)
+      q.processAllAvailable()
+      // first seal: horizon 03 — serving holds days 03..05
+      val first = PartitionedIngest.seal(spark, sink, serving, Some("2024-03-03"))
+      assert(first.rowsSealed == 3 && first.rowsBeyondHorizon == 2)
+      // LATE rows arrive after the seal: one into a SEALED day (04), one
+      // into an EXPIRED day (01) — the sink accepts both (policy leg 1)
+      in.addData((104L, ts("2024-03-04 23:00:00")), (101L, ts("2024-03-01 23:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(sink).count() == 7)
+    // between seals the serving copy LAGS the sink by design
+    assert(spark.read.parquet(serving).count() == 3)
+
+    // policy leg 2: the incremental re-seal folds the late row into the
+    // sealed day — and leaves every OTHER day's files physically untouched
+    def dayFiles(day: String): Set[String] = {
+      val d = new java.io.File(s"$serving/ts_date=$day")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(f => s"${f.getName}:${f.lastModified}").toSet
+    }
+    val (d3Before, d5Before) = (dayFiles("2024-03-03"), dayFiles("2024-03-05"))
+    val written = PartitionedIngest.sealDays(spark, sink, serving, Seq("2024-03-04"))
+    assert(written == 2, "day 04 must now hold its original + late row")
+    assert(spark.read.parquet(serving).count() == 4)
+    assert(dayFiles("2024-03-03") == d3Before && dayFiles("2024-03-05") == d5Before,
+      "incremental seal must not rewrite untouched days")
+
+    // policy leg 3: a FULL re-seal with the same horizon counts the
+    // expired-day late row as beyond-horizon — it never resurrects 01
+    val second = PartitionedIngest.seal(spark, sink, serving, Some("2024-03-03"))
+    assert(second.rowsSealed == 4 && second.rowsBeyondHorizon == 3,
+      s"late row for an expired day must be dropped+counted, got $second")
+    assert(!new java.io.File(s"$serving/ts_date=2024-03-01").exists(),
+      "an expired day must never be resurrected by a later seal")
+  }
 }
