@@ -753,6 +753,110 @@ object ScaleProbe {
     }
   }
 
+  /** `sealcost` mode: price the nightly seal job at 10× volume with a
+    * realistic micro-batch file count — the number a capacity plan
+    * needs. A live ingest at 30 s triggers lands ~2,880 micro-batch
+    * files into "today's" directory over a day; the fixture reproduces
+    * exactly that shape (the day being closed out fragmented into 2,880
+    * KB-sized files, every other day healthy), then measures:
+    * [[graft.streaming.PartitionedIngest.sealDays]] on the fragmented
+    * day (the nightly incremental form — files before/after + wall),
+    * the FULL [[graft.streaming.PartitionedIngest.seal]] for reference,
+    * and reader throughput on the live sink DURING the seal vs alone —
+    * the "does the nightly job starve the dashboards" number. */
+  private def sealCostProbe(spark: SparkSession, big: String): Unit = {
+    import graft.storage.Layout
+    val base = "/tmp/graft_sealcost"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val (sink, serving) = (s"$base/sink", s"$base/serving")
+    val ev = Tables.events(spark, big)
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+    val today = ev.select(max(col("ts_date"))).head.getDate(0).toString
+    // healthy days + today fragmented into 2,880 trigger-sized files
+    ev.filter(col("ts_date") =!= lit(today).cast("date"))
+      .write.partitionBy("ts_date").parquet(sink)
+    ev.filter(col("ts_date") === lit(today).cast("date"))
+      .repartition(2880)
+      .write.mode("append").partitionBy("ts_date").parquet(sink)
+    Layout.markUtcDays(spark, sink)
+    def filesIn(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) 0 else d.listFiles().count(_.getName.startsWith("part-"))
+    }
+    val todayDir = s"ts_date=$today"
+    val totalRows = spark.read.parquet(sink).count()
+    val todayRows = spark.read.parquet(s"$sink/$todayDir").count()
+    println(s"sink: $totalRows rows, today=$today with " +
+      s"${filesIn(s"$sink/$todayDir")} files ($todayRows rows)")
+
+    // reader workload: the day-rollup a dashboard would run against the
+    // live sink (prunes to today's fragmented directory — worst case)
+    def rollup(): Long = spark.read.parquet(sink)
+      .filter(col("ts_date") === lit(today).cast("date"))
+      .groupBy("event_type").count().collect().map(_.getLong(1)).sum
+    rollup() // warm
+    val alone = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); rollup(); (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
+
+    // first seal: everything except today (yesterday's close-out state)
+    graft.streaming.PartitionedIngest.seal(spark, sink, serving)
+    // nightly incremental: re-seal the fragmented day, reader concurrent
+    @volatile var sealing = true
+    val readerIters = new java.util.concurrent.atomic.AtomicInteger
+    val reader = new Thread(() => while (sealing) { rollup(); readerIters.incrementAndGet(); () })
+    reader.start()
+    val t0 = System.nanoTime()
+    val sealedRows = graft.streaming.PartitionedIngest.sealDays(
+      spark, sink, serving, Seq(today))
+    val sealSec = (System.nanoTime() - t0) / 1e9
+    sealing = false
+    reader.join()
+    val during = (1 to 3).map { _ =>
+      val t0b = System.nanoTime(); rollup(); (System.nanoTime() - t0b) / 1e9
+    }.sorted.apply(1)
+    println(f"sealDays($today): ${filesIn(s"$sink/$todayDir")} files -> " +
+      f"${filesIn(s"$serving/$todayDir")} files, $sealedRows rows, $sealSec%.2f s " +
+      f"(${sealedRows / sealSec / 1000}%.0f Krows/s)")
+    println(f"reader day-rollup: alone $alone%.2f s/run; during seal " +
+      f"${readerIters.get()} runs in $sealSec%.2f s " +
+      f"(${if (readerIters.get() > 0) sealSec / readerIters.get() else Double.NaN}%.2f s/run); after $during%.2f s/run")
+
+    // full-seal reference: the O(table) snapshot form
+    val tf0 = System.nanoTime()
+    val stats = graft.streaming.PartitionedIngest.seal(spark, sink, serving)
+    val fullSec = (System.nanoTime() - tf0) / 1e9
+    println(f"full seal: ${stats.rowsSealed} rows, $fullSec%.2f s " +
+      f"(${stats.rowsSealed / fullSec / 1000}%.0f Krows/s)")
+  }
+
+  /** `events30x` mode: the composed-events-layout crossover measured
+    * instead of argued (the Probe-1b move applied to the third table).
+    * Replicates events fresh to 30× (same construction as the 10×
+    * replica: shifted event_id/user_id strides, so 30× users at 30×
+    * volume over the SAME day span — the production shape: a table's
+    * day count is bounded, its per-day density grows), then runs the
+    * three-arm A/B (raw / date-only / composed-32) over the events
+    * family. The question it settles: date-only's per-file overhead tax
+    * on user-keyed full-scan members (sessionize/funnel/cohort) is a
+    * FIXED cost while the composed arm's removed user_id exchange is
+    * CORPUS-SIZED — where is the crossover? */
+  private def events30xProbe(spark: SparkSession, src: String): Unit = {
+    val out = "/tmp/graft_events30x"
+    val mult = 30
+    if (!new java.io.File(s"$out/events.parquet").exists()) {
+      val base = spark.read.parquet(s"$src/events.parquet")
+      val copies = spark.range(mult).select(col("id").as("copy"))
+      base.crossJoin(copies)
+        .withColumn("event_id", col("event_id") + col("copy") * 10000000L)
+        .withColumn("user_id", col("user_id") + col("copy") * 1000L)
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+    println(s"events 30x at $out: ${spark.read.parquet(s"$out/events.parquet").count()} rows")
+    eventsLayoutProbe(spark, out)
+  }
+
   /** `layout_corpus` mode: the Layout payoff on the CORPUS tables at
     * sf0.1 — `documents` bucketed by doc_id (32 buckets), `events`
     * day-partitioned. Workloads: the dedup family's shared per-doc
@@ -996,6 +1100,14 @@ object ScaleProbe {
       fresh10xProbe(spark, src, qs)
       spark.stop(); return
     }
+    if (args.headOption.contains("fresh100x")) {
+      // the 100× leg: one pair-family member at 100× fresh-text volume —
+      // direct evidence for the posture's own scale claim (the r15
+      // verdict's stretch ask; disk is ~60 MB, well inside budget)
+      val qs = if (args.length > 1) args.drop(1).toSeq else Seq("dedup_near_minhash")
+      fresh10xProbe(spark, src, qs, mult = 100)
+      spark.stop(); return
+    }
     if (args.headOption.contains("fresh30x")) {
       // the ≥30× leg of the constant-density scaling evidence
       // (docs/SCALING.md): same salted-copy construction at 30× volume,
@@ -1053,6 +1165,14 @@ object ScaleProbe {
     }
     if (args.headOption.contains("eventslayout")) {
       eventsLayoutProbe(spark, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
+      spark.stop(); return
+    }
+    if (args.headOption.contains("sealcost")) {
+      sealCostProbe(spark, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
+      spark.stop(); return
+    }
+    if (args.headOption.contains("events30x")) {
+      events30xProbe(spark, src)
       spark.stop(); return
     }
     if (args.headOption.contains("layout_corpus")) {

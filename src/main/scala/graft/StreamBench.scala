@@ -49,6 +49,10 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
+    // sink path handoff from the partitioned_ingest row to its seal row
+    // (the Seq's blocks evaluate in order)
+    var ingestBase: String = null
+
     def measure[T](name: String, rows: Int)(run: (Int, Int) => Unit): (String, Long) = {
       // run(chunkStart, chunkEnd) feeds one chunk and drains it
       run(0, ChunkRows) // warm-up batch: codegen + state store init
@@ -213,6 +217,7 @@ object StreamBench {
         // is ingested through. Prices the end-to-end sink (encode +
         // file write + log commit), not just state machinery.
         val base = java.nio.file.Files.createTempDirectory("sb_ingest").toString
+        ingestBase = base // the seal row below closes out this sink
         val in = MemoryStream[(Long, java.sql.Timestamp)]
         val q = streaming.PartitionedIngest.start(
           in.toDF().select($"_1".as("event_id"), $"_2".as("ts")),
@@ -225,6 +230,19 @@ object StreamBench {
           q.processAllAvailable()
         }
         q.stop(); r
+      },
+      {
+        // seal cost over the sink the previous row just ingested: the
+        // nightly close-out rewrite (read through the commit log,
+        // coalesce each day's accumulated micro-batch files, rewrite as
+        // a plain partitioned serving copy). Rows/s of the REWRITE —
+        // the capacity-plan number for the maintenance window, priced
+        // on the real fragmented shape a day of micro-batches leaves.
+        val t0 = System.nanoTime()
+        val stats = streaming.PartitionedIngest.seal(
+          spark, s"$ingestBase/sink", s"$ingestBase/serving")
+        val sec = (System.nanoTime() - t0) / 1e9
+        ("ingest_seal", math.round(stats.rowsSealed / sec))
       },
       {
         // ingest-time BPE encode (StreamingBpe): per-batch published-chain
