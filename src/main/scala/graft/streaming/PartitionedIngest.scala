@@ -122,15 +122,42 @@ object PartitionedIngest {
     * ([[graft.storage.Layout.overwritePartitions]]). Returns the rows
     * written. Days listed but absent from the sink are left as they
     * are — deleting a partition is retention's job
-    * ([[expirePartitions]]), not seal's. */
+    * ([[expirePartitions]]), not seal's.
+    *
+    * Each day is rewritten as its OWN job, repartitioned to
+    * ~`targetBytes` output files sized from the day directory's actual
+    * on-disk bytes ([[graft.storage.Layout.compact]]'s arithmetic): the
+    * close-out of a day that accumulated thousands of trigger-sized
+    * micro-batch files must also be the de-fragmentation pass, and
+    * relying on scan-side openCost bin-packing leaves ~1 output file
+    * per 32 inputs regardless of bytes (the sealcost probe measured 90
+    * KB-sized files for a 1 MB day). The per-day repartition is a
+    * day-sized shuffle — the price of tight file sizing, paid on
+    * exactly the days being resealed and nothing else. */
   def sealDays(spark: SparkSession, sinkPath: String, servingPath: String,
-      days: Seq[String]): Long = {
+      days: Seq[String], targetBytes: Long = 128L * 1024 * 1024): Long = {
     require(days.nonEmpty, "sealDays needs at least one day")
-    val slice = spark.read.parquet(sinkPath)
-      .filter(col("ts_date").isin(days.map(java.sql.Date.valueOf): _*))
-    graft.storage.Layout.overwritePartitions(slice, servingPath, Seq("ts_date"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    var rows = 0L
+    days.foreach { day =>
+      val dayDir = new org.apache.hadoop.fs.Path(s"$sinkPath/ts_date=$day")
+      val fs = dayDir.getFileSystem(hc)
+      if (fs.exists(dayDir)) {
+        // sizing approximation: raw dir bytes (incl. any not-yet-committed
+        // orphans — fine, this only picks a file count; the ROWS written
+        // still come through the log-respecting read below)
+        val bytes = fs.getContentSummary(dayDir).getLength
+        val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val slice = spark.read.parquet(sinkPath)
+          .filter(col("ts_date") === lit(day).cast("date"))
+          .repartition(nFiles)
+        graft.storage.Layout.overwritePartitions(slice, servingPath, Seq("ts_date"))
+        rows += spark.read.parquet(sinkPath)
+          .filter(col("ts_date") === lit(day).cast("date")).count()
+      }
+    }
     graft.storage.Layout.markUtcDays(spark, servingPath)
-    slice.count()
+    rows
   }
 
   /** Retention: drop every `ts_date=<day>` directory strictly OLDER
