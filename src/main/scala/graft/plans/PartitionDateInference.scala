@@ -33,7 +33,10 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   *
   *   ts >= L, ts > L   →  ts_date >= date(L)
   *   ts <= U, ts < U   →  ts_date <= date(U)
-  *   ts = V            →  ts_date = date(V)
+  *   ts = V, ts <=> V  →  ts_date = date(V)
+  *   ts IN (t1..tn)    →  ts_date IN (their days)   (In and InSet forms)
+  *   l OR r            →  derive(l) OR derive(r)    (both sides or nothing)
+  *   l AND r           →  whatever of derive(l)/derive(r) exists
   *
   * All derivations are CONSERVATIVE widenings (day truncation is
   * monotone non-decreasing, and `<`/`>` are widened to the inclusive
@@ -144,7 +147,16 @@ object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
     def eq(a: Attribute, micros: Long): Option[Expression] = pairs.get(a.exprId)
       .map(d => EqualTo(d, Literal(day(micros), DateType)))
 
-    val candidates = conjuncts.flatMap {
+    // derive(e): a partition-column predicate IMPLIED by e, if any —
+    // each leaf derivation is a conservative day-widening, and the
+    // connective cases preserve implication (rows passing And(l, r)
+    // pass both sides, so the And of whatever either side derives
+    // holds; rows passing Or(l, r) pass one side, so only the Or of
+    // BOTH sides' derivations holds — an Or with one underivable
+    // branch derives nothing). The Or case is the disjoint-ranges
+    // dashboard spelling — "this week OR the same week last year" —
+    // which derives the union of both day ranges and prunes to them.
+    def derive(e: Expression): Option[Expression] = e match {
       case GreaterThanOrEqual(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType)) => lower(a, m)
       case GreaterThan(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType))        => lower(a, m)
       case LessThanOrEqual(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType))    => upper(a, m)
@@ -179,8 +191,15 @@ object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
         val days = hset.collect { case m: java.lang.Long => day(m.longValue) }
         if (days.isEmpty) None
         else pairs.get(a.exprId).map(d => InSet(d, days.map(x => x: Any)))
+      case And(l, r) => (derive(l), derive(r)) match {
+        case (Some(dl), Some(dr)) => Some(And(dl, dr))
+        case (some @ Some(_), None) => some
+        case (None, some) => some
+      }
+      case Or(l, r) => for (dl <- derive(l); dr <- derive(r)) yield Or(dl, dr)
       case _ => None
     }
+    val candidates = conjuncts.flatMap(derive)
     // idempotence: never re-add a conjunct that is already there
     candidates.filterNot(c => conjuncts.exists(_.semanticEquals(c))).distinct
   }

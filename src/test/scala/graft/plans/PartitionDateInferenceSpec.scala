@@ -154,6 +154,26 @@ class PartitionDateInferenceSpec extends SparkSpec {
     assert(df.count() == 12)
   }
 
+  test("OR of disjoint ranges derives the union of day bounds — the week-vs-week spelling") {
+    val df = spark.read.parquet(fixture(ntz = false))
+      .filter((col("ts") >= lit("2024-02-01").cast("timestamp") &&
+          col("ts") < lit("2024-02-02").cast("timestamp")) ||
+        (col("ts") >= lit("2024-02-04").cast("timestamp")))
+    // branch 1: day 01 (conservative upper includes 02), branch 2: day 04
+    // -> dirs {01, 02, 04} of 4; day 03 is skipped
+    assert(partitionsScanned(df) == 3, "OR of ranges must prune the gap day")
+    assert(df.count() == 48) // days 01 and 04 only
+  }
+
+  test("OR with an underivable branch derives nothing (stays correct, full scan)") {
+    val df = spark.read.parquet(fixture(ntz = false))
+      .filter((col("ts") >= lit("2024-02-04").cast("timestamp")) ||
+        col("id") === 5L)
+    assert(partitionsScanned(df) == 4,
+      "an OR whose other branch admits any day must not prune")
+    assert(df.count() == 25) // day 04 (24 rows) + id 5
+  }
+
   test("null-safe equality derives like equality") {
     val df = spark.read.parquet(fixture(ntz = false))
       .filter(col("ts") <=> lit("2024-02-02 07:30:00").cast("timestamp"))
