@@ -160,6 +160,52 @@ object PartitionedIngest {
     rows
   }
 
+  /** Janitor for the LIVE sink: delete data files present under the
+    * sink directory but absent from its `_spark_metadata` commit log —
+    * the leftovers of crashed/speculative write tasks. Readers never
+    * see these (the log owns visibility), which is exactly why they
+    * accumulate silently: nothing ever reads them, nothing ever deletes
+    * them, and at 100 TB a year of task attrition is real money on
+    * object storage. Deleting them is safe BECAUSE they are invisible —
+    * this is the one delete that may run under a live log (contrast
+    * [[expirePartitions]]'s plain-layout-only contract).
+    *
+    * `graceMs` protects in-flight tasks of a RUNNING query: a task
+    * file is written first and committed to the log at batch end, so an
+    * uncommitted file younger than the grace window may be a commit in
+    * progress, not an orphan. Default 15 min ≫ any sane trigger
+    * interval; pass 0 only when the query is known stopped. Returns the
+    * deleted paths for the audit log. */
+  def vacuumOrphans(spark: SparkSession, sinkPath: String,
+      graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
+    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+    val root = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
+    // no commit log -> not a streaming sink -> NOTHING is an orphan
+    if (!fs.exists(metaDir)) return Nil
+    val log = new FileStreamSinkLog(
+      FileStreamSinkLog.VERSION, spark, metaDir.toString)
+    val committed = log.allFiles()
+      .map(_.toFileStatus.getPath.toUri.getPath).toSet
+    val now = System.currentTimeMillis
+    val dropped = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      val underMeta = p.toString.contains("/_spark_metadata")
+      val hidden = p.getName.startsWith("_") || p.getName.startsWith(".")
+      if (f.isFile && !underMeta && !hidden &&
+          !committed.contains(p.toUri.getPath) &&
+          now - f.getModificationTime >= graceMs) {
+        fs.delete(p, false)
+        dropped += p.toUri.getPath
+      }
+    }
+    dropped.result().sorted
+  }
+
   /** Retention: drop every `ts_date=<day>` directory strictly OLDER
     * than `keepFrom` (ISO `YYYY-MM-DD`; lexicographic order IS
     * chronological for ISO dates). Directory-granular delete — the

@@ -71,6 +71,55 @@ class PartitionedIngestSpec extends SparkSpec {
       "expiry must be idempotent")
   }
 
+  test("vacuumOrphans deletes crashed-task leftovers, never committed files, never plain layouts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("pvacuum").toString
+    val (sink, ckpt) = (s"$base/sink", s"$base/ckpt")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = PartitionedIngest.start(
+      in.toDF().select($"_1".as("event_id"), $"_2".as("ts")), sink, ckpt)
+    try {
+      in.addData((1 to 4).map(d => (d.toLong, ts(f"2024-03-$d%02d 10:00:00"))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // plant an orphan: a crashed task's file — real parquet bytes, in a
+    // day directory, absent from the commit log
+    val dayDir = new java.io.File(s"$sink/ts_date=2024-03-02")
+    val committedFile = dayDir.listFiles().filter(_.getName.startsWith("part-")).head
+    val orphan = new java.io.File(dayDir, "part-99999-orphan.snappy.parquet")
+    java.nio.file.Files.copy(committedFile.toPath, orphan.toPath)
+
+    // the log owns visibility: the reader never saw the orphan
+    assert(spark.read.parquet(sink).count() == 4)
+
+    val dropped = PartitionedIngest.vacuumOrphans(spark, sink, graceMs = 0L)
+    assert(dropped.size == 1 && dropped.head.endsWith("part-99999-orphan.snappy.parquet"),
+      s"dropped: $dropped")
+    assert(!orphan.exists(), "the orphan must be physically deleted")
+    assert(committedFile.exists(), "committed files must survive the vacuum")
+    assert(spark.read.parquet(sink).count() == 4, "reader unaffected")
+    assert(PartitionedIngest.vacuumOrphans(spark, sink, graceMs = 0L).isEmpty,
+      "vacuum must be idempotent")
+
+    // grace window: a fresh uncommitted file (a possible in-flight
+    // commit) is NOT deleted under the default grace
+    val young = new java.io.File(dayDir, "part-99998-young.snappy.parquet")
+    java.nio.file.Files.copy(committedFile.toPath, young.toPath)
+    assert(PartitionedIngest.vacuumOrphans(spark, sink).isEmpty,
+      "a file younger than the grace window must be spared")
+    assert(young.exists())
+
+    // a PLAIN layout (no _spark_metadata) has no orphans by definition
+    val plain = s"$base/plain"
+    PartitionedIngest.seal(spark, sink, plain)
+    assert(PartitionedIngest.vacuumOrphans(spark, plain, graceMs = 0L).isEmpty,
+      "a directory without a commit log must never be vacuumed")
+    assert(spark.read.parquet(plain).count() == 4)
+  }
+
   test("the deployment lifecycle end-to-end: ingest → seal(horizon) → expire → serve through Tables.events with pruning + batch identity") {
     val s = spark
     import s.implicits._
