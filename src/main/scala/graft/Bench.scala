@@ -165,8 +165,8 @@ object Bench {
         // directory pruning on ts-range predicates)
         val eventsBuildSec = timedBuild(graft.storage.Layout.partitionedEvents(spark, sfDir))
         val eventsRes = abArm(
-          Seq("events_incremental_rollup", "events_rollup", "funnel",
-            "sessionize", "cohort_retention", "asof_attribution"),
+          Seq("events_incremental_rollup", "events_week_compare", "events_rollup",
+            "funnel", "sessionize", "cohort_retention", "asof_attribution"),
           graft.storage.Layout.EventsEnabledKey)
         val all = docRes ++ tpchRes ++ eventsRes
         val lq  = all.map { case (k, _, _, ss, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")

@@ -59,6 +59,7 @@ object SparkEntry {
     "debounce"          -> (EventAnalytics.debounce _),
     "events_rollup"     -> (EventAnalytics.eventsRollup _),
     "events_incremental_rollup" -> (EventAnalytics.incrementalRollup _),
+    "events_week_compare" -> (EventAnalytics.weekCompare _),
     "sessionize"        -> (EventAnalytics.sessionize _),
     "user_journey"      -> (EventAnalytics.userJourney _),
     "events_pivot"      -> (EventAnalytics.eventsPivot _),
@@ -398,6 +399,7 @@ object SparkEntry {
       "debounce" -> EventAnalytics.debounceSql,
       "events_rollup" -> EventAnalytics.eventsRollupSql,
       "events_incremental_rollup" -> EventAnalytics.incrementalRollupSql,
+      "events_week_compare" -> EventAnalytics.weekCompareSql,
       "sessionize" -> EventAnalytics.sessionizeSql,
       "user_journey" -> EventAnalytics.userJourneySql,
       "events_pivot" -> EventAnalytics.eventsPivotSql,

@@ -134,6 +134,51 @@ object EventAnalytics {
        |GROUP BY event_type, day
        |ORDER BY event_type, day""".stripMargin
 
+  /** Bounds of [[weekCompare]]'s two disjoint slices — the dashboard
+    * "this week vs an earlier week" comparison. */
+  val WeekAFrom = "2024-01-08"; val WeekAUntil = "2024-01-15"
+  val WeekBFrom = "2024-01-22"; val WeekBUntil = "2024-01-29"
+
+  /** events_week_compare: per-event_type counts and exact value sums
+    * for two DISJOINT one-week ts slices, labeled and compared side by
+    * side — the week-over-week dashboard query whose filter is an OR of
+    * ranges. The 100 TB point is the same as [[incrementalRollup]]'s,
+    * one connective deeper: under the date-partitioned events layout,
+    * [[graft.plans.PartitionDateInference]] derives the UNION of both
+    * branches' day bounds from the OR (derive(l) OR derive(r)), so the
+    * scan lists the two week ranges' directories and SKIPS the gap week
+    * entirely — 16 of 30 directories here, two weeks of thousands at
+    * warehouse scale. Aggregation is map-side combinable and
+    * (week, type)-bounded. Reference anchor: the windowed comparison
+    * reporting of `test/TumblingWindowTest.java` re-expressed as a
+    * batch dashboard query. */
+  def weekCompare(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter((col("ts") >= lit(WeekAFrom).cast("timestamp") &&
+          col("ts") < lit(WeekAUntil).cast("timestamp")) ||
+        (col("ts") >= lit(WeekBFrom).cast("timestamp") &&
+          col("ts") < lit(WeekBUntil).cast("timestamp")))
+      .select(
+        when(col("ts") < lit(WeekBFrom).cast("timestamp"), "wk1")
+          .otherwise("wk2").as("week"),
+        col("event_type"), col("value"))
+      .groupBy("week", "event_type")
+      .agg(count(lit(1)).as("n"), sumDec2(col("value")).as("sum_value"))
+      .orderBy("week", "event_type")
+
+  def weekCompareSql: String =
+    s"""SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '$WeekBFrom'
+       |  THEN 'wk1' ELSE 'wk2' END AS week,
+       |  event_type, count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE (CAST(ts AS TIMESTAMP) >= TIMESTAMP '$WeekAFrom'
+       |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$WeekAUntil')
+       |  OR (CAST(ts AS TIMESTAMP) >= TIMESTAMP '$WeekBFrom'
+       |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$WeekBUntil')
+       |GROUP BY week, event_type
+       |ORDER BY week, event_type""".stripMargin
+
   /** Debounce gap: a repeat of the same (user, event_type) within 6 h
     * of its predecessor is suppressed. */
   private val DebounceUs = 21600000000L

@@ -352,6 +352,8 @@ class LayoutSpec extends SparkSpec {
     val s = spark
     val name = "events_incremental_rollup"
     val raw = graft.SparkEntry.queries(name)(s, dir).toJSON.collect().toSeq
+    val rawWeeks = graft.SparkEntry.queries("events_week_compare")(s, dir)
+      .toJSON.collect().toSeq
     s.conf.set(Layout.EventsEnabledKey, "true")
     try {
       val q = graft.SparkEntry.queries(name)(s, dir)
@@ -370,6 +372,15 @@ class LayoutSpec extends SparkSpec {
       // conservative-widening contract: inference never over-prunes)
       val all = leafScan(graft.SparkEntry.queries("events_rollup")(s, dir))
       assert(all.selectedPartitions.partitionCount == 30)
+      // the OR-of-ranges dashboard query prunes to the UNION of both
+      // weeks' days (8 + 8 incl. the conservative upper widening) and
+      // SKIPS the gap week — derive(l) OR derive(r) end to end
+      val weeks = graft.SparkEntry.queries("events_week_compare")(s, dir)
+      val wScan = leafScan(weeks)
+      assert(wScan.selectedPartitions.partitionCount == 16,
+        s"expected 16 of 30 day directories for the two-week OR, scanned ${wScan.selectedPartitions.partitionCount}")
+      assert(weeks.toJSON.collect().toSeq == rawWeeks && rawWeeks.nonEmpty,
+        "events_week_compare diverged under the events layout")
     } finally {
       s.conf.set(Layout.EventsEnabledKey, "false")
       graft.HarnessUtil.releaseAll(s)
