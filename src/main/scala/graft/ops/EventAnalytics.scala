@@ -149,9 +149,10 @@ object EventAnalytics {
     * scan lists the two week ranges' directories and SKIPS the gap week
     * entirely — 16 of 30 directories here, two weeks of thousands at
     * warehouse scale. Aggregation is map-side combinable and
-    * (week, type)-bounded. Reference anchor: the windowed comparison
-    * reporting of `test/TumblingWindowTest.java` re-expressed as a
-    * batch dashboard query. */
+    * (week, type)-bounded. Reference anchor: the per-window keyed
+    * aggregation reporting of `test/EventTimeTest.java:86` (tumbling
+    * event-time windows), re-expressed as a batch two-window
+    * comparison. */
   def weekCompare(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .filter((col("ts") >= lit(WeekAFrom).cast("timestamp") &&
