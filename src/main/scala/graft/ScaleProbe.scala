@@ -731,8 +731,9 @@ object ScaleProbe {
       }.sorted
       (samples(1), (drained() - sb0) / 3.0 / 1024 / 1024)
     }
-    val qs = Seq("events_incremental_rollup", "events_rollup", "funnel",
-      "sessionize", "cohort_retention", "asof_attribution")
+    val qs = Seq("events_incremental_rollup", "events_week_compare",
+      "events_rollup", "funnel", "sessionize", "cohort_retention",
+      "asof_attribution")
     val arms = Seq(
       ("raw", () => { spark.conf.set(Layout.EventsEnabledKey, "false") }),
       ("date-only", () => { spark.conf.set(Layout.EventsEnabledKey, "true")
