@@ -92,6 +92,21 @@ object Tables {
       graft.storage.Layout.partitionedEvents(s, d)
     } else eventsNormalized(s, d)
 
+  /** The raw (never-partitioned) events read, regardless of the layout
+    * conf — for consumers with NO ts predicate whose access pattern
+    * gains nothing from date directories. A whole-table user-keyed
+    * aggregation (`funnel`, `cohort_retention`) reads every row either
+    * way; the date layout only adds per-directory listing/open overhead
+    * (days × files vs one flat dir — at warehouse scale, thousands of
+    * LIST calls), and the probes show the tax at every measured
+    * density with no arm those queries ever win (funnel date-only
+    * 1.94×/1.85× raw at 10×, 1.2× at 30×; composed worse —
+    * SCALEPROBE_r16 §2/§5). Layouts are chosen per access pattern;
+    * this is the other pattern's accessor, the [[documentsRaw]]
+    * discipline applied to the time-series table. Time-sliced and
+    * session-window consumers KEEP the layout route ([[events]]). */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = eventsNormalized(s, d)
+
   /** The raw read + ts normalization, regardless of the layout conf —
     * also the source the layout build itself reads. */
   private[graft] def eventsNormalized(s: SparkSession, d: String): DataFrame = {

@@ -84,7 +84,9 @@ object EnrichJoin {
     * sessionization-adjacent analytic the reference's keyed-state demos
     * build towards. funnel_depth = number of stages completed in order. */
   def funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // whole-table, no ts predicate: opts OUT of the date layout
+    // (Tables.eventsRaw scaladoc — the documentsRaw discipline)
+    val ev = Tables.eventsRaw(s, dir)
     def firstOf(t: String) =
       min(when(col("event_type") === t, epochUs(col("ts")))).as(s"t_$t")
     ev.groupBy("user_id")

@@ -28,7 +28,9 @@ object EventAnalytics {
     * through a plain distinct-then-count (two map-combinable
     * aggregations), never a countDistinct over a skewed window. */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // whole-table, no ts predicate: opts OUT of the date layout
+    // (Tables.eventsRaw scaladoc — the documentsRaw discipline)
+    val ev = Tables.eventsRaw(s, dir)
       .select(col("user_id"), col("event_type"),
         epochUs(col("ts")).as("ts_us"))
     val cohorts = ev.filter(col("event_type") === "signup")

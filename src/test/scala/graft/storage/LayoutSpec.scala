@@ -389,7 +389,7 @@ class LayoutSpec extends SparkSpec {
 
   test("composed events layout: user buckets remove the user_id exchange, date pruning still applies, identical results") {
     val s = spark
-    val rawFunnel = graft.SparkEntry.queries("funnel")(s, dir).toJSON.collect().toSeq
+    val rawSess = graft.SparkEntry.queries("sessionize")(s, dir).toJSON.collect().toSeq
     s.conf.set(Layout.EventsEnabledKey, "true")
     s.conf.set(Layout.EventsBucketsKey, "8")
     try {
@@ -404,9 +404,20 @@ class LayoutSpec extends SparkSpec {
       val pruned = graft.SparkEntry.queries("events_incremental_rollup")(s, dir)
       assert(leafScan(pruned).selectedPartitions.partitionCount == 8,
         "composed layout must still prune day directories")
-      assert(graft.SparkEntry.queries("funnel")(s, dir).toJSON.collect().toSeq == rawFunnel,
-        "funnel diverged under the composed events layout")
-      assert(rawFunnel.nonEmpty, "vacuous comparison")
+      // sessionize is the member the composed layout exists FOR (the
+      // per-user session window) — identity through the serving route
+      assert(graft.SparkEntry.queries("sessionize")(s, dir).toJSON.collect().toSeq == rawSess,
+        "sessionize diverged under the composed events layout")
+      assert(rawSess.nonEmpty, "vacuous comparison")
+      // funnel/cohort opt OUT (whole-table, no ts predicate — no arm
+      // they ever win, SCALEPROBE_r16 §2/§5): their scans must read the
+      // raw source parquet, not the layout copy, under BOTH arms
+      for (q <- Seq("funnel", "cohort_retention")) {
+        val roots = leafScan(graft.SparkEntry.queries(q)(s, dir))
+          .relation.location.rootPaths.map(_.toString)
+        assert(roots.exists(_.contains("events.parquet")),
+          s"$q must opt out of the events layout, scanned: $roots")
+      }
     } finally {
       s.conf.set(Layout.EventsEnabledKey, "false")
       s.conf.set(Layout.EventsBucketsKey, "0")
