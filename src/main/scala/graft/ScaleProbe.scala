@@ -831,6 +831,96 @@ object ScaleProbe {
       f"(${stats.rowsSealed / fullSec / 1000}%.0f Krows/s)")
   }
 
+  /** `sealversioned` mode: prices the snapshot-isolated serving copy
+    * ([[graft.storage.VersionedServing]]) against the in-place form on
+    * the worst 10× day shape (today fragmented into 2,880 trigger-sized
+    * files — the sealcost fixture), and runs the reader-vs-reseal race
+    * AGAINST THE SERVING COPY ITSELF: r16's probe measured readers
+    * against the live sink during a seal, which left the serving-side
+    * atomicity untested — exactly the seam the versioned layout closes.
+    * Reports: in-place vs versioned sealDays wall (same day, same
+    * bytes), the metadata-only flip cost (an expire publish), the
+    * serve-path read cost on both forms (the manifest resolve + listing
+    * overhead the versioned read adds), and reader outcomes during a
+    * concurrent re-seal of the scanned day on both forms. */
+  private def sealVersionedProbe(spark: SparkSession, big: String): Unit = {
+    import graft.storage.{Layout, VersionedServing}
+    val base = "/tmp/graft_sealver"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val (sink, inPlace, versioned) = (s"$base/sink", s"$base/inplace", s"$base/versioned")
+    val ev = Tables.events(spark, big)
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+    val today = ev.select(max(col("ts_date"))).head.getDate(0).toString
+    ev.filter(col("ts_date") =!= lit(today).cast("date"))
+      .write.partitionBy("ts_date").parquet(sink)
+    ev.filter(col("ts_date") === lit(today).cast("date"))
+      .repartition(2880)
+      .write.mode("append").partitionBy("ts_date").parquet(sink)
+    Layout.markUtcDays(spark, sink)
+    def med3(body: => Unit): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
+
+    // yesterday's close-out state on both forms
+    graft.streaming.PartitionedIngest.seal(spark, sink, inPlace)
+    val vStats = VersionedServing.seal(spark, sink, versioned)
+    println(s"sink sealed both ways: ${vStats.rowsSealed} rows, today=$today fragmented")
+
+    // the nightly incremental on the SAME fragmented day, both forms
+    val tIp = { val t0 = System.nanoTime()
+      graft.streaming.PartitionedIngest.sealDays(spark, sink, inPlace, Seq(today))
+      (System.nanoTime() - t0) / 1e9 }
+    val tV = { val t0 = System.nanoTime()
+      VersionedServing.sealDays(spark, sink, versioned, Seq(today))
+      (System.nanoTime() - t0) / 1e9 }
+    println(f"sealDays($today): in-place $tIp%.2f s, versioned $tV%.2f s " +
+      f"(${tV / tIp}%.2fx — the isolation premium)")
+
+    // flip cost alone: a metadata-only publish (expire of a day outside
+    // the table is a no-op publish path; use the oldest real day once)
+    val oldest = VersionedServing.servedDays(spark, versioned).head
+    val tFlip = { val t0 = System.nanoTime()
+      VersionedServing.expire(spark, versioned, oldest) // drops nothing (oldest kept)
+      VersionedServing.expire(spark, versioned,
+        java.time.LocalDate.parse(oldest).plusDays(1).toString) // drops 1 day: manifest write + flip
+      (System.nanoTime() - t0) / 1e9 }
+    println(f"manifest publish+flip (metadata-only expire): $tFlip%.3f s")
+
+    // serve-path read cost: resolve+list+plan+count on both forms
+    val rIp = med3(spark.read.parquet(inPlace)
+      .filter(col("ts_date") === lit(today).cast("date"))
+      .groupBy("event_type").count().collect())
+    val rV = med3(Layout.servingEvents(spark, versioned)
+      .filter(col("ts") >= lit(s"$today 00:00:00").cast("timestamp"))
+      .groupBy("event_type").count().collect())
+    println(f"day-rollup on serving copy: in-place $rIp%.2f s, versioned $rV%.2f s " +
+      f"(manifest resolve + per-day listing overhead: ${rV - rIp}%.2f s)")
+
+    // the race the r16 probe could not run: readers scanning the serving
+    // copy WHILE the day they scan is being resealed
+    def race(label: String, read: () => Long, reseal: () => Unit): Unit = {
+      val errors = new java.util.concurrent.atomic.AtomicInteger
+      val runs = new java.util.concurrent.atomic.AtomicInteger
+      @volatile var go = true
+      val th = new Thread(() => while (go) {
+        try { read(); runs.incrementAndGet() }
+        catch { case _: Throwable => errors.incrementAndGet() } })
+      spark.sparkContext.setLogLevel("OFF")
+      th.start()
+      val t0 = System.nanoTime(); reseal(); val sec = (System.nanoTime() - t0) / 1e9
+      go = false; th.join()
+      spark.sparkContext.setLogLevel("ERROR")
+      println(f"$label: ${runs.get()} reader runs, ${errors.get()} reader FAILURES " +
+        f"during a $sec%.2f s re-seal of the scanned day")
+    }
+    race("in-place ", () => spark.read.parquet(inPlace)
+        .filter(col("ts_date") === lit(today).cast("date")).count(),
+      () => { graft.streaming.PartitionedIngest.sealDays(spark, sink, inPlace, Seq(today)); () })
+    race("versioned", () => Layout.servingEvents(spark, versioned)
+        .filter(col("ts") >= lit(s"$today 00:00:00").cast("timestamp")).count(),
+      () => { VersionedServing.sealDays(spark, sink, versioned, Seq(today)); () })
+  }
+
   /** `events30x` mode: the composed-events-layout crossover measured
     * instead of argued (the Probe-1b move applied to the third table).
     * Replicates events fresh to 30× (same construction as the 10×
@@ -1170,6 +1260,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("sealcost")) {
       sealCostProbe(spark, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
+      spark.stop(); return
+    }
+    if (args.headOption.contains("sealversioned")) {
+      sealVersionedProbe(spark, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
       spark.stop(); return
     }
     if (args.headOption.contains("events30x")) {

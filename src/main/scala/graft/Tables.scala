@@ -104,8 +104,27 @@ object Tables {
     * SCALEPROBE_r16 §2/§5). Layouts are chosen per access pattern;
     * this is the other pattern's accessor, the [[documentsRaw]]
     * discipline applied to the time-series table. Time-sliced and
-    * session-window consumers KEEP the layout route ([[events]]). */
-  def eventsRaw(s: SparkSession, d: String): DataFrame = eventsNormalized(s, d)
+    * session-window consumers KEEP the layout route ([[events]]).
+    *
+    * EXCEPTION — the streaming-serving deployment: when
+    * [[graft.storage.Layout.EventsServingDirKey]] points the session at
+    * a sealed serving copy, that copy IS the events dataset and there
+    * may be no batch source at all — so this accessor reads it too
+    * (paying the date layout's listing tax on these whole-table
+    * queries; unavoidable when it is the only copy). Cross-query
+    * consistency beats the opt-out: two events accessors answering
+    * over DIFFERENT datasets would be a wrong-answer bug, not a
+    * performance trade. */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    if (s.conf.get(graft.storage.Layout.EventsEnabledKey, "false").toBoolean) {
+      val servingDir = s.conf.get(graft.storage.Layout.EventsServingDirKey, "")
+      if (servingDir.nonEmpty) {
+        graft.functions.GraftExtensions.ensure(s)
+        return graft.storage.Layout.servingEvents(s, servingDir)
+      }
+    }
+    eventsNormalized(s, d)
+  }
 
   /** The raw read + ts normalization, regardless of the layout conf —
     * also the source the layout build itself reads. */

@@ -82,16 +82,29 @@ object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
     * session honors the UTC-day write contract. Default `false`. */
   val TrustConventionKey = "spark.graft.layout.inference.trustConvention"
 
-  /** root-path → marker-present, positives only (a negative can become
-    * positive when `seal`/`markUtcDays` runs later in the JVM). */
+  /** root-path → millis of the last SUCCESSFUL marker stat, positives
+    * only (a negative can become positive when `seal`/`markUtcDays`
+    * runs later in the JVM, so negatives always re-stat). */
   private val markerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Positive cache entries are re-verified after this long: a marked
+    * directory deleted and recreated at the same path by a NON-contract
+    * writer in the same JVM must stop being pruned — forever-cached
+    * positives would keep deriving bounds against session-tz
+    * directories, the exact silent-row-drop the gate exists to prevent.
+    * The window bounds the staleness at one cheap stat per root per
+    * window, instead of one per query. `private[graft] var` so the spec
+    * can pin it to 0 and prove the revocation path. */
+  @volatile private[graft] var markerRevalidateMs: Long = 5 * 60 * 1000L
 
   private def trusted(fs: HadoopFsRelation): Boolean = {
     val roots = fs.location.rootPaths
+    val now = System.currentTimeMillis
     roots.nonEmpty && roots.forall { root =>
       val key = root.toString
-      markerCache.containsKey(key) || {
+      val verifiedAt = markerCache.get(key)
+      (verifiedAt != null && now - verifiedAt < markerRevalidateMs) || {
         val ok =
           try {
             val p = new org.apache.hadoop.fs.Path(root,
@@ -99,7 +112,7 @@ object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
             p.getFileSystem(fs.sparkSession.sparkContext.hadoopConfiguration)
               .exists(p)
           } catch { case scala.util.control.NonFatal(_) => false }
-        if (ok) markerCache.put(key, true)
+        if (ok) markerCache.put(key, now) else markerCache.remove(key)
         ok
       }
     }

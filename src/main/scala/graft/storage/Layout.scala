@@ -166,7 +166,15 @@ object Layout {
     * stat still flips the part-file UUID names, so the signature
     * changes even when the root mtime cannot. (The remaining
     * out-of-contract case is an in-place byte overwrite preserving
-    * name+len+mtime — no writer graft runs does that.) */
+    * name+len+mtime — no writer graft runs does that.)
+    *
+    * DEPTH CONTRACT: the signature sees the root and its DIRECT
+    * children only. Flat dirs (files as children) and two-level dirs
+    * (partition dirs as children — adding/removing a file flips the
+    * partition dir's own mtime, a direct child) are fully covered;
+    * a content change at depth ≥ 3 (e.g. day/bucket/files) is NOT —
+    * every graft source this guards is flat or two-level, and callers
+    * adding deeper layouts must extend the signature, not this doc. */
   private def quickSig(spark: SparkSession, d: String): String = {
     val p = new org.apache.hadoop.fs.Path(d)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -270,7 +278,10 @@ object Layout {
     * exactly the O(files) driver cost the serve cache was added to
     * eliminate. The signature's child-name term keeps the one-mtime-tick
     * regeneration defense the memo key relies on (fresh part-file UUIDs
-    * flip the signature even inside one mtime tick). */
+    * flip the signature even inside one mtime tick). Inherits
+    * [[quickSig]]'s depth contract: valid for flat or two-level source
+    * dirs (all current callers), NOT for layouts nesting content at
+    * depth ≥ 3. */
   private val fingerprintCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
@@ -367,8 +378,29 @@ object Layout {
     * the same [[graft.plans.PartitionDateInference]] pruning — seal
     * marks the copy with [[UtcDaysMarker]]) instead of rebuilding a
     * layout from a batch source. Takes precedence over the
-    * build-from-source path when [[EventsEnabledKey]] is on. */
+    * build-from-source path when [[EventsEnabledKey]] is on.
+    *
+    * Accepts EITHER serving form: a plain `ts_date=` directory (the
+    * in-place [[graft.streaming.PartitionedIngest.seal]] output, whose
+    * re-seal requires a reader maintenance window) or a
+    * [[VersionedServing]] root (snapshot-isolated — re-seal safe under
+    * live readers); [[servingEvents]] dispatches on the root's CURRENT
+    * pointer. */
   val EventsServingDirKey = "spark.graft.layout.events.servingDir"
+
+  /** The serving-copy read behind [[EventsServingDirKey]], shared by
+    * EVERY events accessor (`Tables.events` through
+    * [[partitionedEvents]], and `Tables.eventsRaw` directly): when a
+    * deployment serves a sealed copy, all events consumers must see ONE
+    * dataset — a raw-vs-serving split across queries would silently
+    * answer over different data (the r16 advice finding). Serves the
+    * raw schema: partition columns are the layout's business, not the
+    * consumer's. */
+  def servingEvents(spark: SparkSession, servingDir: String): DataFrame =
+    if (VersionedServing.isVersioned(spark, servingDir))
+      VersionedServing.read(spark, servingDir)
+        .drop(VersionedServing.GenCol).drop("ts_date")
+    else spark.read.parquet(servingDir).drop("ts_date")
 
   /** Provenance marker file for date-partitioned layouts whose
     * `<col>_date` partition values honor the UTC-day write contract
@@ -430,7 +462,7 @@ object Layout {
       // IS the layout — no build-from-source (see EventsServingDirKey)
       val servingDir = spark.conf.get(EventsServingDirKey, "")
       if (servingDir.nonEmpty)
-        return spark.read.parquet(servingDir).drop("ts_date")
+        return servingEvents(spark, servingDir)
       val buckets = spark.conf.get(EventsBucketsKey, "0").toInt
       def withDate(df: DataFrame): DataFrame =
         df.withColumn("ts_date",

@@ -1,0 +1,279 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The SNAPSHOT-ISOLATED form of the events serving copy — the layout
+  * that makes re-sealing safe under live readers.
+  *
+  * The problem ([[graft.streaming.PartitionedIngest.sealDays]]'s one
+  * documented seam): the in-place serving copy overwrites
+  * `ts_date=<day>/` directories while a reader that already resolved
+  * the directory listing may still be scanning the old files — the
+  * overwrite deletes them mid-flight, and the reader fails (or worse,
+  * silently reads a half-replaced day). That is the maintenance-window
+  * contract of the in-place form. This object removes the window with
+  * the same move table formats make (and the repo's own
+  * [[graft.streaming.SnapshotStore]] makes for KB-sized artifacts):
+  * writers publish NEW immutable files plus a new manifest, flip a
+  * one-line `CURRENT` pointer atomically, and retain superseded files
+  * long enough for in-flight scans to finish. Unlike SnapshotStore, a
+  * 100 TB serving copy can never be republished wholesale — so versions
+  * share unchanged days: the manifest maps each day to the GENERATION
+  * directory holding its current files, and a re-seal writes only the
+  * changed days into a fresh generation. Seal cost stays O(days
+  * changed); flip cost is one small file rename.
+  *
+  * ==Physical layout==
+  * {{{
+  *   root/CURRENT                          one line: the manifest file name
+  *   root/manifests/m00000007              lines: "<day>\t<gen>"
+  *   root/data/gseal=3/ts_date=2024-03-01/ one day's parquet files
+  *                                         (+ the _graft_utc_days marker)
+  * }}}
+  *
+  * ==Reading==
+  * [[read]] resolves CURRENT → manifest → the day directories it names,
+  * and reads them with `basePath = root/data`, so Spark's partition
+  * discovery re-derives `gseal` and `ts_date` as partition columns from
+  * the directory names. That keeps BOTH scale properties of the plain
+  * layout: `ts_date` is a real partition column, so
+  * [[graft.plans.PartitionDateInference]] still turns `ts` predicates
+  * into planning-time directory pruning (each day directory carries the
+  * UTC-day provenance marker the rule's trust gate requires), and the
+  * relation is an ordinary parquet `HadoopFsRelation` — no custom
+  * source, no loss of pushdown/codegen.
+  *
+  * ==Isolation contract==
+  * A reader holds the manifest it resolved: its scan touches only that
+  * manifest's generation directories, which no later publish modifies.
+  * Publishes retain the newest [[KeepManifests]] manifests and every
+  * day directory any of them references; a reader is safe as long as
+  * its query outlives fewer than [[KeepManifests]] publishes (at one
+  * seal per night, that is days of grace for a scan). Single writer
+  * assumed, as with any non-transactional table format.
+  *
+  * [[expire]] is metadata-only — it publishes a manifest without the
+  * expired days, and the bytes follow when the old manifests age out —
+  * so retention also cannot fail a concurrent scan.
+  */
+object VersionedServing {
+
+  /** Manifests (and the day generations they reference) retained after
+    * a publish — the reader grace window. */
+  val KeepManifests = 3
+
+  /** The generation partition column's name in the pool layout. Chosen
+    * to be collision-unlikely; [[seal]]/[[sealDays]] refuse schemas
+    * that already carry it. */
+  val GenCol = "gseal"
+
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Does `root` hold a versioned serving copy? (The deployment seam —
+    * `Layout.EventsServingDirKey` — accepts either form and dispatches
+    * on this.) */
+  def isVersioned(spark: SparkSession, root: String): Boolean = {
+    val (fs, base) = fsFor(spark, root)
+    fs.exists(new org.apache.hadoop.fs.Path(base, "CURRENT"))
+  }
+
+  /** Resolve CURRENT → the manifest's day→generation map. Empty map if
+    * nothing was ever published. */
+  def currentManifest(spark: SparkSession, root: String): Map[String, Long] = {
+    val (fs, base) = fsFor(spark, root)
+    val ptr = new org.apache.hadoop.fs.Path(base, "CURRENT")
+    if (!fs.exists(ptr)) return Map.empty
+    val in = fs.open(ptr)
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+               finally in.close()
+    val mf = new org.apache.hadoop.fs.Path(base, s"manifests/$name")
+    val min = fs.open(mf)
+    val lines = try scala.io.Source.fromInputStream(min, "UTF-8").getLines().toList
+                finally min.close()
+    lines.filter(_.nonEmpty).map { l =>
+      val Array(day, gen) = l.split('\t'); day -> gen.toLong
+    }.toMap
+  }
+
+  /** The snapshot read: CURRENT's day directories under one basePath.
+    * Returns the frame WITH the `gseal`/`ts_date` partition columns —
+    * the serving accessor ([[Layout.servingEvents]]) drops them to the
+    * raw schema. Fails loudly on an empty manifest: silently serving
+    * zero rows would mask a never-sealed deployment. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val m = currentManifest(spark, root)
+    require(m.nonEmpty, s"no sealed days published at $root (empty or missing manifest)")
+    val paths = m.toSeq.sortBy(_._1).map { case (day, gen) =>
+      s"$root/data/$GenCol=$gen/ts_date=$day" }
+    spark.read.option("basePath", s"$root/data").parquet(paths: _*)
+  }
+
+  /** Full snapshot seal of a streaming sink (the versioned counterpart
+    * of [[graft.streaming.PartitionedIngest.seal]], same horizon
+    * semantics): every kept day is rewritten into one fresh generation,
+    * the manifest lists exactly those days, and days the previous
+    * manifest had but the sink no longer does simply drop out — full
+    * seal IS the snapshot. `keepFrom` days-strictly-older are excluded
+    * and counted ([[graft.streaming.PartitionedIngest.SealStats]]'s
+    * beyond-horizon alert hook). */
+  def seal(spark: SparkSession, sinkPath: String, root: String,
+      keepFrom: Option[String] = None): graft.streaming.PartitionedIngest.SealStats = {
+    val all = spark.read.parquet(sinkPath)
+    require(!all.columns.map(_.toLowerCase).contains(GenCol),
+      s"sink schema already carries a '$GenCol' column — the pool layout reserves it")
+    val horizon = keepFrom.map(d => lit(d).cast("date"))
+    val kept = horizon.map(h => all.filter(col("ts_date") >= h)).getOrElse(all)
+    val beyond = horizon.map(h => all.filter(col("ts_date") < h).count()).getOrElse(0L)
+    val gen = nextGen(spark, root)
+    val genDir = s"$root/data/$GenCol=$gen"
+    kept.write.partitionBy("ts_date").parquet(genDir)
+    val days = markDays(spark, genDir)
+    publish(spark, root, days.map(_ -> gen).toMap)
+    // count from the generation just written (ours, immutable): one
+    // sink read for the data, footer-level reads for the statistic
+    val rowsSealed = if (days.isEmpty) 0L else spark.read.parquet(genDir).count()
+    graft.streaming.PartitionedIngest.SealStats(rowsSealed, beyond)
+  }
+
+  /** Incremental seal — the versioned counterpart of
+    * [[graft.streaming.PartitionedIngest.sealDays]], same O(days
+    * changed) cost shape and file-sizing arithmetic, but each day's new
+    * files land in a FRESH generation directory and become visible only
+    * at the manifest flip: a reader mid-scan of the old day keeps its
+    * files (retained for [[KeepManifests]] publishes). Days listed but
+    * absent from the sink are left at their current generation —
+    * deleting a day is [[expire]]'s job. Returns rows written, counted
+    * from the freshly written directories (one sink read per day, and
+    * no race against a live ingest). */
+  def sealDays(spark: SparkSession, sinkPath: String, root: String,
+      days: Seq[String], targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(days.nonEmpty, "sealDays needs at least one day")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val gen = nextGen(spark, root)
+    val manifest = scala.collection.mutable.Map(currentManifest(spark, root).toSeq: _*)
+    var rows = 0L
+    days.foreach { day =>
+      val dayDir = new org.apache.hadoop.fs.Path(s"$sinkPath/ts_date=$day")
+      val fs = dayDir.getFileSystem(hc)
+      if (fs.exists(dayDir)) {
+        val bytes = fs.getContentSummary(dayDir).getLength
+        val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val out = s"$root/data/$GenCol=$gen/ts_date=$day"
+        val slice = spark.read.parquet(sinkPath)
+          .filter(col("ts_date") === lit(day).cast("date"))
+          .drop("ts_date") // the directory name IS the partition value
+        require(!slice.columns.map(_.toLowerCase).contains(GenCol),
+          s"sink schema already carries a '$GenCol' column — the pool layout reserves it")
+        slice.repartition(nFiles).write.parquet(out)
+        Layout.markUtcDays(spark, out)
+        rows += spark.read.parquet(out).count()
+        manifest(day) = gen
+      }
+    }
+    publish(spark, root, manifest.toMap)
+    rows
+  }
+
+  /** Retention, metadata-only: publish a manifest without the days
+    * strictly older than `keepFrom`. The bytes are reclaimed when the
+    * manifests still referencing them age out of [[KeepManifests]] —
+    * so an expire can never fail a reader mid-scan, unlike the in-place
+    * layout's directory delete. Returns the days dropped. */
+  def expire(spark: SparkSession, root: String, keepFrom: String): Seq[String] = {
+    val cur = currentManifest(spark, root)
+    val (drop, keep) = cur.partition(_._1 < keepFrom)
+    if (drop.nonEmpty) publish(spark, root, keep)
+    drop.keys.toSeq.sorted
+  }
+
+  /** Days currently served (for the caller's audit). */
+  def servedDays(spark: SparkSession, root: String): Seq[String] =
+    currentManifest(spark, root).keys.toSeq.sorted
+
+  // ---------------------------------------------------------------- internals
+
+  private def nextGen(spark: SparkSession, root: String): Long = {
+    val (fs, base) = fsFor(spark, s"$root/data")
+    if (!fs.exists(base)) 1L
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$GenCol="))
+      .map(_.getPath.getName.stripPrefix(s"$GenCol=").toLong)
+      .foldLeft(0L)(math.max) + 1L
+  }
+
+  /** Mark every `ts_date=` child of a freshly written generation dir
+    * with the UTC-day provenance marker (each day dir is a ROOT PATH of
+    * the snapshot read, and [[graft.plans.PartitionDateInference]]'s
+    * trust gate stats markers per root). Returns the day values. */
+  private def markDays(spark: SparkSession, genDir: String): Seq[String] = {
+    val (fs, base) = fsFor(spark, genDir)
+    if (!fs.exists(base)) return Nil
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ts_date="))
+      .map { s =>
+        Layout.markUtcDays(spark, s.getPath.toString)
+        s.getPath.getName.stripPrefix("ts_date=")
+      }.sorted
+  }
+
+  /** Write the next manifest, flip CURRENT onto it (temp-write +
+    * overwrite-rename, atomic on HDFS/posix — the
+    * [[graft.streaming.SnapshotStore]] move), then reclaim: manifests
+    * beyond the newest [[KeepManifests]] are deleted, and any day
+    * directory no kept manifest references is deleted with them —
+    * that deferred delete IS the reader grace window. */
+  private def publish(spark: SparkSession, root: String,
+      manifest: Map[String, Long]): Unit = {
+    val (fs, base) = fsFor(spark, root)
+    val mdir = new org.apache.hadoop.fs.Path(base, "manifests")
+    fs.mkdirs(mdir)
+    val existing = fs.listStatus(mdir).toSeq
+      .filter(s => s.getPath.getName.matches("m\\d{8}"))
+      .map(_.getPath).sortBy(_.getName)
+    val next = existing.lastOption
+      .map(_.getName.drop(1).toLong + 1).getOrElse(1L)
+    val mf = new org.apache.hadoop.fs.Path(mdir, f"m$next%08d")
+    val out = fs.create(mf, false)
+    try out.write(manifest.toSeq.sortBy(_._1)
+      .map { case (d, g) => s"$d\t$g" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val tmp = new org.apache.hadoop.fs.Path(base, s".CURRENT.$next.tmp")
+    val pout = fs.create(tmp, true)
+    try pout.write(mf.getName.getBytes("UTF-8")) finally pout.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(base.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(base, "CURRENT"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // reclaim beyond the grace window
+    val keptFiles = (existing :+ mf).takeRight(KeepManifests)
+    (existing :+ mf).dropRight(KeepManifests).foreach(fs.delete(_, false))
+    val referenced: Set[(Long, String)] = keptFiles.flatMap { f =>
+      val in = fs.open(f)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+                  finally in.close()
+      lines.filter(_.nonEmpty).map { l =>
+        val Array(day, gen) = l.split('\t'); (gen.toLong, day) }
+    }.toSet
+    val dataDir = new org.apache.hadoop.fs.Path(base, "data")
+    if (fs.exists(dataDir)) {
+      fs.listStatus(dataDir).foreach { g =>
+        if (g.isDirectory && g.getPath.getName.startsWith(s"$GenCol=")) {
+          val gen = g.getPath.getName.stripPrefix(s"$GenCol=").toLong
+          val kids = fs.listStatus(g.getPath)
+          kids.foreach { d =>
+            if (d.isDirectory && d.getPath.getName.startsWith("ts_date=") &&
+                !referenced((gen, d.getPath.getName.stripPrefix("ts_date="))))
+              fs.delete(d.getPath, true)
+          }
+          // a generation with no referenced days left is dead weight
+          if (fs.listStatus(g.getPath).forall(s => !s.isDirectory))
+            fs.delete(g.getPath, true)
+        }
+      }
+    }
+  }
+}

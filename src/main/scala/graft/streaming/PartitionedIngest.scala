@@ -133,7 +133,19 @@ object PartitionedIngest {
     * per 32 inputs regardless of bytes (the sealcost probe measured 90
     * KB-sized files for a 1 MB day). The per-day repartition is a
     * day-sized shuffle — the price of tight file sizing, paid on
-    * exactly the days being resealed and nothing else. */
+    * exactly the days being resealed and nothing else.
+    *
+    * CONCURRENCY CONTRACT (in-place form): the dynamic overwrite
+    * deletes the day's old files before the new ones commit, so a
+    * reader that already resolved the serving directory's listing and
+    * is scanning the day being resealed can hit deleted-file errors
+    * mid-flight (spec-pinned: VersionedServingSpec "in-place sealDays
+    * under a pinned reader"). Run in-place re-seals in a reader
+    * maintenance window — or deploy the serving copy as a
+    * [[graft.storage.VersionedServing]] root (its `sealDays` publishes
+    * fresh generations behind an atomic manifest flip and retains
+    * superseded files for a grace window; same O(days-changed) cost,
+    * no window needed). */
   def sealDays(spark: SparkSession, sinkPath: String, servingPath: String,
       days: Seq[String], targetBytes: Long = 128L * 1024 * 1024): Long = {
     require(days.nonEmpty, "sealDays needs at least one day")
@@ -152,8 +164,10 @@ object PartitionedIngest {
           .filter(col("ts_date") === lit(day).cast("date"))
           .repartition(nFiles)
         graft.storage.Layout.overwritePartitions(slice, servingPath, Seq("ts_date"))
-        rows += spark.read.parquet(sinkPath)
-          .filter(col("ts_date") === lit(day).cast("date")).count()
+        // count what was WRITTEN — the serving day directory, ours and
+        // immutable until the next seal: one sink read per day, and no
+        // race against a live ingest appending to the sink mid-count
+        rows += spark.read.parquet(s"$servingPath/ts_date=$day").count()
       }
     }
     graft.storage.Layout.markUtcDays(spark, servingPath)
@@ -170,17 +184,32 @@ object PartitionedIngest {
     * this is the one delete that may run under a live log (contrast
     * [[expirePartitions]]'s plain-layout-only contract).
     *
-    * `graceMs` protects in-flight tasks of a RUNNING query: a task
-    * file is written first and committed to the log at batch end, so an
-    * uncommitted file younger than the grace window may be a commit in
-    * progress, not an orphan. Default 15 min ≫ any sane trigger
-    * interval; pass 0 only when the query is known stopped. Returns the
-    * deleted paths for the audit log. */
+    * The gate: if an ACTIVE query in this session is writing this sink,
+    * the janitor REFUSES (IllegalStateException). An mtime grace alone
+    * cannot protect a running writer — a micro-batch whose
+    * write-to-commit span exceeds the grace (backlog replay, a skewed
+    * day) has task files older than the window that its log commit is
+    * about to reference; deleting them corrupts the sink, not just an
+    * orphan. Query state is checkable, so it is checked; `graceMs`
+    * remains as the SECONDARY margin for writers this session cannot
+    * see (a cross-JVM ingest job — coordinating with those is the
+    * operator's contract, and 15 min ≫ any sane trigger interval).
+    * Pass `graceMs = 0` only when the query is known stopped. Returns
+    * the deleted paths for the audit log. */
   def vacuumOrphans(spark: SparkSession, sinkPath: String,
       graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
     import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
     val root = new org.apache.hadoop.fs.Path(sinkPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = root.toUri.getPath
+    val writers = spark.streams.active.filter {
+      org.apache.spark.sql.execution.streaming.GraftStreamingShim.fileSinkPath(_)
+        .exists(p => new org.apache.hadoop.fs.Path(p).toUri.getPath == target)
+    }
+    if (writers.nonEmpty) throw new IllegalStateException(
+      s"vacuumOrphans refused: active streaming query " +
+        s"${writers.map(_.id).mkString(", ")} is writing $sinkPath — " +
+        "stop it first (an in-flight batch's task files can predate any grace window)")
     val metaDir = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
     // no commit log -> not a streaming sink -> NOTHING is an orphan
     if (!fs.exists(metaDir)) return Nil

@@ -210,6 +210,26 @@ class PartitionDateInferenceSpec extends SparkSpec {
     assert(partitionsScanned(q) == 2, "marking a path must enable pruning immediately")
   }
 
+  test("positive marker cache revalidates: a vanished marker revokes trust after the window") {
+    val s = spark
+    val dir = fixture(ntz = false) // marked; first query caches the positive
+    def q = spark.read.parquet(dir)
+      .filter(col("ts") >= lit("2024-02-03").cast("timestamp"))
+    assert(partitionsScanned(q) == 2, "marked fixture must prune")
+    // a NON-contract writer deletes and recreates the table at the same
+    // path (marker gone): a forever-positive cache would keep deriving
+    // bounds against what may now be session-tz directories
+    assert(new java.io.File(dir, graft.storage.Layout.UtcDaysMarker).delete())
+    val saved = PartitionDateInference.markerRevalidateMs
+    PartitionDateInference.markerRevalidateMs = 0L // expire the window
+    try assert(partitionsScanned(q) == 4,
+      "a vanished marker must revoke trust once the revalidation window expires")
+    finally PartitionDateInference.markerRevalidateMs = saved
+    // re-marking restores pruning immediately (negatives are never cached)
+    graft.storage.Layout.markUtcDays(s, dir)
+    assert(partitionsScanned(q) == 2)
+  }
+
   test("no inference without the <col>_date naming pair") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,219 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The snapshot-isolated serving copy: seal/re-seal/expire lifecycle,
+  * reader isolation under concurrent re-seal (the r16 verdict's one
+  * remaining serving-side seam), and the pinned failure mode of the
+  * in-place form it replaces. */
+class VersionedServingSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def scanOf(df: DataFrame) = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    plan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+  }
+
+  /** Physical (name, mtime) listing of one pool day directory. */
+  private def poolDayFiles(root: String, gen: Long, day: String): Set[String] = {
+    val d = new java.io.File(s"$root/data/${VersionedServing.GenCol}=$gen/ts_date=$day")
+    if (!d.exists()) Set.empty
+    else d.listFiles().map(f => s"${f.getName}:${f.lastModified}").toSet
+  }
+
+  test("versioned lifecycle: seal(horizon) → serve+prune → incremental re-seal shares unchanged days → metadata-only expire → deferred vacuum") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("vserv").toString
+    val (sink, ckpt, root) = (s"$base/sink", s"$base/ckpt", s"$base/serving")
+
+    // 5 days × 2 rows through the streaming ingest
+    val rows = for (d <- 1 to 5; h <- Seq(9, 21)) yield
+      ((d * 100 + h).toLong, ts(f"2024-03-$d%02d $h%02d:00:00"))
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.PartitionedIngest.start(
+      in.toDF().select($"_1".as("event_id"), $"_2".as("ts")), sink, ckpt)
+    try { in.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+
+    // full seal inside the horizon: days 02..05 (8 rows), 2 beyond
+    val stats = VersionedServing.seal(spark, sink, root, keepFrom = Some("2024-03-02"))
+    assert(stats.rowsSealed == 8 && stats.rowsBeyondHorizon == 2, s"got $stats")
+    assert(VersionedServing.servedDays(spark, root) ==
+      Seq("2024-03-02", "2024-03-03", "2024-03-04", "2024-03-05"))
+
+    // serve through the production accessors — ONE dataset for all
+    // events consumers (events AND eventsRaw), raw schema, pruning live
+    s.conf.set(Layout.EventsEnabledKey, "true")
+    s.conf.set(Layout.EventsServingDirKey, root)
+    try {
+      val served = graft.Tables.events(s, base)
+      assert(served.count() == 8)
+      assert(!served.columns.contains("ts_date") &&
+        !served.columns.contains(VersionedServing.GenCol),
+        "the accessor must serve the raw schema")
+      val raw = graft.Tables.eventsRaw(s, base)
+      assert(raw.columns.toSeq == served.columns.toSeq &&
+        raw.orderBy("event_id").collect().toSeq ==
+          served.orderBy("event_id").collect().toSeq,
+        "eventsRaw must see the SAME dataset as events under a serving deployment")
+      // ts predicates prune the manifest's day directories at planning
+      // time (each pool day dir carries the provenance marker)
+      val slice = served.filter(col("ts") >= lit("2024-03-04").cast("timestamp"))
+      assert(scanOf(slice).selectedPartitions.partitionCount == 2,
+        "ts bound must prune the versioned snapshot to its 2 days")
+      assert(slice.count() == 4)
+      // row identity vs the ingested input (the retained horizon)
+      assert(served.orderBy("event_id").collect().toSeq.map(r => r.getLong(0)) ==
+        rows.filter(_._2.toString >= "2024-03-02").map(_._1).sorted)
+
+      // a late row lands in the sink for sealed day 03; the incremental
+      // re-seal publishes ONLY that day into a new generation
+      val q2 = graft.streaming.PartitionedIngest.start(
+        in.toDF().select($"_1".as("event_id"), $"_2".as("ts")), sink, ckpt)
+      try { in.addData((303L, ts("2024-03-03 23:00:00"))); q2.processAllAvailable() }
+      finally q2.stop()
+      val d02Before = poolDayFiles(root, 1, "2024-03-02")
+      val d05Before = poolDayFiles(root, 1, "2024-03-05")
+      assert(d02Before.nonEmpty && d05Before.nonEmpty, "pool sanity")
+      val written = VersionedServing.sealDays(spark, sink, root, Seq("2024-03-03"))
+      assert(written == 3, "day 03 must now hold original 2 + late row")
+      assert(graft.Tables.events(s, base).count() == 9)
+      assert(poolDayFiles(root, 1, "2024-03-02") == d02Before &&
+        poolDayFiles(root, 1, "2024-03-05") == d05Before,
+        "incremental seal must not touch unchanged days' files (O(days-changed))")
+      assert(VersionedServing.currentManifest(spark, root)("2024-03-03") == 2L &&
+        VersionedServing.currentManifest(spark, root)("2024-03-02") == 1L,
+        "only the resealed day moves to the new generation")
+
+      // expire is METADATA-ONLY: day 02 leaves the manifest now, its
+      // bytes only when the manifests referencing it age out
+      assert(VersionedServing.expire(spark, root, "2024-03-03") == Seq("2024-03-02"))
+      assert(graft.Tables.events(s, base).count() == 7)
+      assert(poolDayFiles(root, 1, "2024-03-02").nonEmpty,
+        "expire must not delete bytes a retained manifest still references")
+      assert(VersionedServing.expire(spark, root, "2024-03-03").isEmpty,
+        "expiry must be idempotent")
+
+      // age the old manifests out: KeepManifests more publishes, then the
+      // unreferenced day dirs (old day-03 gen, expired day-02) are gone
+      (1 to VersionedServing.KeepManifests).foreach { _ =>
+        VersionedServing.sealDays(spark, sink, root, Seq("2024-03-05")) }
+      assert(poolDayFiles(root, 1, "2024-03-02").isEmpty,
+        "an expired day's bytes must be reclaimed once no kept manifest references it")
+      assert(poolDayFiles(root, 1, "2024-03-03").isEmpty,
+        "a superseded generation must be reclaimed once no kept manifest references it")
+      assert(graft.Tables.events(s, base).count() == 7, "served data unaffected by vacuum")
+    } finally {
+      s.conf.unset(Layout.EventsServingDirKey)
+      s.conf.set(Layout.EventsEnabledKey, "false")
+    }
+  }
+
+  test("snapshot isolation: a reader pinned before the flip keeps its files through a re-seal of the very day it scans") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsiso").toString
+    val (sink, root) = (s"$base/sink", s"$base/serving")
+
+    // a plain partitioned dir is a valid seal source (the read respects
+    // no log when there is none) — lets the test append between seals
+    def appendRows(n: Int, tag: Int): Unit =
+      (1 to n).map(i => ((tag * 1000 + i).toLong, ts("2024-03-01 10:00:00")))
+        .toDF("event_id", "ts")
+        .withColumn("ts_date", Layout.utcDate(col("ts")))
+        .write.mode("append").partitionBy("ts_date").parquet(sink)
+
+    appendRows(4, 1)
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01"))
+
+    // the reader resolves the manifest AND the file listing NOW
+    val pinned = VersionedServing.read(spark, root)
+    assert(pinned.count() == 4)
+
+    // the writer re-seals the exact day the reader holds
+    appendRows(3, 2)
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01"))
+
+    assert(pinned.count() == 4,
+      "the pinned reader must keep its snapshot — old files are retained, not overwritten")
+    assert(VersionedServing.read(spark, root).count() == 7,
+      "a fresh resolve must see the new snapshot")
+  }
+
+  test("racing reader: continuous reads during repeated re-seals never fail and always see one complete snapshot") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsrace").toString
+    val (sink, root) = (s"$base/sink", s"$base/serving")
+    def appendRows(n: Int, tag: Int): Unit =
+      (1 to n).map(i => ((tag * 1000 + i).toLong, ts("2024-03-01 10:00:00")))
+        .toDF("event_id", "ts")
+        .withColumn("ts_date", Layout.utcDate(col("ts")))
+        .write.mode("append").partitionBy("ts_date").parquet(sink)
+
+    appendRows(5, 0)
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01"))
+    // every published snapshot's total: 5, 10, 15, ... — any count a
+    // reader ever sees must be exactly one of these
+    val publishes = 6
+    val valid = (1 to publishes + 1).map(_ * 5L).toSet
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val badCounts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stopFlag.get()) {
+          val c = VersionedServing.read(spark, root).count()
+          if (!valid(c)) badCounts.add(c)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    reader.start()
+    try (1 to publishes).foreach { i =>
+      appendRows(5, i)
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01"))
+    } finally { stopFlag.set(true); reader.join(30000) }
+    assert(failures.isEmpty, s"reader failed mid-race: ${Option(failures.peek())}")
+    assert(badCounts.isEmpty,
+      s"reader saw a torn snapshot: ${badCounts.toArray.mkString(", ")}")
+    assert(VersionedServing.read(spark, root).count() == (publishes + 1) * 5L)
+  }
+
+  test("in-place sealDays under a pinned reader: the documented failure mode the versioned layout removes") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsinplace").toString
+    val (sink, serving) = (s"$base/sink", s"$base/serving")
+    def appendRows(n: Int, tag: Int): Unit =
+      (1 to n).map(i => ((tag * 1000 + i).toLong, ts("2024-03-01 10:00:00")))
+        .toDF("event_id", "ts")
+        .withColumn("ts_date", Layout.utcDate(col("ts")))
+        .write.mode("append").partitionBy("ts_date").parquet(sink)
+
+    appendRows(4, 1)
+    graft.streaming.PartitionedIngest.sealDays(spark, sink, serving, Seq("2024-03-01"))
+    // reader pins the serving dir's listing, then the day is resealed
+    // IN PLACE: the dynamic overwrite deletes the files it holds
+    val pinned = spark.read.parquet(serving)
+    appendRows(3, 2)
+    graft.streaming.PartitionedIngest.sealDays(spark, sink, serving, Seq("2024-03-01"))
+    val thrown = quietly(intercept[Throwable](pinned.count()))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => s"${x.getClass.getName}: ${x.getMessage}").toSeq
+    assert(chain(thrown).exists(m =>
+        m.contains("FileNotFound") || m.contains("does not exist") ||
+        m.contains("FILE_NOT_EXIST") || m.contains("MISSING_FILE")),
+      s"expected the deleted-file failure the contract documents, got: ${chain(thrown)}")
+  }
+}

@@ -120,6 +120,52 @@ class PartitionedIngestSpec extends SparkSpec {
     assert(spark.read.parquet(plain).count() == 4)
   }
 
+  test("vacuumOrphans refuses while a query is WRITING the sink, and the query is unharmed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("pvgate").toString
+    val (sink, ckpt) = (s"$base/sink", s"$base/ckpt")
+    val (sink2, ckpt2) = (s"$base/other_sink", s"$base/other_ckpt")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = PartitionedIngest.start(
+      in.toDF().select($"_1".as("event_id"), $"_2".as("ts")), sink, ckpt)
+    try {
+      in.addData((1L, ts("2024-03-01 10:00:00")))
+      q.processAllAvailable()
+      // plant an orphan OLDER than any grace — without the gate, a
+      // mid-batch janitor could also eat a slow batch's real task files
+      val dayDir = new java.io.File(s"$sink/ts_date=2024-03-01")
+      val committed = dayDir.listFiles().filter(_.getName.startsWith("part-")).head
+      val orphan = new java.io.File(dayDir, "part-99999-orphan.snappy.parquet")
+      java.nio.file.Files.copy(committed.toPath, orphan.toPath)
+
+      val e = intercept[IllegalStateException](
+        PartitionedIngest.vacuumOrphans(spark, sink, graceMs = 0L))
+      assert(e.getMessage.contains("refused"), e.getMessage)
+      assert(orphan.exists(), "a refused vacuum must delete nothing")
+
+      // the gate is PER-SINK: a query writing THIS sink must not block
+      // the janitor on a DIFFERENT (stopped) sink
+      val in2 = MemoryStream[(Long, java.sql.Timestamp)]
+      val q2 = PartitionedIngest.start(
+        in2.toDF().select($"_1".as("event_id"), $"_2".as("ts")), sink2, ckpt2)
+      try { in2.addData((9L, ts("2024-03-01 10:00:00"))); q2.processAllAvailable() }
+      finally q2.stop()
+      assert(PartitionedIngest.vacuumOrphans(spark, sink2, graceMs = 0L).isEmpty)
+
+      // the running writer keeps committing batches after the refusal
+      in.addData((2L, ts("2024-03-02 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.read.parquet(sink).count() == 2)
+    } finally q.stop()
+    // stopped writer: the janitor proceeds and takes exactly the orphan
+    val dropped = PartitionedIngest.vacuumOrphans(spark, sink, graceMs = 0L)
+    assert(dropped.size == 1 && dropped.head.endsWith("orphan.snappy.parquet"),
+      s"dropped: $dropped")
+    assert(spark.read.parquet(sink).count() == 2, "committed data intact")
+  }
+
   test("the deployment lifecycle end-to-end: ingest → seal(horizon) → expire → serve through Tables.events with pruning + batch identity") {
     val s = spark
     import s.implicits._
