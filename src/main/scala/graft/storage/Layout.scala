@@ -384,8 +384,8 @@ object Layout {
     * in-place [[graft.streaming.PartitionedIngest.seal]] output, whose
     * re-seal requires a reader maintenance window) or a
     * [[VersionedServing]] root (snapshot-isolated — re-seal safe under
-    * live readers); [[servingEvents]] dispatches on the root's CURRENT
-    * pointer. */
+    * live readers); [[servingEvents]] dispatches on the root's
+    * manifest log. */
   val EventsServingDirKey = "spark.graft.layout.events.servingDir"
 
   /** The serving-copy read behind [[EventsServingDirKey]], shared by

@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * contract of the in-place form. This object removes the window with
   * the same move table formats make (and the repo's own
   * [[graft.streaming.SnapshotStore]] makes for KB-sized artifacts):
-  * writers publish NEW immutable files plus a new manifest, flip a
-  * one-line `CURRENT` pointer atomically, and retain superseded files
+  * writers publish NEW immutable files plus a new numbered manifest
+  * (renamed into place atomically), and retain superseded files
   * long enough for in-flight scans to finish. Unlike SnapshotStore, a
   * 100 TB serving copy can never be republished wholesale — so versions
   * share unchanged days: the manifest maps each day to the GENERATION
@@ -26,14 +26,25 @@ import org.apache.spark.sql.functions._
   *
   * ==Physical layout==
   * {{{
-  *   root/CURRENT                          one line: the manifest file name
-  *   root/manifests/m00000007              lines: "<day>\t<gen>"
+  *   root/manifests/m00000007              lines: "<day>\t<gen>"; the
+  *                                         HIGHEST-numbered file IS the
+  *                                         current version
   *   root/data/gseal=3/ts_date=2024-03-01/ one day's parquet files
   *                                         (+ the _graft_utc_days marker)
   * }}}
   *
+  * There is deliberately NO mutable pointer file: manifests are
+  * immutable, published by tmp-write + rename-to-a-fresh-name (atomic,
+  * and free of the overwrite-rename checksum race a mutable CURRENT
+  * has on checksummed filesystems — Hadoop's local FS renames a data
+  * file and its `.crc` sidecar as two operations, so a hot reader can
+  * observe new bytes under the old checksum; the racing-reader spec
+  * caught exactly that against a pointer-based first cut). Readers
+  * resolve the current version by listing `manifests/` and taking the
+  * maximum — the same move log-structured table formats make.
+  *
   * ==Reading==
-  * [[read]] resolves CURRENT → manifest → the day directories it names,
+  * [[read]] resolves the newest manifest → the day directories it names,
   * and reads them with `basePath = root/data`, so Spark's partition
   * discovery re-derives `gseal` and `ts_date` as partition columns from
   * the directory names. That keeps BOTH scale properties of the plain
@@ -56,6 +67,15 @@ import org.apache.spark.sql.functions._
   * [[expire]] is metadata-only — it publishes a manifest without the
   * expired days, and the bytes follow when the old manifests age out —
   * so retention also cannot fail a concurrent scan.
+  *
+  * ==Crash safety==
+  * A seal that dies mid-write leaves an ORPHAN generation: day
+  * directories no manifest references. Readers never see it (the
+  * manifest owns visibility — the same property the streaming sink's
+  * commit log gives the ingest side), the next seal takes a fresh
+  * generation number (no collision), and the next successful publish's
+  * reclaim sweep deletes it (unreferenced by any kept manifest) —
+  * self-cleaning, spec-pinned.
   */
 object VersionedServing {
 
@@ -75,31 +95,52 @@ object VersionedServing {
 
   /** Does `root` hold a versioned serving copy? (The deployment seam —
     * `Layout.EventsServingDirKey` — accepts either form and dispatches
-    * on this.) */
+    * on this.) True once the first manifest is published: point readers
+    * at a versioned root only after its first seal. */
   def isVersioned(spark: SparkSession, root: String): Boolean = {
     val (fs, base) = fsFor(spark, root)
-    fs.exists(new org.apache.hadoop.fs.Path(base, "CURRENT"))
+    manifestFiles(fs, base).nonEmpty
   }
 
-  /** Resolve CURRENT → the manifest's day→generation map. Empty map if
-    * nothing was ever published. */
-  def currentManifest(spark: SparkSession, root: String): Map[String, Long] = {
-    val (fs, base) = fsFor(spark, root)
-    val ptr = new org.apache.hadoop.fs.Path(base, "CURRENT")
-    if (!fs.exists(ptr)) return Map.empty
-    val in = fs.open(ptr)
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-               finally in.close()
-    val mf = new org.apache.hadoop.fs.Path(base, s"manifests/$name")
-    val min = fs.open(mf)
-    val lines = try scala.io.Source.fromInputStream(min, "UTF-8").getLines().toList
-                finally min.close()
+  private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val mdir = new org.apache.hadoop.fs.Path(base, "manifests")
+    if (!fs.exists(mdir)) Nil
+    else fs.listStatus(mdir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches("m\\d{8}"))
+      .map(_.getPath).sortBy(_.getName)
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      mf: org.apache.hadoop.fs.Path): Map[String, Long] = {
+    val in = fs.open(mf)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+                finally in.close()
     lines.filter(_.nonEmpty).map { l =>
       val Array(day, gen) = l.split('\t'); day -> gen.toLong
     }.toMap
   }
 
-  /** The snapshot read: CURRENT's day directories under one basePath.
+  /** Resolve the newest manifest's day→generation map. Empty map if
+    * nothing was ever published. Manifests are immutable once renamed
+    * into place, so list-then-open is race-free against a publish; the
+    * one theoretical gap — [[KeepManifests]] publishes landing between
+    * the list and the open, deleting the listed file — gets one
+    * re-list. */
+  def currentManifest(spark: SparkSession, root: String): Map[String, Long] = {
+    val (fs, base) = fsFor(spark, root)
+    manifestFiles(fs, base).lastOption match {
+      case None => Map.empty
+      case Some(mf) =>
+        try readManifest(fs, mf)
+        catch { case _: java.io.FileNotFoundException =>
+          manifestFiles(fs, base).lastOption.map(readManifest(fs, _))
+            .getOrElse(Map.empty)
+        }
+    }
+  }
+
+  /** The snapshot read: the newest manifest's day directories under one basePath.
     * Returns the frame WITH the `gseal`/`ts_date` partition columns —
     * the serving accessor ([[Layout.servingEvents]]) drops them to the
     * raw schema. Fails loudly on an empty manifest: silently serving
@@ -220,43 +261,37 @@ object VersionedServing {
       }.sorted
   }
 
-  /** Write the next manifest, flip CURRENT onto it (temp-write +
-    * overwrite-rename, atomic on HDFS/posix — the
-    * [[graft.streaming.SnapshotStore]] move), then reclaim: manifests
-    * beyond the newest [[KeepManifests]] are deleted, and any day
-    * directory no kept manifest references is deleted with them —
-    * that deferred delete IS the reader grace window. */
+  /** Publish the next manifest: write the content to a hidden tmp name,
+    * then rename to the final `m%08d` — renaming to a FRESH name is
+    * atomic and carries its checksum sidecar with it before any reader
+    * can know the name exists (the overwrite-rename form a mutable
+    * pointer needs is NOT pair-atomic on checksummed filesystems — see
+    * the object scaladoc). Then reclaim: manifests beyond the newest
+    * [[KeepManifests]] are deleted, and any day directory no kept
+    * manifest references is deleted with them — that deferred delete
+    * IS the reader grace window. */
   private def publish(spark: SparkSession, root: String,
       manifest: Map[String, Long]): Unit = {
     val (fs, base) = fsFor(spark, root)
     val mdir = new org.apache.hadoop.fs.Path(base, "manifests")
     fs.mkdirs(mdir)
-    val existing = fs.listStatus(mdir).toSeq
-      .filter(s => s.getPath.getName.matches("m\\d{8}"))
-      .map(_.getPath).sortBy(_.getName)
+    val existing = manifestFiles(fs, base)
     val next = existing.lastOption
       .map(_.getName.drop(1).toLong + 1).getOrElse(1L)
     val mf = new org.apache.hadoop.fs.Path(mdir, f"m$next%08d")
-    val out = fs.create(mf, false)
+    val tmp = new org.apache.hadoop.fs.Path(mdir, f".m$next%08d.tmp")
+    val out = fs.create(tmp, true)
     try out.write(manifest.toSeq.sortBy(_._1)
       .map { case (d, g) => s"$d\t$g" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    val tmp = new org.apache.hadoop.fs.Path(base, s".CURRENT.$next.tmp")
-    val pout = fs.create(tmp, true)
-    try pout.write(mf.getName.getBytes("UTF-8")) finally pout.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(base.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new org.apache.hadoop.fs.Path(base, "CURRENT"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    require(fs.rename(tmp, mf), s"failed to publish manifest $mf")
     // reclaim beyond the grace window
     val keptFiles = (existing :+ mf).takeRight(KeepManifests)
     (existing :+ mf).dropRight(KeepManifests).foreach(fs.delete(_, false))
     val referenced: Set[(Long, String)] = keptFiles.flatMap { f =>
-      val in = fs.open(f)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-                  finally in.close()
-      lines.filter(_.nonEmpty).map { l =>
-        val Array(day, gen) = l.split('\t'); (gen.toLong, day) }
+      // toSeq BEFORE inverting: mapping a Map to (gen, day) would
+      // collapse every day of one generation onto a single key
+      readManifest(fs, f).toSeq.map { case (day, gen) => (gen, day) }
     }.toSet
     val dataDir = new org.apache.hadoop.fs.Path(base, "data")
     if (fs.exists(dataDir)) {

@@ -189,6 +189,40 @@ class VersionedServingSpec extends SparkSpec {
     assert(VersionedServing.read(spark, root).count() == (publishes + 1) * 5L)
   }
 
+  test("a crashed seal's orphan generation is invisible and reclaimed by the next publish") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vscrash").toString
+    val (sink, root) = (s"$base/sink", s"$base/serving")
+    (1 to 4).map(i => (i.toLong, ts("2024-03-01 10:00:00")))
+      .toDF("event_id", "ts")
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+      .write.partitionBy("ts_date").parquet(sink)
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01"))
+
+    // simulate a seal that died between writing its day files and
+    // publishing: a generation directory no manifest references
+    val orphanDay = new java.io.File(
+      s"$root/data/${VersionedServing.GenCol}=99/ts_date=2024-03-01")
+    assert(orphanDay.mkdirs())
+    val committed = new java.io.File(s"$root/data/${VersionedServing.GenCol}=1/ts_date=2024-03-01")
+      .listFiles().filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.copy(committed.toPath,
+      new java.io.File(orphanDay, committed.getName).toPath)
+
+    // invisible: the manifest owns visibility
+    assert(VersionedServing.read(spark, root).count() == 4)
+    // the next seal takes a FRESH generation (no collision with 99)...
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01"))
+    assert(VersionedServing.currentManifest(spark, root)("2024-03-01") == 100L)
+    // ...and once enough publishes pass, the orphan is reclaimed with
+    // every other unreferenced generation
+    (1 to VersionedServing.KeepManifests).foreach { _ =>
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) }
+    assert(!orphanDay.exists(), "orphan generation must be swept by the reclaim")
+    assert(VersionedServing.read(spark, root).count() == 4)
+  }
+
   test("in-place sealDays under a pinned reader: the documented failure mode the versioned layout removes") {
     val s = spark
     import s.implicits._
