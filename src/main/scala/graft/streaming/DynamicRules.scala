@@ -38,8 +38,8 @@ object DynamicRules {
   val KeepVersions: Int = SnapshotStore.KeepVersions
 
   /** Publish a rules snapshot — [[SnapshotStore.publish]] (versioned
-    * immutable `v<n>` dirs + atomic CURRENT pointer flip) after the
-    * rules-specific invariant check. */
+    * immutable `v<n>` dirs + atomically published numbered marker)
+    * after the rules-specific invariant check. */
   def publish(spark: SparkSession, path: String, rules: Seq[Rule]): Unit = {
     require(rules.map(_.eventType).distinct.length == rules.length,
       "one rule per event type per snapshot (a join key must not fan out)")
@@ -47,12 +47,12 @@ object DynamicRules {
     SnapshotStore.publish(spark, path, rules.toDF("eventType", "minValue", "tag"))
   }
 
-  /** Resolve the CURRENT pointer to its snapshot directory. */
+  /** Resolve the newest published snapshot's directory. */
   def currentSnapshot(spark: SparkSession, path: String): String =
     SnapshotStore.current(spark, path)
 
   /** Enrich ONE batch (a micro-batch inside [[start]], or any batch
-    * frame) against the CURRENT snapshot at `rulesPath`: events matching
+    * frame) against the newest snapshot at `rulesPath`: events matching
     * a rule (same type, value ≥ threshold) carry its tag; the rest pass
     * through tagged 'none'. Reading the snapshot here — not outside the
     * per-batch closure — is what makes the rules dynamic. */
