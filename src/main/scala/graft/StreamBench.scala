@@ -245,6 +245,18 @@ object StreamBench {
         ("ingest_seal", math.round(stats.rowsSealed / sec))
       },
       {
+        // the snapshot-isolated counterpart over the SAME sink
+        // (storage.VersionedServing.seal): fresh generation + manifest
+        // publish instead of the in-place overwrite — the re-seal form
+        // that is safe under live readers. Same capacity question,
+        // isolation included.
+        val t0 = System.nanoTime()
+        val stats = graft.storage.VersionedServing.seal(
+          spark, s"$ingestBase/sink", s"$ingestBase/serving_v")
+        val sec = (System.nanoTime() - t0) / 1e9
+        ("ingest_seal_versioned", math.round(stats.rowsSealed / sec))
+      },
+      {
         // ingest-time BPE encode (StreamingBpe): per-batch published-chain
         // re-read + the one-projection literal-replace encode. Rows here
         // are DOCUMENTS (8 words each), so tokens/s ≈ 8× the figure.
