@@ -1,0 +1,44 @@
+package graft.storage
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deployment bootstrap CLI for the versioned events serving copy:
+  * seal an existing batch events table into a [[VersionedServing]]
+  * root, after which the query surface serves it via
+  * {{{
+  *   spark.graft.layout.events.enabled=true
+  *   spark.graft.layout.events.servingDir=<root>
+  * }}}
+  * and the streaming lifecycle takes over (ingest via
+  * [[graft.streaming.PartitionedIngest.start]], nightly
+  * [[VersionedServing.sealDays]], [[VersionedServing.expire]]).
+  *
+  * Usage: `runMain graft.storage.ServingBootstrap <sfDir> <servingRoot>`
+  *
+  * This is also the harness hook for the serving-deployment identity
+  * proof: bootstrap a root from a testdata dir, then run the FULL
+  * `graft.Verify` oracle surface with the two confs above
+  * (`SPARK_GRAFT_CONF`) — every events consumer answers from the
+  * sealed copy and must hash-match DuckDB over the raw table. */
+object ServingBootstrap {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, root) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val events = graft.Tables.eventsNormalized(spark, sfDir)
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+    val stats = VersionedServing.sealFrame(spark, events, root)
+    println(s"sealed ${stats.rowsSealed} rows into $root " +
+      s"(${VersionedServing.servedDays(spark, root).length} days, " +
+      s"beyondHorizon=${stats.rowsBeyondHorizon})")
+    spark.stop()
+  }
+}

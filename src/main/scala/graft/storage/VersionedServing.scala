@@ -162,8 +162,15 @@ object VersionedServing {
     * and counted ([[graft.streaming.PartitionedIngest.SealStats]]'s
     * beyond-horizon alert hook). */
   def seal(spark: SparkSession, sinkPath: String, root: String,
+      keepFrom: Option[String] = None): graft.streaming.PartitionedIngest.SealStats =
+    sealFrame(spark, spark.read.parquet(sinkPath), root, keepFrom)
+
+  /** [[seal]] over an arbitrary frame carrying a `ts_date` DateType
+    * column — the batch BOOTSTRAP form: build the first versioned
+    * serving copy directly from an existing batch table (no
+    * intermediate sink-form write). [[ServingBootstrap]] is the CLI. */
+  def sealFrame(spark: SparkSession, all: DataFrame, root: String,
       keepFrom: Option[String] = None): graft.streaming.PartitionedIngest.SealStats = {
-    val all = spark.read.parquet(sinkPath)
     require(!all.columns.map(_.toLowerCase).contains(GenCol),
       s"sink schema already carries a '$GenCol' column — the pool layout reserves it")
     val horizon = keepFrom.map(d => lit(d).cast("date"))
@@ -184,23 +191,36 @@ object VersionedServing {
     * [[graft.streaming.PartitionedIngest.sealDays]], same O(days
     * changed) cost shape and file-sizing arithmetic, but each day's new
     * files land in a FRESH generation directory and become visible only
-    * at the manifest flip: a reader mid-scan of the old day keeps its
-    * files (retained for [[KeepManifests]] publishes). Days listed but
-    * absent from the sink are left at their current generation —
+    * at the manifest publish: a reader mid-scan of the old day keeps
+    * its files (retained for [[KeepManifests]] publishes). Days listed
+    * but absent from the sink are left at their current generation —
     * deleting a day is [[expire]]'s job. Returns rows written, counted
     * from the freshly written directories (one sink read per day, and
-    * no race against a live ingest). */
+    * no race against a live ingest).
+    *
+    * `parallelism` > 1 runs the per-day jobs on that many driver
+    * threads (Spark schedules concurrent jobs' tasks normally): the
+    * nightly "yesterday plus every late-touched day" re-seal is a set
+    * of INDEPENDENT day-sized jobs, and running them serially
+    * under-utilizes a cluster by exactly that factor — each job alone
+    * is one day's partitions wide. All days still become visible in
+    * ONE manifest publish at the end, so partial progress is never
+    * served; if any day's write fails, nothing publishes and the
+    * written directories are the orphan generation the next publish's
+    * sweep reclaims (the crash-safety contract). */
   def sealDays(spark: SparkSession, sinkPath: String, root: String,
-      days: Seq[String], targetBytes: Long = 128L * 1024 * 1024): Long = {
+      days: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
+      parallelism: Int = 1): Long = {
     require(days.nonEmpty, "sealDays needs at least one day")
+    require(days.distinct.length == days.length, s"duplicate days in $days")
     val hc = spark.sparkContext.hadoopConfiguration
     val gen = nextGen(spark, root)
-    val manifest = scala.collection.mutable.Map(currentManifest(spark, root).toSeq: _*)
-    var rows = 0L
-    days.foreach { day =>
+
+    def sealOne(day: String): Option[Long] = {
       val dayDir = new org.apache.hadoop.fs.Path(s"$sinkPath/ts_date=$day")
       val fs = dayDir.getFileSystem(hc)
-      if (fs.exists(dayDir)) {
+      if (!fs.exists(dayDir)) None
+      else {
         val bytes = fs.getContentSummary(dayDir).getLength
         val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
         val out = s"$root/data/$GenCol=$gen/ts_date=$day"
@@ -211,12 +231,28 @@ object VersionedServing {
           s"sink schema already carries a '$GenCol' column — the pool layout reserves it")
         slice.repartition(nFiles).write.parquet(out)
         Layout.markUtcDays(spark, out)
-        rows += spark.read.parquet(out).count()
-        manifest(day) = gen
+        Some(spark.read.parquet(out).count())
       }
     }
-    publish(spark, root, manifest.toMap)
-    rows
+
+    val written: Seq[(String, Long)] =
+      if (parallelism <= 1) days.flatMap(d => sealOne(d).map(d -> _))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, days.length))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val fs = days.map(d => scala.concurrent.Future(sealOne(d).map(d -> _)))
+          scala.concurrent.Await
+            .result(scala.concurrent.Future.sequence(fs),
+              scala.concurrent.duration.Duration.Inf)
+            .flatten
+        } finally pool.shutdown()
+      }
+    val manifest = currentManifest(spark, root) ++ written.map(_._1 -> gen)
+    publish(spark, root, manifest)
+    written.map(_._2).sum
   }
 
   /** Retention, metadata-only: publish a manifest without the days

@@ -189,6 +189,32 @@ class VersionedServingSpec extends SparkSpec {
     assert(VersionedServing.read(spark, root).count() == (publishes + 1) * 5L)
   }
 
+  test("parallel sealDays: concurrent per-day jobs, one atomic publish, identical result to serial") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vspar").toString
+    val (sink, serial, par) = (s"$base/sink", s"$base/serial", s"$base/par")
+    val rows = for (d <- 1 to 6; h <- Seq(8, 12, 20)) yield
+      ((d * 100 + h).toLong, ts(f"2024-03-$d%02d $h%02d:00:00"))
+    rows.toDF("event_id", "ts")
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+      .write.partitionBy("ts_date").parquet(sink)
+    val days = (1 to 6).map(d => f"2024-03-$d%02d") :+ "2024-03-31" // one absent day
+
+    val nSerial = VersionedServing.sealDays(spark, sink, serial, days)
+    val nPar = VersionedServing.sealDays(spark, sink, par, days, parallelism = 4)
+    assert(nSerial == 18 && nPar == 18, s"got serial=$nSerial par=$nPar")
+    assert(VersionedServing.currentManifest(spark, par) ==
+      VersionedServing.currentManifest(spark, serial),
+      "both forms must publish the same manifest")
+    assert(VersionedServing.read(spark, par).orderBy("event_id").collect().toSeq ==
+      VersionedServing.read(spark, serial).orderBy("event_id").collect().toSeq,
+      "parallel and serial seals must serve identical data")
+    // exactly ONE manifest: partial progress was never visible
+    assert(new java.io.File(s"$par/manifests").listFiles()
+      .count(_.getName.matches("m\\d{8}")) == 1)
+  }
+
   test("a crashed seal's orphan generation is invisible and reclaimed by the next publish") {
     val s = spark
     import s.implicits._

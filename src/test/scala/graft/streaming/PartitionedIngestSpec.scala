@@ -200,6 +200,13 @@ class PartitionedIngestSpec extends SparkSpec {
       assert(servedAll.count() == 56)
       assert(!servedAll.columns.contains("ts_date"),
         "the accessor must serve the raw schema (partition column dropped)")
+      // serving-deployment consistency: eventsRaw must read the SAME
+      // sealed dataset (there may be no batch source at all) — the
+      // plain-serving-form counterpart of VersionedServingSpec's pin
+      val raw = graft.Tables.eventsRaw(s, base)
+      assert(raw.columns.toSeq == servedAll.columns.toSeq &&
+        raw.count() == 56,
+        "eventsRaw must serve the sealed copy under a serving deployment")
       // the week-slice query plans 8 of the 28 surviving day directories
       // through PartitionDateInference (seal marked the copy's provenance)
       val week = servedAll
