@@ -388,6 +388,15 @@ object Layout {
     * manifest log. */
   val EventsServingDirKey = "spark.graft.layout.events.servingDir"
 
+  /** Pin every events consumer to ONE retained snapshot VERSION of a
+    * [[VersionedServing]] root (empty = newest): the reproducibility
+    * seam — record `VersionedServing.currentVersion` when a training
+    * run starts, set this conf in any job that must re-read the exact
+    * corpus that run saw, bit-identical regardless of re-seals since
+    * (within the retention window; beyond it the read fails loudly).
+    * Ignored for a plain (non-versioned) serving directory. */
+  val EventsServingVersionKey = "spark.graft.layout.events.servingVersion"
+
   /** The serving-copy read behind [[EventsServingDirKey]], shared by
     * EVERY events accessor (`Tables.events` through
     * [[partitionedEvents]], and `Tables.eventsRaw` directly): when a
@@ -395,12 +404,14 @@ object Layout {
     * dataset — a raw-vs-serving split across queries would silently
     * answer over different data (the r16 advice finding). Serves the
     * raw schema: partition columns are the layout's business, not the
-    * consumer's. */
+    * consumer's. [[EventsServingVersionKey]] pins a snapshot version. */
   def servingEvents(spark: SparkSession, servingDir: String): DataFrame =
-    if (VersionedServing.isVersioned(spark, servingDir))
-      VersionedServing.read(spark, servingDir)
+    if (VersionedServing.isVersioned(spark, servingDir)) {
+      val pinned = spark.conf.get(EventsServingVersionKey, "")
+      (if (pinned.isEmpty) VersionedServing.read(spark, servingDir)
+       else VersionedServing.readAt(spark, servingDir, pinned.toLong))
         .drop(VersionedServing.GenCol).drop("ts_date")
-    else spark.read.parquet(servingDir).drop("ts_date")
+    } else spark.read.parquet(servingDir).drop("ts_date")
 
   /** Provenance marker file for date-partitioned layouts whose
     * `<col>_date` partition values honor the UTC-day write contract

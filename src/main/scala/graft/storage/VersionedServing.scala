@@ -145,9 +145,43 @@ object VersionedServing {
     * the serving accessor ([[Layout.servingEvents]]) drops them to the
     * raw schema. Fails loudly on an empty manifest: silently serving
     * zero rows would mask a never-sealed deployment. */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val m = currentManifest(spark, root)
-    require(m.nonEmpty, s"no sealed days published at $root (empty or missing manifest)")
+  def read(spark: SparkSession, root: String): DataFrame =
+    readManifestMap(spark, root, currentManifest(spark, root),
+      "no sealed days published at " + root)
+
+  /** TIME TRAVEL: read the snapshot a specific manifest version
+    * published — the reproducibility primitive a training pipeline
+    * needs ("which exact corpus did run X read?"): record
+    * [[currentVersion]] when a run starts, and any job inside the
+    * retention window re-reads bit-identical data regardless of
+    * re-seals since. Versions older than the [[KeepManifests]] window
+    * are gone — this fails loudly then (extend the window, or archive
+    * the manifest AND its generations, before relying on long-horizon
+    * reproducibility). */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val (fs, base) = fsFor(spark, root)
+    val mf = manifestFiles(fs, base).find(_.getName.drop(1).toLong == version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"version $version not retained at $root " +
+          s"(have: ${versions(spark, root).mkString(", ")}; KeepManifests=$KeepManifests)"))
+    readManifestMap(spark, root, readManifest(fs, mf),
+      s"version $version at $root is an empty snapshot")
+  }
+
+  /** Retained manifest versions, oldest first. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, base) = fsFor(spark, root)
+    manifestFiles(fs, base).map(_.getName.drop(1).toLong)
+  }
+
+  /** The newest published version id (what [[read]] serves). */
+  def currentVersion(spark: SparkSession, root: String): Long =
+    versions(spark, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"nothing published at $root"))
+
+  private def readManifestMap(spark: SparkSession, root: String,
+      m: Map[String, Long], emptyMsg: String): DataFrame = {
+    require(m.nonEmpty, emptyMsg)
     val paths = m.toSeq.sortBy(_._1).map { case (day, gen) =>
       s"$root/data/$GenCol=$gen/ts_date=$day" }
     spark.read.option("basePath", s"$root/data").parquet(paths: _*)

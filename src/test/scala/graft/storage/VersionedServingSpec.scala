@@ -189,6 +189,55 @@ class VersionedServingSpec extends SparkSpec {
     assert(VersionedServing.read(spark, root).count() == (publishes + 1) * 5L)
   }
 
+  test("time travel: a pinned version re-reads its exact snapshot through any re-seals, until retention drops it") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vstt").toString
+    val (sink, root) = (s"$base/sink", s"$base/serving")
+    def appendRows(n: Int, tag: Int): Unit =
+      (1 to n).map(i => ((tag * 1000 + i).toLong, ts("2024-03-01 10:00:00")))
+        .toDF("event_id", "ts")
+        .withColumn("ts_date", Layout.utcDate(col("ts")))
+        .write.mode("append").partitionBy("ts_date").parquet(sink)
+
+    appendRows(4, 1)
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01"))
+    val trainRunVersion = VersionedServing.currentVersion(spark, root)
+    val trainRunRows = VersionedServing.read(spark, root)
+      .orderBy("event_id").collect().toSeq
+
+    // two re-seals later the CURRENT snapshot has moved on...
+    appendRows(2, 2)
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01"))
+    appendRows(2, 3)
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01"))
+    assert(VersionedServing.read(spark, root).count() == 8)
+    assert(VersionedServing.versions(spark, root) ==
+      Seq(trainRunVersion, trainRunVersion + 1, trainRunVersion + 2))
+    // ...but the pinned version re-reads BIT-IDENTICAL data — directly
+    // and through the serving accessor's version conf
+    assert(VersionedServing.readAt(spark, root, trainRunVersion)
+      .orderBy("event_id").collect().toSeq == trainRunRows)
+    s.conf.set(Layout.EventsEnabledKey, "true")
+    s.conf.set(Layout.EventsServingDirKey, root)
+    s.conf.set(Layout.EventsServingVersionKey, trainRunVersion.toString)
+    try assert(graft.Tables.events(s, base).count() == 4,
+      "the version conf must pin every events consumer to the snapshot")
+    finally {
+      s.conf.unset(Layout.EventsServingVersionKey)
+      s.conf.unset(Layout.EventsServingDirKey)
+      s.conf.set(Layout.EventsEnabledKey, "false")
+    }
+
+    // retention drops the pinned version after KeepManifests more
+    // publishes: the read fails LOUDLY, never serves the wrong snapshot
+    appendRows(1, 4)
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01"))
+    val e = intercept[IllegalArgumentException](
+      VersionedServing.readAt(spark, root, trainRunVersion))
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+  }
+
   test("parallel sealDays: concurrent per-day jobs, one atomic publish, identical result to serial") {
     val s = spark
     import s.implicits._
