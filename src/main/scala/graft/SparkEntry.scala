@@ -60,6 +60,7 @@ object SparkEntry {
     "events_rollup"     -> (EventAnalytics.eventsRollup _),
     "events_incremental_rollup" -> (EventAnalytics.incrementalRollup _),
     "events_week_compare" -> (EventAnalytics.weekCompare _),
+    "events_day_slice"  -> (EventAnalytics.daySlice _),
     "sessionize"        -> (EventAnalytics.sessionize _),
     "user_journey"      -> (EventAnalytics.userJourney _),
     "events_pivot"      -> (EventAnalytics.eventsPivot _),
@@ -400,6 +401,7 @@ object SparkEntry {
       "events_rollup" -> EventAnalytics.eventsRollupSql,
       "events_incremental_rollup" -> EventAnalytics.incrementalRollupSql,
       "events_week_compare" -> EventAnalytics.weekCompareSql,
+      "events_day_slice" -> EventAnalytics.daySliceSql,
       "sessionize" -> EventAnalytics.sessionizeSql,
       "user_journey" -> EventAnalytics.userJourneySql,
       "events_pivot" -> EventAnalytics.eventsPivotSql,

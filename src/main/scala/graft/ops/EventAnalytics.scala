@@ -109,8 +109,9 @@ object EventAnalytics {
     * date-partitioned events copy (`spark.graft.layout.events.enabled`,
     * `storage/Layout.partitionedEvents`) the ts-range predicate becomes
     * a partition-directory filter via
-    * [[graft.plans.PartitionDateInference]], so the scan lists 8 of 30
-    * day directories here — and yesterday's directory out of thousands
+    * [[graft.plans.PartitionDateInference]], so the scan lists exactly
+    * the 7 covered day directories of 30 here (the strict midnight
+    * upper is sharp) — and yesterday's directory out of thousands
     * at warehouse scale — instead of reading the full table and
     * discarding 77% of it post-scan. On the raw path the same predicate
     * is an ordinary parquet pushdown (row-group min/max skipping): same
@@ -149,7 +150,7 @@ object EventAnalytics {
     * [[graft.plans.PartitionDateInference]] derives the UNION of both
     * branches' day bounds from the OR (derive(l) OR derive(r)), so the
     * scan lists the two week ranges' directories and SKIPS the gap week
-    * entirely — 16 of 30 directories here, two weeks of thousands at
+    * entirely — the exact 14 of 30 directories here, two weeks of thousands at
     * warehouse scale. Aggregation is map-side combinable and
     * (week, type)-bounded. Reference anchor: the per-window keyed
     * aggregation reporting of `test/EventTimeTest.java:86` (tumbling
@@ -181,6 +182,37 @@ object EventAnalytics {
        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$WeekBUntil')
        |GROUP BY week, event_type
        |ORDER BY week, event_type""".stripMargin
+
+  /** The calendar day [[daySlice]] reads — one mid-fixture day. */
+  val DaySliceDay = "2024-01-10"
+
+  /** events_day_slice: per-event_type daily active users + volume for
+    * ONE calendar day, spelled the way dashboards actually spell it —
+    * `to_date(ts) = DATE '...'` (a CAST of the timestamp compared to a
+    * date, not a half-open ts range). The 100 TB point: this spelling
+    * used to be un-prunable — the cast hides the timestamp from the
+    * range derivations — so the most common BI predicate form scanned
+    * every directory. [[graft.plans.PartitionDateInference]] now
+    * derives `ts_date = DATE` from the UTC-zoned cast EXACTLY (the cast
+    * IS the partition value under the UTC write contract), and the scan
+    * lists 1 of 30 day directories here — yesterday's directory out of
+    * thousands at warehouse scale. countDistinct is the two-phase
+    * (type, user)-bounded expand; everything else map-side combines. */
+  def daySlice(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(to_date(col("ts")) === lit(DaySliceDay).cast("date"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("dau"),
+        count(lit(1)).as("n"), sumDec2(col("value")).as("sum_value"))
+      .orderBy("event_type")
+
+  def daySliceSql: String =
+    s"""SELECT event_type, count(DISTINCT user_id) AS dau, count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '$DaySliceDay'
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
 
   /** Debounce gap: a repeat of the same (user, event_type) within 6 h
     * of its predecessor is suppressed. */

@@ -31,16 +31,29 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   * writer guarantees — every conjunct comparing `c` against a timestamp
   * literal yields a derived conjunct on `<c>_date`:
   *
-  *   ts >= L, ts > L   →  ts_date >= date(L)
-  *   ts <= U, ts < U   →  ts_date <= date(U)
-  *   ts = V, ts <=> V  →  ts_date = date(V)
-  *   ts IN (t1..tn)    →  ts_date IN (their days)   (In and InSet forms)
-  *   l OR r            →  derive(l) OR derive(r)    (both sides or nothing)
-  *   l AND r           →  whatever of derive(l)/derive(r) exists
+  *   ts >= L, ts > L       →  ts_date >= date(L)
+  *   ts <= U               →  ts_date <= date(U)
+  *   ts < U                →  ts_date <= date(U), SHARPENED to date(U)-1
+  *                            when U is an exact midnight — the universal
+  *                            half-open-range spelling lists no trailing
+  *                            empty directory
+  *   ts = V, ts <=> V      →  ts_date = date(V)
+  *   ts IN (t1..tn)        →  ts_date IN (their days)  (In and InSet forms)
+  *   to_date(ts) IN (d..)  →  ts_date IN (d..)         (EXACT; gated on a
+  *                            UTC-zoned cast of TimestampType or any cast
+  *                            of NTZ. The COMPARISON cast spellings need no
+  *                            case here: Spark's own cast-unwrap lowers
+  *                            `to_date(ts) op D` to half-open ts ranges
+  *                            before this rule, and the midnight-sharp
+  *                            upper bound recovers exactness — a cast
+  *                            equality prunes to exactly one directory)
+  *   l OR r                →  derive(l) OR derive(r)   (both sides or nothing)
+  *   l AND r               →  whatever of derive(l)/derive(r) exists
   *
-  * All derivations are CONSERVATIVE widenings (day truncation is
-  * monotone non-decreasing, and `<`/`>` are widened to the inclusive
-  * day), so the derived predicate can never drop a qualifying row —
+  * All derivations are IMPLICATION-PRESERVING (day truncation is
+  * monotone non-decreasing; a strict bound widens to the inclusive day
+  * except at the exact-midnight boundary, where the sharp form is still
+  * implied), so the derived predicate can never drop a qualifying row —
   * it only lets `FileSourceStrategy` classify it as a partition filter
   * and skip whole directories at listing time. Day conversion is the
   * UTC calendar day on BOTH timestamp flavors — the `<col>_date`
@@ -149,14 +162,48 @@ object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
         !trusted(fs)) return Nil
 
     val conjuncts = splitConjunctivePredicates(cond)
+    // `to_date(ts)` / `CAST(ts AS DATE)` — the dashboard spelling of a
+    // day predicate (ParseToDate lowers to Cast before optimization).
+    // The cast IS the partition value exactly when its day basis matches
+    // the UTC write contract: a UTC-zoned cast of TimestampType, or any
+    // cast of TimestampNTZ (tz-free wall-clock day — utcDate's NTZ
+    // basis). A session-tz cast under any other zone is a DIFFERENT day
+    // function than the directory values, so it derives nothing (the
+    // same silent-row-drop the provenance gate exists to prevent).
+    // Because the derived quantity is IDENTICAL (not a widening), each
+    // comparison carries over with its ORIGINAL operator, strict forms
+    // included.
+    object UtcDayOf {
+      def unapply(e: Expression): Option[Attribute] = e match {
+        case Cast(a: Attribute, DateType, _, _) if a.dataType == TimestampNTZType =>
+          Some(a)
+        case c @ Cast(a: Attribute, DateType, _, _) if a.dataType == TimestampType &&
+            c.timeZoneId.exists(id => DateTimeUtils.getZoneId(id).normalized ==
+              java.time.ZoneOffset.UTC) =>
+          Some(a)
+        case _ => None
+      }
+    }
     // UTC day for TimestampType (epoch micros), wall-clock day for NTZ —
     // both are microsToDays at UTC, the utcDate write-side contract
     def day(micros: Long): Int =
       DateTimeUtils.microsToDays(micros, java.time.ZoneOffset.UTC)
     def lower(a: Attribute, micros: Long): Option[Expression] = pairs.get(a.exprId)
       .map(d => GreaterThanOrEqual(d, Literal(day(micros), DateType)))
-    def upper(a: Attribute, micros: Long): Option[Expression] = pairs.get(a.exprId)
-      .map(d => LessThanOrEqual(d, Literal(day(micros), DateType)))
+    // strict upper bounds sharpen at exact midnights: `ts < U` with U on
+    // a day boundary implies ts_date <= day(U) - 1 — and U-on-boundary
+    // is the UNIVERSAL case, because half-open day/week/month ranges are
+    // how day predicates are written AND what Spark's own cast-unwrap
+    // lowers `to_date(ts) = D` / `CAST(ts AS DATE) op D` into (ts >= D,
+    // ts < D+1). Without the sharp bound every such range lists one
+    // trailing EMPTY directory — for a single-day dashboard equality
+    // that is 2 directories instead of 1, double the scan I/O on a
+    // dense table. floorMod keeps the boundary test exact pre-1970.
+    def upper(a: Attribute, micros: Long, strict: Boolean = false): Option[Expression] = {
+      val bound = if (strict && Math.floorMod(micros, 86400000000L) == 0L)
+        day(micros) - 1 else day(micros)
+      pairs.get(a.exprId).map(d => LessThanOrEqual(d, Literal(bound, DateType)))
+    }
     def eq(a: Attribute, micros: Long): Option[Expression] = pairs.get(a.exprId)
       .map(d => EqualTo(d, Literal(day(micros), DateType)))
 
@@ -173,13 +220,13 @@ object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThanOrEqual(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType)) => lower(a, m)
       case GreaterThan(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType))        => lower(a, m)
       case LessThanOrEqual(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType))    => upper(a, m)
-      case LessThan(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType))           => upper(a, m)
+      case LessThan(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType))           => upper(a, m, strict = true)
       case EqualTo(a: Attribute, Literal(m: Long, TimestampType | TimestampNTZType))            => eq(a, m)
       // literal-first spellings
       case LessThanOrEqual(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute)    => lower(a, m)
       case LessThan(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute)           => lower(a, m)
       case GreaterThanOrEqual(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute) => upper(a, m)
-      case GreaterThan(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute)        => upper(a, m)
+      case GreaterThan(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute)        => upper(a, m, strict = true)
       case EqualTo(Literal(m: Long, TimestampType | TimestampNTZType), a: Attribute)            => eq(a, m)
       // null-safe equality against a NON-NULL literal is plain equality
       // (`ts <=> NULL` matches only null ts, whose ts_date is also null —
@@ -204,6 +251,15 @@ object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
         val days = hset.collect { case m: java.lang.Long => day(m.longValue) }
         if (days.isEmpty) None
         else pairs.get(a.exprId).map(d => InSet(d, days.map(x => x: Any)))
+      // IN over a cast-to-date (`to_date(ts) IN (d1..dn)`): the one cast
+      // spelling Spark's own unwrap does NOT lower to ts ranges, so the
+      // day set carries over here, verbatim and exact (UtcDayOf gate)
+      case In(UtcDayOf(a), list) if list.nonEmpty && list.forall {
+            case Literal(v, DateType) => v != null
+            case _ => false } =>
+        pairs.get(a.exprId).map(d => In(d, list))
+      case InSet(UtcDayOf(a), hset) if hset.nonEmpty =>
+        pairs.get(a.exprId).map(d => InSet(d, hset))
       case And(l, r) => (derive(l), derive(r)) match {
         case (Some(dl), Some(dr)) => Some(And(dl, dr))
         case (some @ Some(_), None) => some

@@ -42,10 +42,11 @@ class GraftSqlSpec extends SparkSpec {
         .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.selectedPartitions.partitionCount }
         .getOrElse(fail("no FileSourceScanExec under the SQL view"))
-      // a SQL user writing plain WHERE ts >= ... gets the same 8-of-30
-      // directory pruning the DataFrame path gets — view + inference
-      // rule compose, no layout-aware SQL required
-      assert(scanned == 8, s"expected 8 of 30 day directories, scanned $scanned")
+      // a SQL user writing plain WHERE ts >= ... gets the same exact
+      // 7-of-30 directory pruning the DataFrame path gets (sharp
+      // midnight upper) — view + inference rule compose, no
+      // layout-aware SQL required
+      assert(scanned == 7, s"expected 7 of 30 day directories, scanned $scanned")
       assert(q.collect().head.getLong(0) == noLayout,
         "SQL over the layout diverged from the raw view")
     } finally {

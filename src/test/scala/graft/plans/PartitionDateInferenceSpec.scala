@@ -47,8 +47,9 @@ class PartitionDateInferenceSpec extends SparkSpec {
     val df = spark.read.parquet(fixture(ntz = false))
       .filter(col("ts") >= lit("2024-02-02").cast("timestamp") &&
         col("ts") < lit("2024-02-04").cast("timestamp"))
-    // lower day 02, conservative upper day 04 inclusive -> 3 of 4
-    assert(partitionsScanned(df) == 3)
+    // lower day 02; the strict upper lands on an exact midnight, so the
+    // sharp bound excludes day 04 entirely -> 2 of 4
+    assert(partitionsScanned(df) == 2)
     assert(df.count() == 48) // rows stay exact: 02 and 03 only
   }
 
@@ -159,9 +160,9 @@ class PartitionDateInferenceSpec extends SparkSpec {
       .filter((col("ts") >= lit("2024-02-01").cast("timestamp") &&
           col("ts") < lit("2024-02-02").cast("timestamp")) ||
         (col("ts") >= lit("2024-02-04").cast("timestamp")))
-    // branch 1: day 01 (conservative upper includes 02), branch 2: day 04
-    // -> dirs {01, 02, 04} of 4; day 03 is skipped
-    assert(partitionsScanned(df) == 3, "OR of ranges must prune the gap day")
+    // branch 1: day 01 exactly (the strict midnight upper sharpens away
+    // day 02), branch 2: day 04 -> dirs {01, 04} of 4; the gap is skipped
+    assert(partitionsScanned(df) == 2, "OR of ranges must prune to the exact union")
     assert(df.count() == 48) // days 01 and 04 only
   }
 
@@ -208,6 +209,53 @@ class PartitionDateInferenceSpec extends SparkSpec {
     // (negative checks are not cached)
     graft.storage.Layout.markUtcDays(s, dir)
     assert(partitionsScanned(q) == 2, "marking a path must enable pruning immediately")
+  }
+
+  test("cast-to-date spellings derive exactly: to_date(ts) = D prunes to one day, ranges keep strict bounds") {
+    val dir = fixture(ntz = false)
+    // the dashboard spelling: a CAST compared to a date, not a ts range
+    val eq = spark.read.parquet(dir)
+      .filter(to_date(col("ts")) === lit("2024-02-03").cast("date"))
+    assert(partitionsScanned(eq) == 1, "cast equality must prune to the exact day")
+    assert(eq.count() == 24)
+    // strict bound carries over EXACTLY (no inclusive widening: the cast
+    // IS the partition value): > day 02 lists days 03..04 only
+    val gt = spark.read.parquet(dir)
+      .filter(to_date(col("ts")) > lit("2024-02-02").cast("date"))
+    assert(partitionsScanned(gt) == 2, "cast strict bound must stay strict")
+    assert(gt.count() == 48)
+    // IN over the cast
+    val in = spark.read.parquet(dir)
+      .filter(to_date(col("ts")).isin(
+        java.sql.Date.valueOf("2024-02-01"), java.sql.Date.valueOf("2024-02-04")))
+    assert(partitionsScanned(in) == 2)
+    assert(in.count() == 48)
+  }
+
+  test("cast-to-date under a non-UTC session: TimestampType derives NOTHING (different day function), NTZ still derives") {
+    val s = spark
+    val dirTs = fixture(ntz = false)
+    val dirNtz = fixture(ntz = true)
+    val prevTz = s.conf.get("spark.sql.session.timeZone")
+    s.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      // an LA-zoned cast is a DIFFERENT day function than the UTC
+      // directory values; Spark's own cast-unwrap lowers it to a range
+      // of LA-midnight INSTANTS, and the instant-based derivations cover
+      // that range conservatively (2 UTC-day directories straddle one LA
+      // day) — correct rows, no exact single-day prune, by design
+      val ts = spark.read.parquet(dirTs)
+        .filter(to_date(col("ts")) === lit("2024-02-03").cast("date"))
+      assert(partitionsScanned(ts) == 2,
+        "a session-tz cast must prune only to the instants' conservative UTC-day cover")
+      assert(ts.count() == 24)
+      // NTZ cast is tz-free (wall-clock day == the write contract's day
+      // basis): derives under ANY session zone
+      val ntz = spark.read.parquet(dirNtz)
+        .filter(to_date(col("ts")) === lit("2024-02-03").cast("date"))
+      assert(partitionsScanned(ntz) == 1, "an NTZ cast derives under any session zone")
+      assert(ntz.count() == 24)
+    } finally s.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("positive marker cache revalidates: a vanished marker revokes trust after the window") {

@@ -359,12 +359,13 @@ class LayoutSpec extends SparkSpec {
       val q = graft.SparkEntry.queries(name)(s, dir)
       val scan = leafScan(q)
       // PartitionDateInference must turn the ts bounds into ts_date
-      // partition filters: [2024-01-08, 2024-01-15] inclusive = 8 of
-      // the fixture's 30 day directories listed, the rest never opened
+      // partition filters: [2024-01-08, 2024-01-15) = exactly 7 of the
+      // fixture's 30 day directories listed (sharp midnight upper), the
+      // rest never opened
       assert(scan.partitionFilters.exists(_.references.exists(_.name == "ts_date")),
         s"no derived ts_date partition filter in: ${scan.partitionFilters}")
-      assert(scan.selectedPartitions.partitionCount == 8,
-        s"expected 8 of 30 day directories, scanned ${scan.selectedPartitions.partitionCount}")
+      assert(scan.selectedPartitions.partitionCount == 7,
+        s"expected 7 of 30 day directories, scanned ${scan.selectedPartitions.partitionCount}")
       assert(q.toJSON.collect().toSeq == raw,
         "events layout serving path diverged from the raw read")
       assert(raw.nonEmpty, "vacuous comparison")
@@ -373,12 +374,12 @@ class LayoutSpec extends SparkSpec {
       val all = leafScan(graft.SparkEntry.queries("events_rollup")(s, dir))
       assert(all.selectedPartitions.partitionCount == 30)
       // the OR-of-ranges dashboard query prunes to the UNION of both
-      // weeks' days (8 + 8 incl. the conservative upper widening) and
-      // SKIPS the gap week — derive(l) OR derive(r) end to end
+      // weeks' exact days (7 + 7, sharp midnight uppers) and SKIPS the
+      // gap week — derive(l) OR derive(r) end to end
       val weeks = graft.SparkEntry.queries("events_week_compare")(s, dir)
       val wScan = leafScan(weeks)
-      assert(wScan.selectedPartitions.partitionCount == 16,
-        s"expected 16 of 30 day directories for the two-week OR, scanned ${wScan.selectedPartitions.partitionCount}")
+      assert(wScan.selectedPartitions.partitionCount == 14,
+        s"expected 14 of 30 day directories for the two-week OR, scanned ${wScan.selectedPartitions.partitionCount}")
       assert(weeks.toJSON.collect().toSeq == rawWeeks && rawWeeks.nonEmpty,
         "events_week_compare diverged under the events layout")
     } finally {
@@ -402,7 +403,7 @@ class LayoutSpec extends SparkSpec {
         "user_id aggregation must be exchange-free on the composed layout")
       // the date-inference pruning leg is unchanged by composing buckets
       val pruned = graft.SparkEntry.queries("events_incremental_rollup")(s, dir)
-      assert(leafScan(pruned).selectedPartitions.partitionCount == 8,
+      assert(leafScan(pruned).selectedPartitions.partitionCount == 7,
         "composed layout must still prune day directories")
       // sessionize is the member the composed layout exists FOR (the
       // per-user session window) — identity through the serving route

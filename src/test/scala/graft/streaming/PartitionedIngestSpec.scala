@@ -207,13 +207,14 @@ class PartitionedIngestSpec extends SparkSpec {
       assert(raw.columns.toSeq == servedAll.columns.toSeq &&
         raw.count() == 56,
         "eventsRaw must serve the sealed copy under a serving deployment")
-      // the week-slice query plans 8 of the 28 surviving day directories
-      // through PartitionDateInference (seal marked the copy's provenance)
+      // the week-slice query plans exactly 7 of the 28 surviving day
+      // directories through PartitionDateInference (seal marked the
+      // copy's provenance; the strict midnight upper is sharp)
       val week = servedAll
         .filter(col("ts") >= lit("2024-03-10").cast("timestamp") &&
           col("ts") < lit("2024-03-17").cast("timestamp"))
-      assert(scanOf(week).selectedPartitions.partitionCount == 8,
-        "ts week-slice must prune the sealed copy to its (conservative) 8 days")
+      assert(scanOf(week).selectedPartitions.partitionCount == 7,
+        "ts week-slice must prune the sealed copy to its exact 7 days")
       assert(week.count() == 14)
       // row identity vs the BATCH layout of the same retained data: the
       // streaming ingest+seal path and the batch write are two routes to
