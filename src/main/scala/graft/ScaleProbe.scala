@@ -921,6 +921,88 @@ object ScaleProbe {
       () => { VersionedServing.sealDays(spark, sink, versioned, Seq(today)); () })
   }
 
+  /** `zserve` mode: prices the Z-ORDERED seal ([[
+    * graft.storage.VersionedServing.sealDays]]'s `zorder`) against the
+    * plain one on a dense 10× day, and measures what the layout buys a
+    * reader: per-file min/max skipping on BOTH cluster columns — judged
+    * with the same per-file footer-stat decision a parquet scan makes
+    * ([[graft.storage.Layout.filesTouched]]) — plus the wall win on the
+    * dashboard box slice through the production serving accessor. The
+    * fixture is ONE day at 10× the whole table's volume (every event
+    * remapped to its intraday second), because within-day selectivity
+    * is exactly what the date directories cannot give: directories
+    * prune the day, the curve prunes inside it. Self-sufficient: builds
+    * the dense day from `src` directly. */
+  private def zServeProbe(spark: SparkSession, src: String): Unit = {
+    import graft.storage.{Layout, VersionedServing}
+    val base = "/tmp/graft_zserve"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val (sink, plain, zroot) = (s"$base/sink", s"$base/plain", s"$base/z")
+    val day = "2024-03-01"
+    val dayT0 = 1709251200L // that day's UTC midnight
+    val mult = 10
+    val dense = Tables.eventsNormalized(spark, src)
+      .crossJoin(spark.range(mult).select(col("id").as("copy")))
+      .withColumn("event_id", col("event_id") + col("copy") * 10000000L)
+      .withColumn("user_id", col("user_id") + col("copy") * 1000L)
+      .withColumn("ts",
+        (lit(dayT0) + pmod(col("ts").cast("long"), lit(86400L))).cast("timestamp"))
+      .drop("copy")
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+    dense.write.partitionBy("ts_date").parquet(sink)
+    Layout.markUtcDays(spark, sink)
+    val rows = spark.read.parquet(sink).count()
+    println(s"dense day at $sink: $rows rows in ts_date=$day")
+
+    def med3[T](body: => T): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
+    val target = 512L * 1024 // ~16 files for the 10× day — a real day's many-file shape
+
+    val tP = { val t0 = System.nanoTime()
+      VersionedServing.sealDays(spark, sink, plain, Seq(day), targetBytes = target)
+      (System.nanoTime() - t0) / 1e9 }
+    val tZ = { val t0 = System.nanoTime()
+      VersionedServing.sealDays(spark, sink, zroot, Seq(day), targetBytes = target,
+        zorder = Some(("user_id", "ts")))
+      (System.nanoTime() - t0) / 1e9 }
+    println(f"sealDays($day): plain $tP%.2f s, z-ordered $tZ%.2f s " +
+      f"(${tZ / tP}%.2fx — the clustering premium: one bound pass + range-for-roundrobin)")
+
+    // the layout never changes an answer
+    def sig(root: String) = Layout.servingEvents(spark, root)
+      .agg(count(lit(1)).as("n"),
+        sum(hash(col("event_id"), col("user_id"), col("ts")).cast("long")).as("h")).head
+    val (sp, sz) = (sig(plain), sig(zroot))
+    require(sp == sz, s"arms must serve identical data: plain=$sp z=$sz")
+    println(s"identity: both arms serve ${sp.getLong(0)} rows, same content hash")
+
+    // footer-stat skipping on the day's files, as a parquet scan judges it
+    val ur = dense.agg(min("user_id").cast("long"), max("user_id").cast("long")).head
+    val (uLo, uHi) = (ur.getLong(0), ur.getLong(1))
+    val uW = (uHi - uLo + 1) / 8
+    val uBox = ("user_id", uLo + 3 * uW, uLo + 4 * uW - 1)   // middle 1/8 of users
+    val tBox = ("ts", dayT0 + 6L * 3600, dayT0 + 9L * 3600 - 1) // 06:00–09:00
+    val (pDay, zDay) = (s"$plain/data/${VersionedServing.GenCol}=1/ts_date=$day",
+      s"$zroot/data/${VersionedServing.GenCol}=1/ts_date=$day")
+    for ((label, box) <- Seq(("user 1/8 slice", Seq(uBox)), ("3 h time slice", Seq(tBox)),
+        ("user × time box", Seq(uBox, tBox)))) {
+      val (pT, pN) = Layout.filesTouched(spark, pDay, box)
+      val (zT, zN) = Layout.filesTouched(spark, zDay, box)
+      println(f"$label%-16s plain touches $pT/$pN files, z-ordered $zT/$zN")
+    }
+
+    // wall on the dashboard box through the production accessor
+    def boxScan(root: String) = med3(Layout.servingEvents(spark, root)
+      .filter(col("user_id").between(uBox._2, uBox._3) &&
+        col("ts").between(
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(tBox._2)),
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(tBox._3))))
+      .groupBy("event_type").agg(count(lit(1)), sum("value")).collect())
+    val (wP, wZ) = (boxScan(plain), boxScan(zroot))
+    println(f"box scan med-of-3: plain $wP%.3f s, z-ordered $wZ%.3f s (${wZ / wP}%.2fx)")
+  }
+
   /** `events30x` mode: the composed-events-layout crossover measured
     * instead of argued (the Probe-1b move applied to the third table).
     * Replicates events fresh to 30× (same construction as the 10×
@@ -1264,6 +1346,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("sealversioned")) {
       sealVersionedProbe(spark, "/tmp/graft_sf1_synth") // requires a prior 10x replication run
+      spark.stop(); return
+    }
+    if (args.headOption.contains("zserve")) {
+      zServeProbe(spark, src)
       spark.stop(); return
     }
     if (args.headOption.contains("events30x")) {

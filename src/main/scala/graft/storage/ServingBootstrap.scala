@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * [[graft.streaming.PartitionedIngest.start]], nightly
   * [[VersionedServing.sealDays]], [[VersionedServing.expire]]).
   *
-  * Usage: `runMain graft.storage.ServingBootstrap <sfDir> <servingRoot>`
+  * Usage: `runMain graft.storage.ServingBootstrap <sfDir> <servingRoot>
+  *         [zorderColA zorderColB]` — the optional column pair lays
+  * every day out on the Morton curve ([[VersionedServing.sealFrame]]'s
+  * `zorder`), e.g. `user_id ts` for user-and-time-sliced dashboards.
   *
   * This is also the harness hook for the serving-deployment identity
   * proof: bootstrap a root from a testdata dir, then run the FULL
@@ -33,9 +36,10 @@ object ServingBootstrap {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val zorder = if (args.length >= 4) Some((args(2), args(3))) else None
     val events = graft.Tables.eventsNormalized(spark, sfDir)
       .withColumn("ts_date", Layout.utcDate(col("ts")))
-    val stats = VersionedServing.sealFrame(spark, events, root)
+    val stats = VersionedServing.sealFrame(spark, events, root, zorder = zorder)
     println(s"sealed ${stats.rowsSealed} rows into $root " +
       s"(${VersionedServing.servedDays(spark, root).length} days, " +
       s"beyondHorizon=${stats.rowsBeyondHorizon})")

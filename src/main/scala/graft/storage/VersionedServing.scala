@@ -88,6 +88,59 @@ object VersionedServing {
     * that already carry it. */
   val GenCol = "gseal"
 
+  /** The transient Morton-curve column [[zCluster]] appends and drops
+    * around the clustered write; seals refuse schemas that carry it. */
+  private val ZCol = "__zv"
+
+  /** Cluster one day slice on the Morton curve of two integer-like
+    * columns before it lands in its generation directory — the
+    * WITHIN-DAY analogue of the date partitioning: directories prune
+    * the day, and per-file/row-group min-max stats then prune BOTH
+    * clustered columns inside it ([[Layout.zValue]]'s contract; a
+    * linear sort would leave the second column unprunable). Write-path
+    * cost only: one narrow min/max pass over the slice plus a range
+    * exchange on the curve — the read path stays an ordinary parquet
+    * scan, now with tight footer rectangles. Bounds are computed per
+    * sealed slice, so a day's 256 time cells span that day (not the
+    * table's whole history — the bootstrap form's one compromise).
+    *
+    * Null handling: if EVERY bound is null the slice is empty and is
+    * returned as-is (the caller's write then produces an empty
+    * directory exactly as the unclustered path would); a null bound on
+    * a non-empty slice means a null-valued cluster column, which has no
+    * place on the curve — that raises rather than silently degrading
+    * the layout the deployment was promised. */
+  private def zCluster(df: DataFrame, nFiles: Int, zorder: (String, String)): DataFrame =
+    zvalueFor(df, zorder) match {
+      case None => df
+      case Some(zv) =>
+        df.withColumn(ZCol, zv)
+          .repartitionByRange(nFiles, col(ZCol))
+          .sortWithinPartitions(ZCol)
+          .drop(ZCol)
+    }
+
+  /** The Morton value of `df` over the observed bounds of the two
+    * cluster columns, or None when `df` is empty (every bound null —
+    * the caller writes the empty slice exactly as the unclustered path
+    * would). One narrow min/max pass. */
+  private def zvalueFor(df: DataFrame,
+      zorder: (String, String)): Option[org.apache.spark.sql.Column] = {
+    val (a, b) = zorder
+    require(!df.columns.contains(ZCol),
+      s"sink schema already carries a '$ZCol' column — the clustered seal reserves it")
+    val r = df.agg(min(col(a)).cast("long"), max(col(a)).cast("long"),
+      min(col(b)).cast("long"), max(col(b)).cast("long")).head
+    if ((0 until 4).forall(r.isNullAt)) None
+    else {
+      require((0 until 4).forall(!r.isNullAt(_)),
+        s"z-order columns ($a, $b) must be non-null integer-like; " +
+          "got a null bound on a non-empty slice")
+      Some(Layout.zValue(col(a), r.getLong(0), r.getLong(1),
+        col(b), r.getLong(2), r.getLong(3)))
+    }
+  }
+
   private def fsFor(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -196,15 +249,24 @@ object VersionedServing {
     * and counted ([[graft.streaming.PartitionedIngest.SealStats]]'s
     * beyond-horizon alert hook). */
   def seal(spark: SparkSession, sinkPath: String, root: String,
-      keepFrom: Option[String] = None): graft.streaming.PartitionedIngest.SealStats =
-    sealFrame(spark, spark.read.parquet(sinkPath), root, keepFrom)
+      keepFrom: Option[String] = None,
+      zorder: Option[(String, String)] = None): graft.streaming.PartitionedIngest.SealStats =
+    sealFrame(spark, spark.read.parquet(sinkPath), root, keepFrom, zorder)
 
   /** [[seal]] over an arbitrary frame carrying a `ts_date` DateType
     * column — the batch BOOTSTRAP form: build the first versioned
     * serving copy directly from an existing batch table (no
-    * intermediate sink-form write). [[ServingBootstrap]] is the CLI. */
+    * intermediate sink-form write). [[ServingBootstrap]] is the CLI.
+    *
+    * `zorder = Some((a, b))` writes every day Z-ordered on the Morton
+    * curve of the two columns ([[zCluster]]'s contract). The bootstrap
+    * form computes ONE bound pass over the whole kept frame — so a
+    * time-like cluster column's 256 cells span the full history, not
+    * one day; the nightly [[sealDays]] re-seals with per-day bounds and
+    * finer cells, converging the layout day by day. */
   def sealFrame(spark: SparkSession, all: DataFrame, root: String,
-      keepFrom: Option[String] = None): graft.streaming.PartitionedIngest.SealStats = {
+      keepFrom: Option[String] = None,
+      zorder: Option[(String, String)] = None): graft.streaming.PartitionedIngest.SealStats = {
     require(!all.columns.map(_.toLowerCase).contains(GenCol),
       s"sink schema already carries a '$GenCol' column — the pool layout reserves it")
     val horizon = keepFrom.map(d => lit(d).cast("date"))
@@ -212,7 +274,18 @@ object VersionedServing {
     val beyond = horizon.map(h => all.filter(col("ts_date") < h).count()).getOrElse(0L)
     val gen = nextGen(spark, root)
     val genDir = s"$root/data/$GenCol=$gen"
-    kept.write.partitionBy("ts_date").parquet(genDir)
+    val laid = zorder.flatMap(zvalueFor(kept, _)) match {
+      case None => kept
+      case Some(zv) =>
+        // range by (day, curve): each output file holds one day's
+        // contiguous curve segment, so the partitionBy split below
+        // never shreds a file's rectangle across day directories
+        kept.withColumn(ZCol, zv)
+          .repartitionByRange(col("ts_date"), col(ZCol))
+          .sortWithinPartitions("ts_date", ZCol)
+          .drop(ZCol)
+    }
+    laid.write.partitionBy("ts_date").parquet(genDir)
     val days = markDays(spark, genDir)
     publish(spark, root, days.map(_ -> gen).toMap)
     // count from the generation just written (ours, immutable): one
@@ -241,10 +314,16 @@ object VersionedServing {
     * ONE manifest publish at the end, so partial progress is never
     * served; if any day's write fails, nothing publishes and the
     * written directories are the orphan generation the next publish's
-    * sweep reclaims (the crash-safety contract). */
+    * sweep reclaims (the crash-safety contract).
+    *
+    * `zorder = Some((a, b))` lays each day out on the Morton curve of
+    * the two columns with bounds computed from THAT day's slice
+    * ([[zCluster]]): within-day min/max skipping on both columns, at
+    * the cost of one narrow bound pass per day and a range exchange in
+    * place of the plain round-robin one — priced in SCALEPROBE_r17. */
   def sealDays(spark: SparkSession, sinkPath: String, root: String,
       days: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
-      parallelism: Int = 1): Long = {
+      parallelism: Int = 1, zorder: Option[(String, String)] = None): Long = {
     require(days.nonEmpty, "sealDays needs at least one day")
     require(days.distinct.length == days.length, s"duplicate days in $days")
     val hc = spark.sparkContext.hadoopConfiguration
@@ -263,7 +342,9 @@ object VersionedServing {
           .drop("ts_date") // the directory name IS the partition value
         require(!slice.columns.map(_.toLowerCase).contains(GenCol),
           s"sink schema already carries a '$GenCol' column — the pool layout reserves it")
-        slice.repartition(nFiles).write.parquet(out)
+        val laid = zorder.map(zCluster(slice, nFiles, _))
+          .getOrElse(slice.repartition(nFiles))
+        laid.write.parquet(out)
         Layout.markUtcDays(spark, out)
         Some(spark.read.parquet(out).count())
       }

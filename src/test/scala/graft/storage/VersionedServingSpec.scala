@@ -298,6 +298,102 @@ class VersionedServingSpec extends SparkSpec {
     assert(VersionedServing.read(spark, root).count() == 4)
   }
 
+  test("z-ordered sealDays: identical rows, and the day's files prune BOTH cluster columns where the plain layout prunes neither") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vszord").toString
+    val (sink, plain, zroot) = (s"$base/sink", s"$base/plain", s"$base/z")
+    val day = "2024-03-01"
+    // one dense day: 40k rows, user ids and intraday seconds both
+    // uniform but DECORRELATED from row order (prime strides), so a
+    // round-robin repartition spreads every value range over every file
+    val n = 40000L
+    val dayT0 = 1709251200L // 2024-03-01 00:00:00 UTC
+    s.range(n).select(
+        col("id").as("event_id"),
+        (lit(dayT0) + (col("id") * 7919L) % 86400L).cast("timestamp").as("ts"),
+        ((col("id") * 104729L) % 10000L).as("user_id"))
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+      .write.partitionBy("ts_date").parquet(sink)
+
+    val target = 64L * 1024 // force a multi-file day at this volume
+    val nPlain = VersionedServing.sealDays(spark, sink, plain, Seq(day), targetBytes = target)
+    val nZ = VersionedServing.sealDays(spark, sink, zroot, Seq(day), targetBytes = target,
+      zorder = Some(("user_id", "ts")))
+    assert(nPlain == n && nZ == n, s"got plain=$nPlain z=$nZ")
+
+    // the layout never changes an answer
+    assert(VersionedServing.read(spark, zroot).orderBy("event_id").collect().toSeq ==
+      VersionedServing.read(spark, plain).orderBy("event_id").collect().toSeq,
+      "z-ordered and plain seals must serve identical data")
+
+    val zDay = s"$zroot/data/${VersionedServing.GenCol}=1/ts_date=$day"
+    val pDay = s"$plain/data/${VersionedServing.GenCol}=1/ts_date=$day"
+    // a 1/8 × 1/8 box on (user, intraday time) — the dashboard slice
+    val uBox = ("user_id", 4000L, 5249L)
+    val tBox = ("ts", dayT0 + 6L * 3600, dayT0 + 9L * 3600 - 1)
+    val (pTouch, pTotal) = Layout.filesTouched(s, pDay, Seq(uBox, tBox))
+    val (zTouch, zTotal) = Layout.filesTouched(s, zDay, Seq(uBox, tBox))
+    assert(pTotal >= 4 && zTotal >= 4, s"multi-file day sanity: plain=$pTotal z=$zTotal")
+    // round-robin files span both full ranges: nothing prunes
+    assert(pTouch == pTotal, s"plain layout must touch every file ($pTouch/$pTotal)")
+    // the curve layout cuts the box to a corner of the files (margin
+    // for range-sampling jitter: at least half pruned, typically more)
+    assert(zTouch * 2 <= zTotal, s"z-order must prune the two-sided box ($zTouch/$zTotal)")
+    // and each single-sided slice still prunes — the reason the curve
+    // beats a linear sort on either column alone
+    val (zU, _) = Layout.filesTouched(s, zDay, Seq(uBox))
+    val (zT, _) = Layout.filesTouched(s, zDay, Seq(tBox))
+    assert(zU < zTotal && zT < zTotal, s"one-sided slices must prune (user=$zU time=$zT of $zTotal)")
+  }
+
+  test("bootstrap sealFrame(zorder): every day directory lands curve-clustered, rows identical") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vszboot").toString
+    val (plain, zroot) = (s"$base/plain", s"$base/z")
+    val n = 30000L
+    val frame = s.range(n).select(
+        col("id").as("event_id"),
+        (lit(1709251200L) + (col("id") % 3) * 86400L + (col("id") * 7919L) % 86400L)
+          .cast("timestamp").as("ts"),
+        ((col("id") * 104729L) % 10000L).as("user_id"))
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+    // the bootstrap's range exchange defaults to the session's shuffle
+    // partitions (4 in tests — one file per day over 3 days); widen so
+    // each day spans several curve-segment files, as it would in prod
+    // (and AQE would re-coalesce a 30k-row exchange back to one file —
+    // at prod volume its 64 MB advisory target is exactly the file
+    // sizing we want, but here it hides the layout under test)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = s.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "12")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      VersionedServing.sealFrame(spark, frame, plain)
+      VersionedServing.sealFrame(spark, frame, zroot, zorder = Some(("user_id", "ts")))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+    assert(VersionedServing.read(spark, zroot).orderBy("event_id").collect().toSeq ==
+      VersionedServing.read(spark, plain).orderBy("event_id").collect().toSeq,
+      "bootstrap z-order must not change the served rows")
+    // within each day the files tile the user dimension: a 1/4 user
+    // slice cannot touch every file of a day (4 range partitions per
+    // test session × 3 days ⇒ expect few files/day; assert pruning
+    // whenever a day has more than one file)
+    val days = VersionedServing.servedDays(spark, zroot)
+    assert(days.length == 3)
+    val pruned = days.map { d =>
+      val dayDir = s"$zroot/data/${VersionedServing.GenCol}=1/ts_date=$d"
+      val (touch, total) = Layout.filesTouched(s, dayDir, Seq(("user_id", 0L, 2499L)))
+      (touch, total)
+    }
+    assert(pruned.exists { case (touch, total) => total > 1 && touch < total },
+      s"at least one multi-file day must prune the user slice (got $pruned)")
+  }
+
   test("in-place sealDays under a pinned reader: the documented failure mode the versioned layout removes") {
     val s = spark
     import s.implicits._
