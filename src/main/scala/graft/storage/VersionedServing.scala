@@ -221,6 +221,70 @@ object VersionedServing {
       s"version $version at $root is an empty snapshot")
   }
 
+  /** ARCHIVE a retained version into a standalone versioned root — the
+    * long-horizon leg of [[readAt]]'s reproducibility contract: the
+    * rolling [[KeepManifests]] window guarantees days of grace, but a
+    * training run that must be re-readable months later needs its
+    * snapshot pinned OUTSIDE the window before it ages out. Copies the
+    * version's day directories (generation structure preserved —
+    * per-day cost, days it shares with newer versions are copied, not
+    * referenced: an archive that referenced the live root would be
+    * silently hollowed out by the very reclaim it exists to survive)
+    * and publishes them under `archiveRoot` as that root's first
+    * manifest, so every reader — [[read]], [[Layout.servingEvents]],
+    * the `events.servingDir` deployment seam, and
+    * [[graft.plans.PartitionDateInference]]'s provenance-gated pruning
+    * (the markers travel with the day directories) — works on the
+    * archive unchanged. Fails loudly if `archiveRoot` already has a
+    * manifest (archives are immutable; use a fresh root per pin) or if
+    * the version is no longer retained. Returns the bytes copied. */
+  def archive(spark: SparkSession, root: String, version: Long,
+      archiveRoot: String): Long = {
+    val (fs, base) = fsFor(spark, root)
+    require(manifestFiles(fs, new org.apache.hadoop.fs.Path(archiveRoot)).isEmpty,
+      s"$archiveRoot already holds a versioned serving copy — archives are immutable")
+    val mf = manifestFiles(fs, base).find(_.getName.drop(1).toLong == version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"version $version not retained at $root (have: ${versions(spark, root).mkString(", ")})"))
+    val m = readManifest(fs, mf)
+    var bytes = 0L
+    m.toSeq.sortBy(_._1).foreach { case (day, gen) =>
+      val from = new org.apache.hadoop.fs.Path(s"$root/data/$GenCol=$gen/ts_date=$day")
+      val to = new org.apache.hadoop.fs.Path(s"$archiveRoot/data/$GenCol=$gen/ts_date=$day")
+      bytes += fs.getContentSummary(from).getLength
+      org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, true,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    publish(spark, archiveRoot, m)
+    bytes
+  }
+
+  /** What changed between two retained versions, manifest-level
+    * (metadata-only — no data read): days re-sealed into a new
+    * generation, days added, days dropped. The nightly audit: "last
+    * night's close-out touched exactly yesterday plus the two
+    * late-event days" is one call, not a directory crawl. */
+  def diff(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long): VersionDiff = {
+    val (fs, base) = fsFor(spark, root)
+    def manifestAt(v: Long) = manifestFiles(fs, base)
+      .find(_.getName.drop(1).toLong == v)
+      .map(readManifest(fs, _))
+      .getOrElse(throw new IllegalArgumentException(
+        s"version $v not retained at $root (have: ${versions(spark, root).mkString(", ")})"))
+    val (from, to) = (manifestAt(fromVersion), manifestAt(toVersion))
+    VersionDiff(
+      resealed = to.keySet.intersect(from.keySet)
+        .filter(d => to(d) != from(d)).toSeq.sorted,
+      added = (to.keySet -- from.keySet).toSeq.sorted,
+      dropped = (from.keySet -- to.keySet).toSeq.sorted)
+  }
+
+  /** [[diff]]'s result: day values per change class. */
+  case class VersionDiff(resealed: Seq[String], added: Seq[String], dropped: Seq[String]) {
+    def isEmpty: Boolean = resealed.isEmpty && added.isEmpty && dropped.isEmpty
+  }
+
   /** Retained manifest versions, oldest first. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val (fs, base) = fsFor(spark, root)

@@ -298,6 +298,63 @@ class VersionedServingSpec extends SparkSpec {
     assert(VersionedServing.read(spark, root).count() == 4)
   }
 
+  test("archive pins a version past retention; diff reports exactly what each publish touched") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsarch").toString
+    val (sink, root, arch) = (s"$base/sink", s"$base/serving", s"$base/archive")
+    def writeSink(rows: Seq[(Long, java.sql.Timestamp)], mode: String): Unit =
+      rows.toDF("event_id", "ts")
+        .withColumn("ts_date", Layout.utcDate(col("ts")))
+        .write.mode(mode).partitionBy("ts_date").parquet(sink)
+    writeSink(for (d <- 1 to 3; h <- Seq(9, 21)) yield
+      ((d * 100 + h).toLong, ts(f"2024-03-$d%02d $h%02d:00:00")), "overwrite")
+
+    VersionedServing.seal(spark, sink, root) // v1
+    val v1 = VersionedServing.currentVersion(spark, root)
+    val v1Rows = VersionedServing.read(spark, root)
+      .orderBy("event_id").collect().toSeq
+
+    // a late row for day 02 → v2 re-seals exactly that day
+    writeSink(Seq((202L, ts("2024-03-02 23:00:00"))), "append")
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-02")) // v2
+    val d12 = VersionedServing.diff(spark, root, v1, v1 + 1)
+    assert(d12 == VersionedServing.VersionDiff(Seq("2024-03-02"), Nil, Nil), s"got $d12")
+
+    // expire day 01 → v3 drops it, metadata-only
+    VersionedServing.expire(spark, root, "2024-03-02") // v3
+    val d23 = VersionedServing.diff(spark, root, v1 + 1, v1 + 2)
+    assert(d23 == VersionedServing.VersionDiff(Nil, Nil, Seq("2024-03-01")), s"got $d23")
+
+    // pin v1 before it ages out of the KeepManifests window
+    val bytes = VersionedServing.archive(spark, root, v1, arch)
+    assert(bytes > 0)
+    intercept[IllegalArgumentException] { // archives are immutable
+      VersionedServing.archive(spark, root, v1 + 1, arch)
+    }
+
+    // age v1 out: re-seal day 03 repeatedly until v1's manifest is gone
+    (1 to VersionedServing.KeepManifests).foreach { _ =>
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-03"))
+    }
+    assert(!VersionedServing.versions(spark, root).contains(v1),
+      "v1 must have aged out of the rolling window")
+    quietly(intercept[IllegalArgumentException] {
+      VersionedServing.readAt(spark, root, v1)
+    })
+
+    // the archive still serves v1 bit-exactly, with pruning and through
+    // the production accessor
+    assert(VersionedServing.read(spark, arch)
+      .orderBy("event_id").collect().toSeq == v1Rows,
+      "archive must serve the pinned snapshot exactly")
+    val slice = Layout.servingEvents(spark, arch)
+      .filter(col("ts") >= lit("2024-03-03").cast("timestamp"))
+    assert(scanOf(slice).selectedPartitions.partitionCount == 1,
+      "provenance markers must travel with the archived days")
+    assert(slice.count() == 2)
+  }
+
   test("z-ordered sealDays: identical rows, and the day's files prune BOTH cluster columns where the plain layout prunes neither") {
     val s = spark
     import s.implicits._
