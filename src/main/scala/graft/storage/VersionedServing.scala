@@ -164,14 +164,32 @@ object VersionedServing {
       .map(_.getPath).sortBy(_.getName)
   }
 
+  /** One published snapshot: the day→generation map, plus the READ
+    * SCHEMA pinned at publish time (`#schema\t<ddl>` header line).
+    * Pinning the schema in the manifest is what makes the copy
+    * schema-EVOLVABLE: without it, a read over generations written
+    * before and after a sink widening infers its columns from whichever
+    * file the planner samples first — nondeterministic column presence,
+    * the silent failure mode of mixed-schema multi-root reads. With it,
+    * every snapshot reads with exactly the schema its publish declared
+    * (older files null-fill columns they predate; removed columns are
+    * ignored), and TIME TRAVEL is schema-exact: [[readAt]] serves each
+    * version with the columns that version had. Manifests published
+    * before this header existed have no pinned schema and fall back to
+    * inference — the pre-evolution behavior they were written under. */
+  private case class Manifest(days: Map[String, Long], schemaDdl: Option[String])
+
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      mf: org.apache.hadoop.fs.Path): Map[String, Long] = {
+      mf: org.apache.hadoop.fs.Path): Manifest = {
     val in = fs.open(mf)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
                 finally in.close()
-    lines.filter(_.nonEmpty).map { l =>
+    val schema = lines.collectFirst {
+      case l if l.startsWith("#schema\t") => l.stripPrefix("#schema\t") }
+    val days = lines.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
       val Array(day, gen) = l.split('\t'); day -> gen.toLong
     }.toMap
+    Manifest(days, schema)
   }
 
   /** Resolve the newest manifest's day→generation map. Empty map if
@@ -180,15 +198,18 @@ object VersionedServing {
     * one theoretical gap — [[KeepManifests]] publishes landing between
     * the list and the open, deleting the listed file — gets one
     * re-list. */
-  def currentManifest(spark: SparkSession, root: String): Map[String, Long] = {
+  def currentManifest(spark: SparkSession, root: String): Map[String, Long] =
+    currentManifestFull(spark, root).days
+
+  private def currentManifestFull(spark: SparkSession, root: String): Manifest = {
     val (fs, base) = fsFor(spark, root)
     manifestFiles(fs, base).lastOption match {
-      case None => Map.empty
+      case None => Manifest(Map.empty, None)
       case Some(mf) =>
         try readManifest(fs, mf)
         catch { case _: java.io.FileNotFoundException =>
           manifestFiles(fs, base).lastOption.map(readManifest(fs, _))
-            .getOrElse(Map.empty)
+            .getOrElse(Manifest(Map.empty, None))
         }
     }
   }
@@ -199,7 +220,7 @@ object VersionedServing {
     * raw schema. Fails loudly on an empty manifest: silently serving
     * zero rows would mask a never-sealed deployment. */
   def read(spark: SparkSession, root: String): DataFrame =
-    readManifestMap(spark, root, currentManifest(spark, root),
+    readManifestMap(spark, root, currentManifestFull(spark, root),
       "no sealed days published at " + root)
 
   /** TIME TRAVEL: read the snapshot a specific manifest version
@@ -248,14 +269,14 @@ object VersionedServing {
         s"version $version not retained at $root (have: ${versions(spark, root).mkString(", ")})"))
     val m = readManifest(fs, mf)
     var bytes = 0L
-    m.toSeq.sortBy(_._1).foreach { case (day, gen) =>
+    m.days.toSeq.sortBy(_._1).foreach { case (day, gen) =>
       val from = new org.apache.hadoop.fs.Path(s"$root/data/$GenCol=$gen/ts_date=$day")
       val to = new org.apache.hadoop.fs.Path(s"$archiveRoot/data/$GenCol=$gen/ts_date=$day")
       bytes += fs.getContentSummary(from).getLength
       org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, true,
         spark.sparkContext.hadoopConfiguration)
     }
-    publish(spark, archiveRoot, m)
+    publish(spark, archiveRoot, m.days, m.schemaDdl)
     bytes
   }
 
@@ -272,7 +293,7 @@ object VersionedServing {
       .map(readManifest(fs, _))
       .getOrElse(throw new IllegalArgumentException(
         s"version $v not retained at $root (have: ${versions(spark, root).mkString(", ")})"))
-    val (from, to) = (manifestAt(fromVersion), manifestAt(toVersion))
+    val (from, to) = (manifestAt(fromVersion).days, manifestAt(toVersion).days)
     VersionDiff(
       resealed = to.keySet.intersect(from.keySet)
         .filter(d => to(d) != from(d)).toSeq.sorted,
@@ -297,11 +318,18 @@ object VersionedServing {
       throw new IllegalArgumentException(s"nothing published at $root"))
 
   private def readManifestMap(spark: SparkSession, root: String,
-      m: Map[String, Long], emptyMsg: String): DataFrame = {
-    require(m.nonEmpty, emptyMsg)
-    val paths = m.toSeq.sortBy(_._1).map { case (day, gen) =>
+      m: Manifest, emptyMsg: String): DataFrame = {
+    require(m.days.nonEmpty, emptyMsg)
+    val paths = m.days.toSeq.sortBy(_._1).map { case (day, gen) =>
       s"$root/data/$GenCol=$gen/ts_date=$day" }
-    spark.read.option("basePath", s"$root/data").parquet(paths: _*)
+    val reader = spark.read.option("basePath", s"$root/data")
+    // the pinned schema makes mixed-schema generations deterministic
+    // (see [[Manifest]]); manifests from before the header fall back to
+    // sample-file inference, the behavior they were published under
+    m.schemaDdl.map(ddl => reader.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+      .getOrElse(reader)
+      .parquet(paths: _*)
   }
 
   /** Full snapshot seal of a streaming sink (the versioned counterpart
@@ -351,7 +379,10 @@ object VersionedServing {
     }
     laid.write.partitionBy("ts_date").parquet(genDir)
     val days = markDays(spark, genDir)
-    publish(spark, root, days.map(_ -> gen).toMap)
+    publish(spark, root, days.map(_ -> gen).toMap,
+      Some(pinnedSchemaDdl(
+        org.apache.spark.sql.types.StructType(
+          laid.schema.filterNot(_.name == "ts_date")))))
     // count from the generation just written (ours, immutable): one
     // sink read for the data, footer-level reads for the statistic
     val rowsSealed = if (days.isEmpty) 0L else spark.read.parquet(genDir).count()
@@ -429,8 +460,15 @@ object VersionedServing {
             .flatten
         } finally pool.shutdown()
       }
-    val manifest = currentManifest(spark, root) ++ written.map(_._1 -> gen)
-    publish(spark, root, manifest)
+    val cur = currentManifestFull(spark, root)
+    // the re-seal's schema becomes the snapshot's (latest writer wins —
+    // unchanged generations null-fill columns they predate); a publish
+    // that wrote nothing carries the current schema forward
+    val schema =
+      if (written.nonEmpty)
+        Some(pinnedSchemaDdl(spark.read.parquet(sinkPath).drop("ts_date").schema))
+      else cur.schemaDdl
+    publish(spark, root, cur.days ++ written.map(_._1 -> gen), schema)
     written.map(_._2).sum
   }
 
@@ -440,9 +478,9 @@ object VersionedServing {
     * so an expire can never fail a reader mid-scan, unlike the in-place
     * layout's directory delete. Returns the days dropped. */
   def expire(spark: SparkSession, root: String, keepFrom: String): Seq[String] = {
-    val cur = currentManifest(spark, root)
-    val (drop, keep) = cur.partition(_._1 < keepFrom)
-    if (drop.nonEmpty) publish(spark, root, keep)
+    val cur = currentManifestFull(spark, root)
+    val (drop, keep) = cur.days.partition(_._1 < keepFrom)
+    if (drop.nonEmpty) publish(spark, root, keep, cur.schemaDdl)
     drop.keys.toSeq.sorted
   }
 
@@ -485,8 +523,22 @@ object VersionedServing {
     * [[KeepManifests]] are deleted, and any day directory no kept
     * manifest references is deleted with them — that deferred delete
     * IS the reader grace window. */
+  /** The schema a publish pins for its snapshot's readers: the data
+    * columns as written inside the day directories, then the two
+    * partition columns in path order (`gseal=`, then `ts_date=`) —
+    * matching the column order sample-file inference produced before
+    * the header existed, so pinned and legacy manifests of one root
+    * present the same shape. */
+  private def pinnedSchemaDdl(data: org.apache.spark.sql.types.StructType): String = {
+    require(!data.fieldNames.contains("ts_date") && !data.fieldNames.contains(GenCol),
+      s"data schema must not carry the partition columns (got ${data.fieldNames.mkString(", ")})")
+    data.add(GenCol, org.apache.spark.sql.types.LongType)
+      .add("ts_date", org.apache.spark.sql.types.DateType)
+      .toDDL
+  }
+
   private def publish(spark: SparkSession, root: String,
-      manifest: Map[String, Long]): Unit = {
+      manifest: Map[String, Long], schemaDdl: Option[String]): Unit = {
     val (fs, base) = fsFor(spark, root)
     val mdir = new org.apache.hadoop.fs.Path(base, "manifests")
     fs.mkdirs(mdir)
@@ -496,8 +548,9 @@ object VersionedServing {
     val mf = new org.apache.hadoop.fs.Path(mdir, f"m$next%08d")
     val tmp = new org.apache.hadoop.fs.Path(mdir, f".m$next%08d.tmp")
     val out = fs.create(tmp, true)
-    try out.write(manifest.toSeq.sortBy(_._1)
-      .map { case (d, g) => s"$d\t$g" }.mkString("\n").getBytes("UTF-8"))
+    try out.write((schemaDdl.map(d => s"#schema\t$d").toSeq ++
+        manifest.toSeq.sortBy(_._1).map { case (d, g) => s"$d\t$g" })
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(tmp, mf), s"failed to publish manifest $mf")
     // reclaim beyond the grace window
@@ -506,7 +559,7 @@ object VersionedServing {
     val referenced: Set[(Long, String)] = keptFiles.flatMap { f =>
       // toSeq BEFORE inverting: mapping a Map to (gen, day) would
       // collapse every day of one generation onto a single key
-      readManifest(fs, f).toSeq.map { case (day, gen) => (gen, day) }
+      readManifest(fs, f).days.toSeq.map { case (day, gen) => (gen, day) }
     }.toSet
     val dataDir = new org.apache.hadoop.fs.Path(base, "data")
     if (fs.exists(dataDir)) {

@@ -355,6 +355,59 @@ class VersionedServingSpec extends SparkSpec {
     assert(slice.count() == 2)
   }
 
+  test("schema evolution: the manifest pins each snapshot's schema — widened re-seals null-fill elder days, time travel is schema-exact") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsevo").toString
+    val (sink, root) = (s"$base/sink", s"$base/serving")
+
+    // v1: two narrow days (event_id, ts)
+    Seq((101L, ts("2024-03-01 09:00:00")), (201L, ts("2024-03-02 09:00:00")))
+      .toDF("event_id", "ts")
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+      .write.partitionBy("ts_date").parquet(sink)
+    VersionedServing.seal(spark, sink, root) // v1
+    assert(VersionedServing.read(spark, root).columns.take(2).toSeq ==
+      Seq("event_id", "ts"))
+
+    // the sink widens: day 02 gains a `score` column and is re-sealed
+    Seq((202L, ts("2024-03-02 21:00:00"), 0.5))
+      .toDF("event_id", "ts", "score")
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+      .write.mode("overwrite").partitionBy("ts_date").parquet(sink)
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-02")) // v2
+
+    // v2 serves the WIDENED schema deterministically: day 01's
+    // generation predates the column and null-fills it — no dependence
+    // on which file the planner would have sampled
+    val cur = VersionedServing.read(spark, root)
+    assert(cur.columns.contains("score"),
+      s"widened column must be served (got ${cur.columns.mkString(", ")})")
+    val byId = cur.select("event_id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byId == Map(101L -> None, 202L -> Some(0.5)), s"got $byId")
+
+    // time travel is SCHEMA-exact: v1 still reads with v1's columns
+    val v1 = VersionedServing.readAt(spark, root, 1L)
+    assert(!v1.columns.contains("score"),
+      "the pinned v1 snapshot must not grow columns it never had")
+    assert(v1.select("event_id").as[Long].collect().sorted.toSeq == Seq(101L, 201L))
+
+    // pruning still plans on the pinned-schema read (ts_date stays a
+    // partition column under the explicit schema)
+    val slice = cur.filter(col("ts") >= lit("2024-03-02").cast("timestamp"))
+    assert(scanOf(slice).selectedPartitions.partitionCount == 1,
+      "day pruning must survive the pinned schema")
+    assert(slice.count() == 1)
+
+    // expire and archive both carry the pinned schema forward
+    VersionedServing.expire(spark, root, "2024-03-02") // v3
+    assert(VersionedServing.read(spark, root).columns.contains("score"))
+    val arch = s"$base/archive"
+    VersionedServing.archive(spark, root, 2L, arch)
+    assert(VersionedServing.read(spark, arch).columns.contains("score"))
+  }
+
   test("z-ordered sealDays: identical rows, and the day's files prune BOTH cluster columns where the plain layout prunes neither") {
     val s = spark
     import s.implicits._
