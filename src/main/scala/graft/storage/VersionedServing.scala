@@ -306,6 +306,39 @@ object VersionedServing {
     def isEmpty: Boolean = resealed.isEmpty && added.isEmpty && dropped.isEmpty
   }
 
+  /** The CHANGED-DAYS feed: everything version `toVersion` serves for
+    * the days that changed since `fromVersion` (re-sealed or added —
+    * dropped days have nothing to read). This is the incremental
+    * consumer's primitive: a downstream job that processed v_from
+    * (incremental dedup, a rollup delta, an index refresh) re-processes
+    * exactly the day slices last night's close-out touched instead of
+    * re-scanning the table — day-DELTA cost, manifest-resolved, no
+    * directory crawl, no data read to decide. Day granularity is the
+    * honest contract: a re-sealed day's rows are served whole (the
+    * manifest does not know which rows within the day are late
+    * arrivals), so consumers overwrite per day — idempotent by
+    * construction, the same per-day replace discipline the seal itself
+    * uses. Returns None when nothing changed (an empty multi-root
+    * parquet read cannot be planned; None is the "skip tonight's run"
+    * signal, distinct from an empty-but-changed day, which cannot
+    * occur — a served day always has files). Reads with `toVersion`'s
+    * pinned schema. */
+  def readChangedDays(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long): Option[DataFrame] = {
+    val d = diff(spark, root, fromVersion, toVersion)
+    val changed = (d.resealed ++ d.added).sorted
+    if (changed.isEmpty) None
+    else {
+      val (fs, base) = fsFor(spark, root)
+      val to = manifestFiles(fs, base)
+        .find(_.getName.drop(1).toLong == toVersion)
+        .map(readManifest(fs, _)).get // diff above already validated it
+      Some(readManifestMap(spark, root,
+        Manifest(to.days.view.filterKeys(changed.contains).toMap, to.schemaDdl),
+        s"no changed days between v$fromVersion and v$toVersion at $root"))
+    }
+  }
+
   /** Retained manifest versions, oldest first. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val (fs, base) = fsFor(spark, root)

@@ -321,10 +321,22 @@ class VersionedServingSpec extends SparkSpec {
     val d12 = VersionedServing.diff(spark, root, v1, v1 + 1)
     assert(d12 == VersionedServing.VersionDiff(Seq("2024-03-02"), Nil, Nil), s"got $d12")
 
+    // the changed-days feed: between v1 and v2 exactly day 02 changed,
+    // and the feed serves that day WHOLE at v2 (original rows + the
+    // late one — the per-day replace contract an incremental consumer
+    // needs)
+    val feed = VersionedServing.readChangedDays(spark, root, v1, v1 + 1)
+      .getOrElse(fail("day 02 changed — the feed must be non-empty"))
+    assert(feed.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(202L, 209L, 221L), s"the feed must serve the re-sealed day whole")
+
     // expire day 01 → v3 drops it, metadata-only
     VersionedServing.expire(spark, root, "2024-03-02") // v3
     val d23 = VersionedServing.diff(spark, root, v1 + 1, v1 + 2)
     assert(d23 == VersionedServing.VersionDiff(Nil, Nil, Seq("2024-03-01")), s"got $d23")
+    // an expire-only publish changes no readable day → the feed says skip
+    assert(VersionedServing.readChangedDays(spark, root, v1 + 1, v1 + 2).isEmpty,
+      "an expire-only publish changes no readable day — the feed must signal skip")
 
     // pin v1 before it ages out of the KeepManifests window
     val bytes = VersionedServing.archive(spark, root, v1, arch)
@@ -353,6 +365,51 @@ class VersionedServingSpec extends SparkSpec {
     assert(scanOf(slice).selectedPartitions.partitionCount == 1,
       "provenance markers must travel with the archived days")
     assert(slice.count() == 2)
+  }
+
+  test("the changed-days feed maintains a downstream rollup incrementally — per-day replace equals full recompute") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsfeed").toString
+    val (sink, root) = (s"$base/sink", s"$base/serving")
+    def writeSink(rows: Seq[(Long, java.sql.Timestamp, Long)], mode: String): Unit =
+      rows.toDF("event_id", "ts", "v")
+        .withColumn("ts_date", Layout.utcDate(col("ts")))
+        .write.mode(mode).partitionBy("ts_date").parquet(sink)
+    // the maintained artifact: day -> (rows, sum) from a serving frame
+    def rollup(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.groupBy(col("ts_date").cast("string").as("day"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    writeSink(for (d <- 1 to 4; h <- Seq(8, 14, 20)) yield
+      ((d * 100 + h).toLong, ts(f"2024-03-$d%02d $h%02d:00:00"), (d * 10 + h).toLong),
+      "overwrite")
+    VersionedServing.seal(spark, sink, root)
+    val v1 = VersionedServing.currentVersion(spark, root)
+    val maintained = collection.mutable.Map() ++= rollup(VersionedServing.read(spark, root))
+
+    // the nightly close-out touches day 02 (late rows) and a NEW day 05
+    writeSink(Seq(
+        (222L, ts("2024-03-02 23:00:00"), 7L),
+        (223L, ts("2024-03-02 23:30:00"), 8L),
+        (501L, ts("2024-03-05 09:00:00"), 9L)), "append")
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-02", "2024-03-05"))
+    val v2 = VersionedServing.currentVersion(spark, root)
+
+    // the incremental consumer: re-aggregate ONLY the feed's days and
+    // replace them in the maintained artifact (the documented per-day
+    // replace discipline — idempotent, no read of unchanged days)
+    val feed = VersionedServing.readChangedDays(spark, root, v1, v2)
+      .getOrElse(fail("two days changed — the feed must be non-empty"))
+    maintained ++= rollup(feed)
+
+    assert(maintained.toMap == rollup(VersionedServing.read(spark, root)),
+      "feed-maintained rollup must equal the full recompute at v2")
+    // day 02: original values 28, 34, 40 plus late 7, 8
+    assert(maintained("2024-03-02") == ((5L, 117L)),
+      s"day 02 must fold its late rows (got ${maintained("2024-03-02")})")
+    assert(maintained("2024-03-05") == ((1L, 9L)), "the added day must appear")
   }
 
   test("schema evolution: the manifest pins each snapshot's schema — widened re-seals null-fill elder days, time travel is schema-exact") {
