@@ -933,14 +933,13 @@ object ScaleProbe {
     * is exactly what the date directories cannot give: directories
     * prune the day, the curve prunes inside it. Self-sufficient: builds
     * the dense day from `src` directly. */
-  private def zServeProbe(spark: SparkSession, src: String): Unit = {
+  private def zServeProbe(spark: SparkSession, src: String, mult: Int = 10): Unit = {
     import graft.storage.{Layout, VersionedServing}
     val base = "/tmp/graft_zserve"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val (sink, plain, zroot) = (s"$base/sink", s"$base/plain", s"$base/z")
     val day = "2024-03-01"
     val dayT0 = 1709251200L // that day's UTC midnight
-    val mult = 10
     val dense = Tables.eventsNormalized(spark, src)
       .crossJoin(spark.range(mult).select(col("id").as("copy")))
       .withColumn("event_id", col("event_id") + col("copy") * 10000000L)
@@ -1349,7 +1348,7 @@ object ScaleProbe {
       spark.stop(); return
     }
     if (args.headOption.contains("zserve")) {
-      zServeProbe(spark, src)
+      zServeProbe(spark, src, args.drop(1).headOption.map(_.toInt).getOrElse(10))
       spark.stop(); return
     }
     if (args.headOption.contains("events30x")) {
