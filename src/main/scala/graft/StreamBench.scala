@@ -257,6 +257,18 @@ object StreamBench {
         ("ingest_seal_versioned", math.round(stats.rowsSealed / sec))
       },
       {
+        // the versioned seal with the Morton-curve layout on
+        // (event_id, ts): the same capacity question with within-day
+        // clustering included — what the bound pass + range exchange
+        // cost at close-out (SCALEPROBE_r17 §7 prices the read side).
+        val t0 = System.nanoTime()
+        val stats = graft.storage.VersionedServing.seal(
+          spark, s"$ingestBase/sink", s"$ingestBase/serving_z",
+          zorder = Some(("event_id", "ts")))
+        val sec = (System.nanoTime() - t0) / 1e9
+        ("ingest_seal_zorder", math.round(stats.rowsSealed / sec))
+      },
+      {
         // ingest-time BPE encode (StreamingBpe): per-batch published-chain
         // re-read + the one-projection literal-replace encode. Rows here
         // are DOCUMENTS (8 words each), so tokens/s ≈ 8× the figure.
