@@ -262,20 +262,41 @@ object VersionedServing {
   def archive(spark: SparkSession, root: String, version: Long,
       archiveRoot: String): Long = {
     val (fs, base) = fsFor(spark, root)
-    require(manifestFiles(fs, new org.apache.hadoop.fs.Path(archiveRoot)).isEmpty,
+    val (afs, _) = fsFor(spark, archiveRoot) // may be a DIFFERENT filesystem (cold storage)
+    require(manifestFiles(afs, new org.apache.hadoop.fs.Path(archiveRoot)).isEmpty,
       s"$archiveRoot already holds a versioned serving copy — archives are immutable")
     val mf = manifestFiles(fs, base).find(_.getName.drop(1).toLong == version)
       .getOrElse(throw new IllegalArgumentException(
         s"version $version not retained at $root (have: ${versions(spark, root).mkString(", ")})"))
     val m = readManifest(fs, mf)
-    var bytes = 0L
-    m.days.toSeq.sortBy(_._1).foreach { case (day, gen) =>
-      val from = new org.apache.hadoop.fs.Path(s"$root/data/$GenCol=$gen/ts_date=$day")
-      val to = new org.apache.hadoop.fs.Path(s"$archiveRoot/data/$GenCol=$gen/ts_date=$day")
-      bytes += fs.getContentSummary(from).getLength
-      org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, true,
-        spark.sparkContext.hadoopConfiguration)
+    // enumerate once on the driver (O(files) metadata), copy on the
+    // CLUSTER: a snapshot is table-sized, and a driver-side FileUtil
+    // loop would bottleneck the pin on one machine's NIC. distcp-style:
+    // each task copies whole files byte-identically (layout, footer
+    // stats, and the provenance markers all survive).
+    val files: Seq[(String, String, Long)] = m.days.toSeq.sortBy(_._1).flatMap {
+      case (day, gen) =>
+        val from = new org.apache.hadoop.fs.Path(s"$root/data/$GenCol=$gen/ts_date=$day")
+        fs.listStatus(from).toSeq.filter(_.isFile).map { st =>
+          (st.getPath.toString,
+            s"$archiveRoot/data/$GenCol=$gen/ts_date=$day/${st.getPath.getName}",
+            st.getLen)
+        }
     }
+    val bytes = files.map(_._3).sum
+    val hc = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext
+      .parallelize(files.map(f => (f._1, f._2)),
+        math.max(1, math.min(files.length, spark.sparkContext.defaultParallelism)))
+      .foreach { case (src, dst) =>
+        val sp = new org.apache.hadoop.fs.Path(src)
+        val dp = new org.apache.hadoop.fs.Path(dst)
+        val sfs = sp.getFileSystem(hc.value)
+        val dfs = dp.getFileSystem(hc.value)
+        if (!org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, false, true, hc.value))
+          throw new java.io.IOException(s"archive copy failed: $src -> $dst")
+      }
     publish(spark, archiveRoot, m.days, m.schemaDdl)
     bytes
   }
