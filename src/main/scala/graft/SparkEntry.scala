@@ -61,6 +61,7 @@ object SparkEntry {
     "events_incremental_rollup" -> (EventAnalytics.incrementalRollup _),
     "events_week_compare" -> (EventAnalytics.weekCompare _),
     "events_day_slice"  -> (EventAnalytics.daySlice _),
+    "events_box_slice"  -> (EventAnalytics.boxSlice _),
     "sessionize"        -> (EventAnalytics.sessionize _),
     "user_journey"      -> (EventAnalytics.userJourney _),
     "events_pivot"      -> (EventAnalytics.eventsPivot _),
@@ -402,6 +403,7 @@ object SparkEntry {
       "events_incremental_rollup" -> EventAnalytics.incrementalRollupSql,
       "events_week_compare" -> EventAnalytics.weekCompareSql,
       "events_day_slice" -> EventAnalytics.daySliceSql,
+      "events_box_slice" -> EventAnalytics.boxSliceSql,
       "sessionize" -> EventAnalytics.sessionizeSql,
       "user_journey" -> EventAnalytics.userJourneySql,
       "events_pivot" -> EventAnalytics.eventsPivotSql,

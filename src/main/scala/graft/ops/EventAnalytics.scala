@@ -214,6 +214,46 @@ object EventAnalytics {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** Bounds of [[boxSlice]]'s two-sided slice — a two-day window × a
+    * pinned user band (ids exist at every SF; the band is a cohort
+    * selector, e.g. an A/B bucket or an allowlist range). */
+  val BoxFrom = "2024-01-10"; val BoxUntil = "2024-01-12"
+  val BoxUserLo = 0L; val BoxUserHi = 9L
+
+  /** events_box_slice: per-event_type actives + volume for a TIME ×
+    * USER box — the drill-down every dashboard runs after the day
+    * slice ("these users, this window"). The 100 TB story has two
+    * independent layers, one per box side: the ts range prunes day
+    * DIRECTORIES at planning time ([[graft.plans.PartitionDateInference]]
+    * — 2 of 30 here, two of thousands at warehouse scale), and the
+    * user band prunes WITHIN each selected day when the serving copy
+    * is sealed Z-ordered on (user_id, ts)
+    * ([[graft.storage.VersionedServing.sealDays]]'s `zorder`;
+    * SCALEPROBE_r17 §7 measures 4-of-37-files touched for exactly this
+    * box shape) — on an unclustered layout the band is still a pushed
+    * parquet filter, just one with nothing to skip. Aggregation is the
+    * day-slice shape: two-phase (type, user)-bounded countDistinct,
+    * everything else map-side combinable. */
+  def boxSlice(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts") >= lit(BoxFrom).cast("timestamp") &&
+        col("ts") < lit(BoxUntil).cast("timestamp") &&
+        col("user_id").between(BoxUserLo, BoxUserHi))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("actives"),
+        count(lit(1)).as("n"), sumDec2(col("value")).as("sum_value"))
+      .orderBy("event_type")
+
+  def boxSliceSql: String =
+    s"""SELECT event_type, count(DISTINCT user_id) AS actives, count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '$BoxFrom'
+       |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$BoxUntil'
+       |  AND user_id BETWEEN $BoxUserLo AND $BoxUserHi
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   /** Debounce gap: a repeat of the same (user, event_type) within 6 h
     * of its predecessor is suppressed. */
   private val DebounceUs = 21600000000L

@@ -154,6 +154,7 @@ class PlanGuardSpec extends SparkSpec {
     "events_incremental_rollup" -> 2, // (type, day) agg + final sort
     "events_week_compare" -> 2, // (week, type) agg + final sort
     "events_day_slice" -> 3, // two-phase countDistinct expand + final sort
+    "events_box_slice" -> 3, // same shape: countDistinct expand + final sort
     "events_window_funcs" -> 2,
     "events_cube" -> 2,
     "enrich_wide_row" -> 2,
