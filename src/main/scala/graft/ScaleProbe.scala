@@ -1002,6 +1002,106 @@ object ScaleProbe {
     println(f"box scan med-of-3: plain $wP%.3f s, z-ordered $wZ%.3f s (${wZ / wP}%.2fx)")
   }
 
+  /** `bloomserve` mode: prices the BLOOM-FILTERED seal
+    * ([[graft.storage.VersionedServing.sealDays]]'s `writeOptions` +
+    * [[graft.storage.Layout.bloomOptions]]) against the plain one on a
+    * dense 10× day, and measures what the filter buys a POINT LOOKUP:
+    * row-group skipping on `event_id = x`, judged with parquet-mr's own
+    * three-level row-group filter ([[graft.storage.Layout
+    * .rowGroupsTouched]] — stats + dictionary + bloom, the decision a
+    * Spark scan's reader makes before decoding). The fixture sizes row
+    * groups so the id column's per-chunk cardinality overflows the 1 MB
+    * dictionary page NATURALLY — the regime every unique-id column is
+    * in at warehouse scale (a 128 MB row group of int64 ids needs an
+    * 8× bigger dictionary than parquet allows), where dictionary
+    * filtering cannot act and stats cannot bound a mid-range id:
+    * bloom is the only skip. Ids are doubled to even so an odd probe
+    * is provably absent yet inside every file's [min,max]. */
+  private def bloomServeProbe(spark: SparkSession, src: String, mult: Int = 10): Unit = {
+    import graft.storage.{Layout, VersionedServing}
+    val base = "/tmp/graft_bloomserve"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val (sink, plain, broot) = (s"$base/sink", s"$base/plain", s"$base/bloom")
+    val day = "2024-03-01"
+    val dayT0 = 1709251200L
+    val dense = Tables.eventsNormalized(spark, src)
+      .crossJoin(spark.range(mult).select(col("id").as("copy")))
+      .withColumn("event_id", (col("event_id") + col("copy") * 10000000L) * 2L)
+      .withColumn("user_id", col("user_id") + col("copy") * 1000L)
+      .withColumn("ts",
+        (lit(dayT0) + pmod(col("ts").cast("long"), lit(86400L))).cast("timestamp"))
+      .drop("copy")
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+    dense.write.partitionBy("ts_date").parquet(sink)
+    Layout.markUtcDays(spark, sink)
+    val rows = spark.read.parquet(sink).count()
+    println(s"dense day at $sink: $rows rows in ts_date=$day")
+
+    // ≥150k rows per file ⇒ >1 MB of distinct int64 ids per row group ⇒
+    // the dictionary overflows on its own, as it does at 128 MB groups
+    val target = 4L * 1024 * 1024
+    val ndvPerFile = 1L << 18 // ~250k ids/file, next power of two
+    // untimed warm-up seal: the first job pays scan-cold + JIT, which
+    // otherwise lands entirely on whichever arm runs first; then two
+    // interleaved samples per arm (re-seals into the same root — the
+    // nightly shape) so a machine drift can't masquerade as the premium
+    VersionedServing.sealDays(spark, sink, s"$base/warm", Seq(day), targetBytes = target)
+    def sealArm(root: String, opts: Map[String, String]): Double = {
+      val t0 = System.nanoTime()
+      VersionedServing.sealDays(spark, sink, root, Seq(day), targetBytes = target,
+        writeOptions = opts)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val bloomOpts = Layout.bloomOptions(Map("event_id" -> ndvPerFile))
+    val samples = (1 to 2).map { _ => (sealArm(plain, Map.empty), sealArm(broot, bloomOpts)) }
+    val (tP, tB) = (samples.map(_._1).min, samples.map(_._2).min)
+    println(samples.map { case (p, b) => f"plain $p%.2f / bloom $b%.2f" }
+      .mkString("sealDays samples: ", " | ", ""))
+    println(f"sealDays($day) best-of-2: plain $tP%.2f s, bloom $tB%.2f s " +
+      f"(${tB / tP}%.2fx — the filter-build premium)")
+
+    def dirBytes(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+    }
+    val (pDay, bDay) = (s"$plain/data/${VersionedServing.GenCol}=1/ts_date=$day",
+      s"$broot/data/${VersionedServing.GenCol}=1/ts_date=$day")
+    val (pBytes, bBytes) = (dirBytes(pDay), dirBytes(bDay))
+    println(f"bytes: plain ${pBytes / 1048576.0}%.1f MB, bloom ${bBytes / 1048576.0}%.1f MB " +
+      f"(+${(bBytes - pBytes) / 1024.0}%.0f KB footprint, ${(bBytes - pBytes) * 100.0 / pBytes}%.2f%%)")
+
+    // the knob never changes an answer
+    def sig(root: String) = Layout.servingEvents(spark, root)
+      .agg(count(lit(1)).as("n"),
+        sum(hash(col("event_id"), col("user_id"), col("ts")).cast("long")).as("h")).head
+    val (sp, sb) = (sig(plain), sig(broot))
+    require(sp == sb, s"arms must serve identical data: plain=$sp bloom=$sb")
+    println(s"identity: both arms serve ${sp.getLong(0)} rows, same content hash")
+
+    // row-group touch decision, as parquet-mr's reader makes it; probe
+    // the MEDIAN id — an extreme id sits outside most files' [min,max]
+    // and stats alone would skip it, hiding the layer under test
+    val presentId = spark.read.parquet(pDay)
+      .stat.approxQuantile("event_id", Array(0.5), 0.0)(0).toLong // err 0 ⇒ an exact element
+    val absentOdd = presentId + 1L // odd ⇒ never written, but inside every [min,max]
+    for ((label, id) <- Seq(("absent odd id", absentOdd), ("present id", presentId))) {
+      val (pT, pN) = Layout.rowGroupsTouched(spark, pDay, "event_id", id)
+      val (bT, bN) = Layout.rowGroupsTouched(spark, bDay, "event_id", id)
+      println(f"$label%-14s plain touches $pT/$pN row groups, bloom $bT/$bN")
+    }
+
+    // wall on the point lookup through the production accessor
+    def med3[T](body: => T): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
+    def lookup(root: String, id: Long) = med3(Layout.servingEvents(spark, root)
+      .filter(col("event_id") === id).collect())
+    println(f"present-id lookup med-of-3: plain ${lookup(plain, presentId)}%.3f s, " +
+      f"bloom ${lookup(broot, presentId)}%.3f s")
+    println(f"absent-id lookup med-of-3:  plain ${lookup(plain, absentOdd)}%.3f s, " +
+      f"bloom ${lookup(broot, absentOdd)}%.3f s")
+  }
+
   /** `events30x` mode: the composed-events-layout crossover measured
     * instead of argued (the Probe-1b move applied to the third table).
     * Replicates events fresh to 30× (same construction as the 10×
@@ -1349,6 +1449,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("zserve")) {
       zServeProbe(spark, src, args.drop(1).headOption.map(_.toInt).getOrElse(10))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("bloomserve")) {
+      bloomServeProbe(spark, src, args.drop(1).headOption.map(_.toInt).getOrElse(10))
       spark.stop(); return
     }
     if (args.headOption.contains("events30x")) {

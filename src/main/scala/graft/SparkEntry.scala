@@ -62,6 +62,7 @@ object SparkEntry {
     "events_week_compare" -> (EventAnalytics.weekCompare _),
     "events_day_slice"  -> (EventAnalytics.daySlice _),
     "events_box_slice"  -> (EventAnalytics.boxSlice _),
+    "events_user_lookup" -> (EventAnalytics.userLookup _),
     "sessionize"        -> (EventAnalytics.sessionize _),
     "user_journey"      -> (EventAnalytics.userJourney _),
     "events_pivot"      -> (EventAnalytics.eventsPivot _),
@@ -404,6 +405,7 @@ object SparkEntry {
       "events_week_compare" -> EventAnalytics.weekCompareSql,
       "events_day_slice" -> EventAnalytics.daySliceSql,
       "events_box_slice" -> EventAnalytics.boxSliceSql,
+      "events_user_lookup" -> EventAnalytics.userLookupSql,
       "sessionize" -> EventAnalytics.sessionizeSql,
       "user_journey" -> EventAnalytics.userJourneySql,
       "events_pivot" -> EventAnalytics.eventsPivotSql,

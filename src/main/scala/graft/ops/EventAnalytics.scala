@@ -254,6 +254,37 @@ object EventAnalytics {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** [[userLookup]]'s subject (exists at every SF). */
+  val LookupUser = 7L
+
+  /** events_user_lookup: ONE user's complete history in time order —
+    * the audit/debug/support query (and the per-subject extract every
+    * privacy regime requires). The third member of the slice family:
+    * day slice cuts time, box slice cuts time × a band, this cuts a
+    * POINT on a non-partition key across all time. At 100 TB the plan
+    * is a pushed `user_id = x` parquet filter plus a narrow ReadSchema
+    * — and the serving copy gives it three independent skip layers:
+    * day directories bound the user's active window when the caller
+    * adds a ts range, the Z-order curve ([[graft.storage
+    * .VersionedServing.sealDays]] `zorder`) clusters the user's rows
+    * into few files per day, and a bloom filter on the id column
+    * ([[graft.storage.Layout.bloomOptions]]) proves the user OUT of
+    * every row group of days they never touched — the dominant case
+    * for one user over a long history (SCALEPROBE_r17 prices the
+    * filter and its skip). One exchange: the final time sort. */
+  def userLookup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id") === LookupUser)
+      .select(col("event_id"), epochUs(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy("ts_us", "event_id")
+
+  def userLookupSql: String =
+    s"""SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value
+       |FROM events
+       |WHERE user_id = $LookupUser
+       |ORDER BY ts_us, event_id""".stripMargin
+
   /** Debounce gap: a repeat of the same (user, event_type) within 6 h
     * of its predecessor is suppressed. */
   private val DebounceUs = 21600000000L

@@ -37,9 +37,16 @@ object ServingBootstrap {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val zorder = if (args.length >= 4) Some((args(2), args(3))) else None
+    // args(4): optional bloom spec "col:expectedNdv,col:expectedNdv"
+    val bloom = if (args.length >= 5)
+      Layout.bloomOptions(args(4).split(',').map { s =>
+        val Array(c, n) = s.split(':'); c -> n.toLong
+      }.toMap)
+    else Map.empty[String, String]
     val events = graft.Tables.eventsNormalized(spark, sfDir)
       .withColumn("ts_date", Layout.utcDate(col("ts")))
-    val stats = VersionedServing.sealFrame(spark, events, root, zorder = zorder)
+    val stats = VersionedServing.sealFrame(spark, events, root, zorder = zorder,
+      writeOptions = bloom)
     println(s"sealed ${stats.rowsSealed} rows into $root " +
       s"(${VersionedServing.servedDays(spark, root).length} days, " +
       s"beyondHorizon=${stats.rowsBeyondHorizon})")

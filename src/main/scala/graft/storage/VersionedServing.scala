@@ -396,8 +396,11 @@ object VersionedServing {
     * beyond-horizon alert hook). */
   def seal(spark: SparkSession, sinkPath: String, root: String,
       keepFrom: Option[String] = None,
-      zorder: Option[(String, String)] = None): graft.streaming.PartitionedIngest.SealStats =
-    sealFrame(spark, spark.read.parquet(sinkPath), root, keepFrom, zorder)
+      zorder: Option[(String, String)] = None,
+      writeOptions: Map[String, String] = Map.empty)
+      : graft.streaming.PartitionedIngest.SealStats =
+    sealFrame(spark, spark.read.parquet(sinkPath), root, keepFrom, zorder,
+      writeOptions)
 
   /** [[seal]] over an arbitrary frame carrying a `ts_date` DateType
     * column — the batch BOOTSTRAP form: build the first versioned
@@ -412,7 +415,9 @@ object VersionedServing {
     * finer cells, converging the layout day by day. */
   def sealFrame(spark: SparkSession, all: DataFrame, root: String,
       keepFrom: Option[String] = None,
-      zorder: Option[(String, String)] = None): graft.streaming.PartitionedIngest.SealStats = {
+      zorder: Option[(String, String)] = None,
+      writeOptions: Map[String, String] = Map.empty)
+      : graft.streaming.PartitionedIngest.SealStats = {
     require(!all.columns.map(_.toLowerCase).contains(GenCol),
       s"sink schema already carries a '$GenCol' column — the pool layout reserves it")
     val horizon = keepFrom.map(d => lit(d).cast("date"))
@@ -431,7 +436,7 @@ object VersionedServing {
           .sortWithinPartitions("ts_date", ZCol)
           .drop(ZCol)
     }
-    laid.write.partitionBy("ts_date").parquet(genDir)
+    laid.write.options(writeOptions).partitionBy("ts_date").parquet(genDir)
     val days = markDays(spark, genDir)
     publish(spark, root, days.map(_ -> gen).toMap,
       Some(pinnedSchemaDdl(
@@ -469,10 +474,17 @@ object VersionedServing {
     * the two columns with bounds computed from THAT day's slice
     * ([[zCluster]]): within-day min/max skipping on both columns, at
     * the cost of one narrow bound pass per day and a range exchange in
-    * place of the plain round-robin one — priced in SCALEPROBE_r17. */
+    * place of the plain round-robin one — priced in SCALEPROBE_r17.
+    *
+    * `writeOptions` pass through to the parquet writer of every day —
+    * the seam for footer-self-contained physical knobs
+    * ([[Layout.bloomOptions]] for point-lookup bloom filters, row-group
+    * or dictionary sizing). Catalog-coupled layouts (bucketing) stay
+    * excluded by design — see SCALING.md's serving-copy section. */
   def sealDays(spark: SparkSession, sinkPath: String, root: String,
       days: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
-      parallelism: Int = 1, zorder: Option[(String, String)] = None): Long = {
+      parallelism: Int = 1, zorder: Option[(String, String)] = None,
+      writeOptions: Map[String, String] = Map.empty): Long = {
     require(days.nonEmpty, "sealDays needs at least one day")
     require(days.distinct.length == days.length, s"duplicate days in $days")
     val hc = spark.sparkContext.hadoopConfiguration
@@ -493,7 +505,7 @@ object VersionedServing {
           s"sink schema already carries a '$GenCol' column — the pool layout reserves it")
         val laid = zorder.map(zCluster(slice, nFiles, _))
           .getOrElse(slice.repartition(nFiles))
-        laid.write.parquet(out)
+        laid.write.options(writeOptions).parquet(out)
         Layout.markUtcDays(spark, out)
         Some(spark.read.parquet(out).count())
       }

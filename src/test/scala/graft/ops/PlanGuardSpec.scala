@@ -155,6 +155,7 @@ class PlanGuardSpec extends SparkSpec {
     "events_week_compare" -> 2, // (week, type) agg + final sort
     "events_day_slice" -> 3, // two-phase countDistinct expand + final sort
     "events_box_slice" -> 3, // same shape: countDistinct expand + final sort
+    "events_user_lookup" -> 1, // pushed point filter + final time sort
     "events_window_funcs" -> 2,
     "events_cube" -> 2,
     "enrich_wide_row" -> 2,

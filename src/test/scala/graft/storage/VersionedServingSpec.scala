@@ -561,6 +561,63 @@ class VersionedServingSpec extends SparkSpec {
       s"at least one multi-file day must prune the user slice (got $pruned)")
   }
 
+  test("bloom-filtered sealDays: identical rows, and point lookups skip row groups that stats and dictionaries cannot") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsbloom").toString
+    val (sink, plain, broot) = (s"$base/sink", s"$base/plain", s"$base/bloom")
+    val day = "2024-03-01"
+    val dayT0 = 1709251200L
+    // one dense day of EVEN event ids: any odd probe value sits inside
+    // every file's [min,max] (stats cannot skip it) yet is absent
+    // (bloom proves it). A 1 KB dictionary page limit makes the 40k
+    // distinct ids overflow their dictionaries — the same fallback a
+    // 128 MB row group of int64 ids hits at warehouse scale — so
+    // dictionary filtering cannot act either: the bloom layer is the
+    // only skip, which is exactly the claim under test.
+    val n = 40000L
+    s.range(n).select(
+        (col("id") * 2L).as("event_id"),
+        (lit(dayT0) + (col("id") * 7919L) % 86400L).cast("timestamp").as("ts"),
+        ((col("id") * 104729L) % 10000L).as("user_id"))
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+      .write.partitionBy("ts_date").parquet(sink)
+
+    val target = 64L * 1024 // multi-file day
+    val smallDict = Map("parquet.dictionary.page.size" -> "1024")
+    val nPlain = VersionedServing.sealDays(spark, sink, plain, Seq(day),
+      targetBytes = target, writeOptions = smallDict)
+    val nBloom = VersionedServing.sealDays(spark, sink, broot, Seq(day),
+      targetBytes = target,
+      writeOptions = smallDict ++ Layout.bloomOptions(Map("event_id" -> n)))
+    assert(nPlain == n && nBloom == n, s"got plain=$nPlain bloom=$nBloom")
+
+    // the physical knob never changes an answer
+    assert(VersionedServing.read(spark, broot).orderBy("event_id").collect().toSeq ==
+      VersionedServing.read(spark, plain).orderBy("event_id").collect().toSeq,
+      "bloom and plain seals must serve identical data")
+
+    val pDay = s"$plain/data/${VersionedServing.GenCol}=1/ts_date=$day"
+    val bDay = s"$broot/data/${VersionedServing.GenCol}=1/ts_date=$day"
+    val absentOdd = 40001L   // mid-range, never written
+    val presentId = 39998L   // written exactly once
+    val (pAbsent, pTotal) = Layout.rowGroupsTouched(s, pDay, "event_id", absentOdd)
+    val (bAbsent, bTotal) = Layout.rowGroupsTouched(s, bDay, "event_id", absentOdd)
+    assert(pTotal >= 4 && bTotal >= 4, s"multi-group day sanity: plain=$pTotal bloom=$bTotal")
+    assert(pAbsent == pTotal,
+      s"without bloom, an in-range absent id must touch every row group ($pAbsent/$pTotal)")
+    assert(bAbsent == 0,
+      s"bloom must prove the absent id out of every row group ($bAbsent/$bTotal)")
+    val (bPresent, _) = Layout.rowGroupsTouched(s, bDay, "event_id", presentId)
+    assert(bPresent >= 1 && bPresent < bTotal,
+      s"a present id lives in one row group; bloom must skip (most of) the rest ($bPresent/$bTotal)")
+    // and the lookup still answers through the serving read
+    assert(VersionedServing.read(spark, broot)
+      .filter(col("event_id") === presentId).count() == 1)
+    assert(VersionedServing.read(spark, broot)
+      .filter(col("event_id") === absentOdd).count() == 0)
+  }
+
   test("in-place sealDays under a pinned reader: the documented failure mode the versioned layout removes") {
     val s = spark
     import s.implicits._
