@@ -269,6 +269,18 @@ object StreamBench {
         ("ingest_seal_zorder", math.round(stats.rowsSealed / sec))
       },
       {
+        // the versioned seal with a bloom filter on the id column: the
+        // same capacity question with point-lookup row-group skipping
+        // included — what the filter build costs at close-out
+        // (SCALEPROBE_r17 §12 prices the read side).
+        val t0 = System.nanoTime()
+        val stats = graft.storage.VersionedServing.seal(
+          spark, s"$ingestBase/sink", s"$ingestBase/serving_b",
+          writeOptions = graft.storage.Layout.bloomOptions(Map("event_id" -> 100000L)))
+        val sec = (System.nanoTime() - t0) / 1e9
+        ("ingest_seal_bloom", math.round(stats.rowsSealed / sec))
+      },
+      {
         // ingest-time BPE encode (StreamingBpe): per-batch published-chain
         // re-read + the one-projection literal-replace encode. Rows here
         // are DOCUMENTS (8 words each), so tokens/s ≈ 8× the figure.
