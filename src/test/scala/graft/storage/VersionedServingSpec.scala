@@ -618,6 +618,43 @@ class VersionedServingSpec extends SparkSpec {
       .filter(col("event_id") === absentOdd).count() == 0)
   }
 
+  test("composed seal: z-order + bloom on one writeOptions map — the curve prunes the band, the bloom proves the point, rows identical") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsboth").toString
+    val (sink, plain, both) = (s"$base/sink", s"$base/plain", s"$base/both")
+    val day = "2024-03-01"
+    val dayT0 = 1709251200L
+    val n = 40000L
+    s.range(n).select(
+        (col("id") * 2L).as("event_id"),
+        (lit(dayT0) + (col("id") * 7919L) % 86400L).cast("timestamp").as("ts"),
+        ((col("id") * 104729L) % 10000L).as("user_id"))
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+      .write.partitionBy("ts_date").parquet(sink)
+
+    val target = 64L * 1024
+    val smallDict = Map("parquet.dictionary.page.size" -> "1024")
+    VersionedServing.sealDays(spark, sink, plain, Seq(day),
+      targetBytes = target, writeOptions = smallDict)
+    VersionedServing.sealDays(spark, sink, both, Seq(day), targetBytes = target,
+      zorder = Some(("user_id", "ts")),
+      writeOptions = smallDict ++ Layout.bloomOptions(Map("event_id" -> n)))
+
+    assert(VersionedServing.read(spark, both).orderBy("event_id").collect().toSeq ==
+      VersionedServing.read(spark, plain).orderBy("event_id").collect().toSeq,
+      "composed physical layout must serve identical data")
+
+    val bothDay = s"$both/data/${VersionedServing.GenCol}=1/ts_date=$day"
+    // the curve layer: a user band touches a strict subset of the files
+    val (uTouch, uTotal) = Layout.filesTouched(s, bothDay, Seq(("user_id", 0L, 1249L)))
+    assert(uTotal >= 4 && uTouch < uTotal,
+      s"curve must prune the user band on the composed seal ($uTouch/$uTotal)")
+    // the bloom layer: a mid-range absent id is proven out of every row group
+    val (aTouch, aTotal) = Layout.rowGroupsTouched(s, bothDay, "event_id", 40001L)
+    assert(aTouch == 0, s"bloom must prove the absent id out on the composed seal ($aTouch/$aTotal)")
+  }
+
   test("in-place sealDays under a pinned reader: the documented failure mode the versioned layout removes") {
     val s = spark
     import s.implicits._
