@@ -1040,12 +1040,23 @@ object ScaleProbe {
     // ≥150k rows per file ⇒ >1 MB of distinct int64 ids per row group ⇒
     // the dictionary overflows on its own, as it does at 128 MB groups
     val target = 4L * 1024 * 1024
-    val ndvPerFile = 1L << 18 // ~250k ids/file, next power of two
     // untimed warm-up seal: the first job pays scan-cold + JIT, which
     // otherwise lands entirely on whichever arm runs first; then two
     // interleaved samples per arm (re-seals into the same root — the
     // nightly shape) so a machine drift can't masquerade as the premium
     VersionedServing.sealDays(spark, sink, s"$base/warm", Seq(day), targetBytes = target)
+    // size the ndv hint from the ACTUAL file shape the warm-up produced
+    // (same sink, same targetBytes): an under-sized hint quietly
+    // inflates the fpp — the §12 100× run caught a false positive at
+    // a 262k hint against 476k actual ids per file
+    val warmFiles = new java.io.File(s"$base/warm/data/${VersionedServing.GenCol}=1/ts_date=$day")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    // the hint is rows/file EXACTLY: parquet sizes optimal bits from it
+    // and rounds to a power of two itself — pre-rounding the hint up
+    // can double the filter for nothing (a 1.05M hint on 476k actual
+    // ids cost 2 MB/file where 1 MB holds 1% fpp)
+    val ndvPerFile = math.max(1L, rows / math.max(1, warmFiles))
+    println(s"warm-up shape: $warmFiles files ⇒ ndv hint $ndvPerFile")
     def sealArm(root: String, opts: Map[String, String]): Double = {
       val t0 = System.nanoTime()
       VersionedServing.sealDays(spark, sink, root, Seq(day), targetBytes = target,

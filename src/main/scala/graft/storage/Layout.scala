@@ -675,11 +675,25 @@ object Layout {
     * the 1 MB dictionary page and falls back to plain encoding, where
     * dictionary filtering cannot act). Self-contained in the footers
     * like the curve — no catalog state, safe on every generation. */
-  def bloomOptions(ndv: Map[String, Long]): Map[String, String] =
+  def bloomOptions(ndv: Map[String, Long]): Map[String, String] = {
+    // parquet sizes each filter from the ndv hint for ~1% fpp (~1.25
+    // bytes per distinct value) but CAPS it at
+    // parquet.bloom.filter.max.bytes — default 1 MB, i.e. ~800k
+    // distinct values. A 128 MB row group of unique int64 ids holds
+    // ~5–16M: under the default cap the filter is silently built
+    // 5–20× too small and the fpp quietly collapses toward
+    // always-maybe — the failure is invisible (no error, just no
+    // skipping). Raise the global cap to cover the largest hint
+    // (power-of-two, ≥1 MB; the per-chunk filters still size
+    // themselves from their own column's ndv).
+    val maxNdv = ndv.values.max
+    val needBytes = math.max(1L << 20,
+      java.lang.Long.highestOneBit(maxNdv * 2L) * 2L)
     ndv.flatMap { case (c, n) =>
       Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
         s"parquet.bloom.filter.expected.ndv#$c" -> n.toString)
-    }
+    } + ("parquet.bloom.filter.max.bytes" -> needBytes.toString)
+  }
 
   /** (rowGroupsTouched, rowGroupsTotal) for the point predicate
     * `column = value` over every parquet file under `path`, decided by
