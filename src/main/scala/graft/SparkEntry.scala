@@ -124,6 +124,7 @@ object SparkEntry {
     "ann_ivf_recall"    -> (Similarity.annIvfRecall _),
     "ann_ivf_sampled_recall" -> (Similarity.annIvfSampledRecall _),
     "embed_cluster_profile" -> (Similarity.embedClusterProfile _),
+    "density_prune"     -> (Similarity.densityPrune _),
     "semantic_dedup"    -> (Similarity.semanticDedup _),
     "semantic_incremental" -> (Similarity.semanticIncremental _),
     "lang_id"           -> (TextAnalysis.langId _),

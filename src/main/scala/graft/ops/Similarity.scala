@@ -624,6 +624,59 @@ object Similarity {
        |SELECT cluster_id, count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS inertia
        |FROM ad GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** Fraction of each cluster's most-prototypical members dropped by
+    * [[densityPrune]] (the D4 operating point is 20–30%). */
+  val PruneFrac = 0.25
+
+  /** density_prune: prototypicality pruning — the density-based data
+    * curation step (D4 / SSL-prototypes): within each embedding
+    * cluster, the members CLOSEST to the centroid are the most
+    * redundant (the dense prototype core contributes near-duplicate
+    * gradient signal), so drop the closest [[PruneFrac]] per cluster
+    * and keep the diverse tail. Complements [[semanticDedup]]: that
+    * removes pairwise near-duplicates, this thins whole dense regions
+    * no single pair of which crosses the duplicate threshold.
+    *
+    * Plan: the narrow argmin assignment ([[assignedNarrow]] — one
+    * projection, the corpus never exchanges for the assignment), then
+    * ONE exchange on cluster_id for the per-cluster
+    * (d2, vec_id)-ordered rank + size, and the final sort. Rank, not a
+    * d2-quantile cut, because exactness matters to the gate: the
+    * deterministic tie-break makes the kept set bit-stable
+    * cross-engine. At corpus scale k grows with the corpus (IVF-style
+    * √n sizing), so per-cluster partitions stay ~√n rows — the same
+    * posture as every per-list IVF job here; the within-cluster sort
+    * is the operator's honest cost and is the published algorithm's
+    * cost too. */
+  def densityPrune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centRows = codebookFor(s, dir, sampled = true)
+    val byCluster = Window.partitionBy("cluster_id")
+    val w = byCluster.orderBy(col("d2"), col("vec_id"))
+    assignedNarrow(s, dir, centRows)
+      .select(col("vec_id"), col("list_id").as("cluster_id"), col("d2"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cn", count(lit(1)).over(byCluster))
+      .filter(col("rnk") > ceil(lit(PruneFrac) * col("cn")))
+      .orderBy("vec_id")
+  }
+
+  def densityPruneSql: String =
+    s"""${ivfCtes(sampled = true)},
+       |ad AS (
+       |  SELECT vec_id, cent_id AS cluster_id, d2 FROM (
+       |    SELECT e.vec_id, cent_id, ${d2Sql("qv", "cv")} AS d2,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2Sql("qv", "cv")}, cent_id) AS rn
+       |    FROM e, cents) WHERE rn = 1),
+       |dpr AS (
+       |  SELECT vec_id, cluster_id, d2,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY d2, vec_id) AS rnk,
+       |    count(*) OVER (PARTITION BY cluster_id) AS cn
+       |  FROM ad)
+       |SELECT vec_id, cluster_id, d2, rnk, cn FROM dpr
+       |WHERE rnk > ceil($PruneFrac * cn) ORDER BY vec_id""".stripMargin
+
   /** NARROW per-row cluster assignment — `(vec_id, list_id, qv, d2)` by
     * `array_min` over literal centroid candidate structs, the batch twin
     * of `StreamingSemanticDedup.assigned` (same argmin, same (d2, cid)
@@ -1194,6 +1247,7 @@ object Similarity {
     "semantic_incremental" -> semanticIncrementalSql,
     "semantic_dedup" -> semanticDedupSql,
     "embed_cluster_profile" -> embedClusterProfileSql,
+    "density_prune" -> densityPruneSql,
     "ann_topk" -> annTopKSql,
     "ann_lsh_pairs" -> annLshPairsSql,
     "cosine_near_dup" -> cosineNearDupSql,

@@ -148,6 +148,7 @@ class PlanGuardSpec extends SparkSpec {
     "domain_mix" -> 1,
     "domain_mix_weighted" -> 4,
     "editdist_pairs" -> 1,
+    "density_prune" -> 2, // cluster_id window exchange + final sort
     "embed_cluster_profile" -> 2,
     "enrich_dag" -> 5,
     "events_rollup" -> 2,
