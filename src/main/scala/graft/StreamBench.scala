@@ -272,11 +272,17 @@ object StreamBench {
         // the versioned seal with a bloom filter on the id column: the
         // same capacity question with point-lookup row-group skipping
         // included — what the filter build costs at close-out
-        // (SCALEPROBE_r17 §12 prices the read side).
+        // (SCALEPROBE_r17 §12 prices the read side). The expected-ndv
+        // hint is derived from the fixture, not hard-coded: the ingest
+        // row above wrote `total` unique event_ids round-robin across 4
+        // day directories, so each sealed day holds total/4 distinct
+        // ids — a mis-sized hint distorts fpp/footprint (§13), so the
+        // hint must track the fixture if its shape ever drifts.
         val t0 = System.nanoTime()
         val stats = graft.storage.VersionedServing.seal(
           spark, s"$ingestBase/sink", s"$ingestBase/serving_b",
-          writeOptions = graft.storage.Layout.bloomOptions(Map("event_id" -> 100000L)))
+          writeOptions = graft.storage.Layout.bloomOptions(
+            Map("event_id" -> math.max(1L, total / 4L))))
         val sec = (System.nanoTime() - t0) / 1e9
         ("ingest_seal_bloom", math.round(stats.rowsSealed / sec))
       },

@@ -267,11 +267,15 @@ object EventAnalytics {
     * day directories bound the user's active window when the caller
     * adds a ts range, the Z-order curve ([[graft.storage
     * .VersionedServing.sealDays]] `zorder`) clusters the user's rows
-    * into few files per day, and a bloom filter on the id column
-    * ([[graft.storage.Layout.bloomOptions]]) proves the user OUT of
-    * every row group of days they never touched — the dominant case
-    * for one user over a long history (SCALEPROBE_r17 prices the
-    * filter and its skip). One exchange: the final time sort. */
+    * into few files per day, and a bloom filter on the `user_id`
+    * column — `bloomOptions(Map("user_id" -> ndv))`, the COLUMN THIS
+    * QUERY FILTERS; the probes/bench bloom `event_id` for the id-lookup
+    * shape, and copying those options verbatim gives this query no skip
+    * ([[graft.storage.Layout.bloomOptions]] blooms exactly the columns
+    * named) — proves the user OUT of every row group of days they never
+    * touched, the dominant case for one user over a long history
+    * (SCALEPROBE_r17 prices the filter and its skip). One exchange: the
+    * final time sort. */
   def userLookup(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .filter(col("user_id") === LookupUser)

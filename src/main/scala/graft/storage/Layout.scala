@@ -686,6 +686,8 @@ object Layout {
     // skipping). Raise the global cap to cover the largest hint
     // (power-of-two, ≥1 MB; the per-chunk filters still size
     // themselves from their own column's ndv).
+    require(ndv.nonEmpty,
+      "bloomOptions needs at least one column -> expected-ndv hint")
     val maxNdv = ndv.values.max
     val needBytes = math.max(1L << 20,
       java.lang.Long.highestOneBit(maxNdv * 2L) * 2L)

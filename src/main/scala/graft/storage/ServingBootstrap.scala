@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   * [[VersionedServing.sealDays]], [[VersionedServing.expire]]).
   *
   * Usage: `runMain graft.storage.ServingBootstrap <sfDir> <servingRoot>
-  *         [zorderColA zorderColB]` — the optional column pair lays
-  * every day out on the Morton curve ([[VersionedServing.sealFrame]]'s
-  * `zorder`), e.g. `user_id ts` for user-and-time-sliced dashboards.
+  *         [zorderColA zorderColB [bloomSpec]]` — the optional column
+  * pair lays every day out on the Morton curve
+  * ([[VersionedServing.sealFrame]]'s `zorder`), e.g. `user_id ts` for
+  * user-and-time-sliced dashboards; `bloomSpec` is
+  * `col:expectedNdv[,col:expectedNdv...]` ([[Layout.bloomOptions]]).
+  * Pass `- -` for the pair to enable bloom WITHOUT z-order — the two
+  * layers are independent and a bloom-only bootstrap is a legitimate
+  * deployment (point lookups without the range-exchange premium).
   *
   * This is also the harness hook for the serving-deployment identity
   * proof: bootstrap a root from a testdata dir, then run the FULL
@@ -36,7 +41,9 @@ object ServingBootstrap {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val zorder = if (args.length >= 4) Some((args(2), args(3))) else None
+    // "- -" is the explicit no-z-order sentinel, so the bloom spec at
+    // args(4) is reachable without also opting into the curve
+    val zorder = if (args.length >= 4 && args(2) != "-") Some((args(2), args(3))) else None
     // args(4): optional bloom spec "col:expectedNdv,col:expectedNdv"
     val bloom = if (args.length >= 5)
       Layout.bloomOptions(args(4).split(',').map { s =>

@@ -79,9 +79,29 @@ import org.apache.spark.sql.functions._
   */
 object VersionedServing {
 
-  /** Manifests (and the day generations they reference) retained after
-    * a publish — the reader grace window. */
+  /** Conf key for the reader grace window: how many manifests (and the
+    * day generations they reference) a publish retains. Sizing is
+    * per-deployment arithmetic: a reader is safe while its scan
+    * outlives fewer than this many PUBLISHES, so the window must cover
+    * `longest expected scan ÷ shortest publish interval`. At one
+    * nightly seal the default 3 is days of grace; a deployment driving
+    * [[sealDays]]/[[sealTouched]] per micro-batch compresses the same 3
+    * to minutes and must raise this key (or pin long-lived snapshots
+    * out of the window with [[archive]]). A scan that DOES outlive the
+    * window fails mid-flight on deleted files — loudly, never silently
+    * wrong, because superseded files are deleted, not replaced in
+    * place (spec-pinned: VersionedServingSpec "a reader that outlives
+    * the grace window"). */
+  val KeepManifestsKey = "spark.graft.layout.serving.keepManifests"
+
+  /** Default for [[KeepManifestsKey]]. */
   val KeepManifests = 3
+
+  private def keepManifests(spark: SparkSession): Int = {
+    val n = spark.conf.get(KeepManifestsKey, KeepManifests.toString).toInt
+    require(n >= 1, s"$KeepManifestsKey must be >= 1 (got $n)")
+    n
+  }
 
   /** The generation partition column's name in the pool layout. Chosen
     * to be collision-unlikely; [[seal]]/[[sealDays]] refuse schemas
@@ -176,8 +196,20 @@ object VersionedServing {
     * ignored), and TIME TRAVEL is schema-exact: [[readAt]] serves each
     * version with the columns that version had. Manifests published
     * before this header existed have no pinned schema and fall back to
-    * inference — the pre-evolution behavior they were written under. */
-  private case class Manifest(days: Map[String, Long], schemaDdl: Option[String])
+    * inference — the pre-evolution behavior they were written under.
+    *
+    * `sealedThrough` (`#sealedThrough\t<batchId>` header) is the
+    * PRODUCER-side bookmark: the highest sink `_spark_metadata` batch id
+    * whose files this snapshot is known to cover. [[sealTouched]] reads
+    * it to derive "which days did the ingest touch since the last
+    * close-out" without anyone naming the days — the twin of the
+    * consumer-side [[readChangedDays]]. Carried forward by publishes
+    * that learn nothing new about the sink ([[expire]], a manual
+    * [[sealDays]], [[sealFrame]] over an arbitrary frame); absent on
+    * roots never sealed from a sink (then [[sealTouched]]'s first run
+    * covers the whole log). */
+  private case class Manifest(days: Map[String, Long], schemaDdl: Option[String],
+      sealedThrough: Option[Long])
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       mf: org.apache.hadoop.fs.Path): Manifest = {
@@ -186,10 +218,13 @@ object VersionedServing {
                 finally in.close()
     val schema = lines.collectFirst {
       case l if l.startsWith("#schema\t") => l.stripPrefix("#schema\t") }
+    val sealedThrough = lines.collectFirst {
+      case l if l.startsWith("#sealedThrough\t") =>
+        l.stripPrefix("#sealedThrough\t").toLong }
     val days = lines.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
       val Array(day, gen) = l.split('\t'); day -> gen.toLong
     }.toMap
-    Manifest(days, schema)
+    Manifest(days, schema, sealedThrough)
   }
 
   /** Resolve the newest manifest's day→generation map. Empty map if
@@ -204,12 +239,12 @@ object VersionedServing {
   private def currentManifestFull(spark: SparkSession, root: String): Manifest = {
     val (fs, base) = fsFor(spark, root)
     manifestFiles(fs, base).lastOption match {
-      case None => Manifest(Map.empty, None)
+      case None => Manifest(Map.empty, None, None)
       case Some(mf) =>
         try readManifest(fs, mf)
         catch { case _: java.io.FileNotFoundException =>
           manifestFiles(fs, base).lastOption.map(readManifest(fs, _))
-            .getOrElse(Manifest(Map.empty, None))
+            .getOrElse(Manifest(Map.empty, None, None))
         }
     }
   }
@@ -237,7 +272,8 @@ object VersionedServing {
     val mf = manifestFiles(fs, base).find(_.getName.drop(1).toLong == version)
       .getOrElse(throw new IllegalArgumentException(
         s"version $version not retained at $root " +
-          s"(have: ${versions(spark, root).mkString(", ")}; KeepManifests=$KeepManifests)"))
+          s"(have: ${versions(spark, root).mkString(", ")}; " +
+          s"$KeepManifestsKey=${keepManifests(spark)})"))
     readManifestMap(spark, root, readManifest(fs, mf),
       s"version $version at $root is an empty snapshot")
   }
@@ -286,9 +322,10 @@ object VersionedServing {
     val bytes = files.map(_._3).sum
     val hc = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(files.length,
+      spark.sparkContext.defaultParallelism))
     spark.sparkContext
-      .parallelize(files.map(f => (f._1, f._2)),
-        math.max(1, math.min(files.length, spark.sparkContext.defaultParallelism)))
+      .parallelize(files.map(f => (f._1, f._2)), slices)
       .foreach { case (src, dst) =>
         val sp = new org.apache.hadoop.fs.Path(src)
         val dp = new org.apache.hadoop.fs.Path(dst)
@@ -297,9 +334,39 @@ object VersionedServing {
         if (!org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, false, true, hc.value))
           throw new java.io.IOException(s"archive copy failed: $src -> $dst")
       }
-    publish(spark, archiveRoot, m.days, m.schemaDdl)
+    postArchiveCopyHook()
+    // distcp-grade verification BEFORE the manifest publishes: every
+    // copied file must exist at the destination with the source's exact
+    // length — an archive is a reproducibility pin, and one that
+    // published over a short or missing copy would silently fail the
+    // one job it exists for, months later. Length is the right check
+    // here: FileUtil.copy already streamed the bytes and parquet is
+    // length-framed (footer offset at EOF), so a truncated file cannot
+    // parse — what this guards is a copy that LIED about completing
+    // (eventual-consistency visibility, a partial multipart commit).
+    // Runs on the cluster like the copy itself; metadata-only per file.
+    val bad = spark.sparkContext
+      .parallelize(files.map(f => (f._2, f._3)), slices)
+      .flatMap { case (dst, expected) =>
+        val dp = new org.apache.hadoop.fs.Path(dst)
+        val dfs = dp.getFileSystem(hc.value)
+        val actual =
+          if (dfs.exists(dp)) dfs.getFileStatus(dp).getLen else -1L
+        if (actual == expected) None
+        else Some(s"$dst: expected $expected bytes, found " +
+          (if (actual < 0) "no file" else s"$actual"))
+      }.collect()
+    require(bad.isEmpty,
+      s"archive verification failed — NOT publishing $archiveRoot " +
+        s"(the copied files remain for inspection):\n${bad.mkString("\n")}")
+    publish(spark, archiveRoot, m.days, m.schemaDdl, m.sealedThrough)
     bytes
   }
+
+  /** Test seam between [[archive]]'s copy and its verification pass
+    * (the spec corrupts one copied file here to pin "a bad copy refuses
+    * to publish"). Production no-op. */
+  private[graft] var postArchiveCopyHook: () => Unit = () => ()
 
   /** What changed between two retained versions, manifest-level
     * (metadata-only — no data read): days re-sealed into a new
@@ -355,7 +422,8 @@ object VersionedServing {
         .find(_.getName.drop(1).toLong == toVersion)
         .map(readManifest(fs, _)).get // diff above already validated it
       Some(readManifestMap(spark, root,
-        Manifest(to.days.view.filterKeys(changed.contains).toMap, to.schemaDdl),
+        Manifest(to.days.view.filterKeys(changed.contains).toMap, to.schemaDdl,
+          to.sealedThrough),
         s"no changed days between v$fromVersion and v$toVersion at $root"))
     }
   }
@@ -399,8 +467,12 @@ object VersionedServing {
       zorder: Option[(String, String)] = None,
       writeOptions: Map[String, String] = Map.empty)
       : graft.streaming.PartitionedIngest.SealStats =
-    sealFrame(spark, spark.read.parquet(sinkPath), root, keepFrom, zorder,
-      writeOptions)
+    // a full seal of a streaming sink covers everything the commit log
+    // has: bookmark the log's latest batch id so sealTouched's next
+    // close-out only looks at batches after it
+    sealFrameWith(spark, spark.read.parquet(sinkPath), root, keepFrom, zorder,
+      writeOptions,
+      graft.streaming.PartitionedIngest.latestBatch(spark, sinkPath))
 
   /** [[seal]] over an arbitrary frame carrying a `ts_date` DateType
     * column — the batch BOOTSTRAP form: build the first versioned
@@ -417,6 +489,17 @@ object VersionedServing {
       keepFrom: Option[String] = None,
       zorder: Option[(String, String)] = None,
       writeOptions: Map[String, String] = Map.empty)
+      : graft.streaming.PartitionedIngest.SealStats =
+    // an arbitrary frame says nothing about a sink's commit log: carry
+    // the current bookmark forward (None on a fresh bootstrap root)
+    sealFrameWith(spark, all, root, keepFrom, zorder, writeOptions,
+      currentManifestFull(spark, root).sealedThrough)
+
+  private def sealFrameWith(spark: SparkSession, all: DataFrame, root: String,
+      keepFrom: Option[String],
+      zorder: Option[(String, String)],
+      writeOptions: Map[String, String],
+      sealedThrough: Option[Long])
       : graft.streaming.PartitionedIngest.SealStats = {
     require(!all.columns.map(_.toLowerCase).contains(GenCol),
       s"sink schema already carries a '$GenCol' column — the pool layout reserves it")
@@ -441,7 +524,8 @@ object VersionedServing {
     publish(spark, root, days.map(_ -> gen).toMap,
       Some(pinnedSchemaDdl(
         org.apache.spark.sql.types.StructType(
-          laid.schema.filterNot(_.name == "ts_date")))))
+          laid.schema.filterNot(_.name == "ts_date")))),
+      sealedThrough)
     // count from the generation just written (ours, immutable): one
     // sink read for the data, footer-level reads for the statistic
     val rowsSealed = if (days.isEmpty) 0L else spark.read.parquet(genDir).count()
@@ -484,13 +568,25 @@ object VersionedServing {
   def sealDays(spark: SparkSession, sinkPath: String, root: String,
       days: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
       parallelism: Int = 1, zorder: Option[(String, String)] = None,
-      writeOptions: Map[String, String] = Map.empty): Long = {
+      writeOptions: Map[String, String] = Map.empty): Long =
+    // a manual day list proves nothing about log coverage: carry the
+    // bookmark forward unchanged (sealTouched may re-seal these days —
+    // an idempotent per-day snapshot, never a wrong answer)
+    sealDaysWith(spark, sinkPath, root, days, targetBytes, parallelism,
+      zorder, writeOptions,
+      currentManifestFull(spark, root).sealedThrough)
+
+  private def sealDaysWith(spark: SparkSession, sinkPath: String, root: String,
+      days: Seq[String], targetBytes: Long,
+      parallelism: Int, zorder: Option[(String, String)],
+      writeOptions: Map[String, String],
+      sealedThrough: Option[Long]): Long = {
     require(days.nonEmpty, "sealDays needs at least one day")
     require(days.distinct.length == days.length, s"duplicate days in $days")
     val hc = spark.sparkContext.hadoopConfiguration
     val gen = nextGen(spark, root)
 
-    def sealOne(day: String): Option[Long] = {
+    def sealOne(day: String): Option[(Long, org.apache.spark.sql.types.StructType)] = {
       val dayDir = new org.apache.hadoop.fs.Path(s"$sinkPath/ts_date=$day")
       val fs = dayDir.getFileSystem(hc)
       if (!fs.exists(dayDir)) None
@@ -507,19 +603,21 @@ object VersionedServing {
           .getOrElse(slice.repartition(nFiles))
         laid.write.options(writeOptions).parquet(out)
         Layout.markUtcDays(spark, out)
-        Some(spark.read.parquet(out).count())
+        Some((spark.read.parquet(out).count(), slice.schema))
       }
     }
 
-    val written: Seq[(String, Long)] =
-      if (parallelism <= 1) days.flatMap(d => sealOne(d).map(d -> _))
+    val written: Seq[(String, Long, org.apache.spark.sql.types.StructType)] =
+      if (parallelism <= 1)
+        days.flatMap(d => sealOne(d).map { case (n, sc) => (d, n, sc) })
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(parallelism, days.length))
         try {
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutor(pool)
-          val fs = days.map(d => scala.concurrent.Future(sealOne(d).map(d -> _)))
+          val fs = days.map(d => scala.concurrent.Future(
+            sealOne(d).map { case (n, sc) => (d, n, sc) }))
           scala.concurrent.Await
             .result(scala.concurrent.Future.sequence(fs),
               scala.concurrent.duration.Duration.Inf)
@@ -528,15 +626,88 @@ object VersionedServing {
       }
     val cur = currentManifestFull(spark, root)
     // the re-seal's schema becomes the snapshot's (latest writer wins —
-    // unchanged generations null-fill columns they predate); a publish
-    // that wrote nothing carries the current schema forward
+    // unchanged generations null-fill columns they predate), taken from
+    // the day slices already read above: every slice shares the sink
+    // read's inferred schema, so the first one IS the sink schema — no
+    // extra sink-wide listing+inference pass per nightly publish. A
+    // publish that wrote nothing carries the current schema forward.
     val schema =
-      if (written.nonEmpty)
-        Some(pinnedSchemaDdl(spark.read.parquet(sinkPath).drop("ts_date").schema))
+      if (written.nonEmpty) Some(pinnedSchemaDdl(written.head._3))
       else cur.schemaDdl
-    publish(spark, root, cur.days ++ written.map(_._1 -> gen), schema)
+    publish(spark, root, cur.days ++ written.map(w => w._1 -> gen), schema,
+      sealedThrough)
     written.map(_._2).sum
   }
+
+  /** What [[sealTouched]] did: the days it re-sealed (empty when the
+    * sink committed nothing new), rows written, the sink batch id the
+    * serving copy is now bookmarked through (unchanged when nothing
+    * published), and any touched days it REFUSED to seal because they
+    * fall before the retention horizon — the alert hook: a late row
+    * for an expired day must never resurrect the partition, and a
+    * silently skipped day is an operational blind spot. */
+  final case class TouchedSealStats(days: Seq[String], rowsSealed: Long,
+      sealedThrough: Option[Long], beyondHorizon: Seq[String])
+
+  /** The SELF-DRIVING nightly close-out — [[sealDays]] with the day
+    * list derived from the sink itself, closing the lifecycle's last
+    * human-error seam: an operator-supplied day list can forget a
+    * late-touched day, which then sits silently stale in the serving
+    * copy forever (the consumer side has [[readChangedDays]]; this is
+    * the producer-side twin). The day list comes from the sink's
+    * `_spark_metadata` commit log: files committed in batches AFTER the
+    * current manifest's `#sealedThrough` bookmark name their
+    * `ts_date=` directories
+    * ([[graft.streaming.PartitionedIngest.daysTouchedSince]]), and the
+    * publish records the new bookmark — so a late event landing in an
+    * old day is picked up by the next close-out without anyone naming
+    * the day. Metadata-only when nothing changed: no data read, no
+    * publish, no manifest churn.
+    *
+    * The bookmark is taken BEFORE the day slices are read, so rows a
+    * live ingest commits mid-seal are both (a) included in the sealed
+    * days they touch — sealing is a per-day snapshot of sink truth —
+    * and (b) re-sealed by the NEXT close-out, whose log scan starts
+    * below them. Conservative on both sides; never a lost row.
+    * Over-report is equally safe: a log compaction inside the scanned
+    * range replays old files, and if the pre-bookmark baseline has aged
+    * out of the log those days re-seal as idempotent no-op rewrites
+    * (under-report is impossible — see `daysTouchedSince`).
+    *
+    * `keepFrom` is the retention horizon ([[seal]]'s contract): touched
+    * days strictly older are NOT sealed — a close-out must never
+    * resurrect an expired partition — and come back in
+    * [[TouchedSealStats.beyondHorizon]] for the caller's alerting.
+    * Remaining knobs pass through to [[sealDays]]. */
+  def sealTouched(spark: SparkSession, sinkPath: String, root: String,
+      keepFrom: Option[String] = None,
+      targetBytes: Long = 128L * 1024 * 1024,
+      parallelism: Int = 1, zorder: Option[(String, String)] = None,
+      writeOptions: Map[String, String] = Map.empty): TouchedSealStats = {
+    val cur = currentManifestFull(spark, root)
+    graft.streaming.PartitionedIngest
+        .daysTouchedSince(spark, sinkPath, cur.sealedThrough) match {
+      case None => // not a streaming sink, or no batch ever committed
+        TouchedSealStats(Nil, 0L, cur.sealedThrough, Nil)
+      case Some(t) =>
+        val (beyond, due) = t.days.partition(d => keepFrom.exists(d < _))
+        if (due.isEmpty)
+          // nothing to write; leaving the bookmark unchanged keeps the
+          // next scan metadata-cheap (it re-reads a few empty batches)
+          // and avoids publishing a manifest that changes nothing
+          TouchedSealStats(Nil, 0L, cur.sealedThrough, beyond)
+        else {
+          val rows = sealDaysWith(spark, sinkPath, root, due, targetBytes,
+            parallelism, zorder, writeOptions, Some(t.throughBatch))
+          TouchedSealStats(due, rows, Some(t.throughBatch), beyond)
+        }
+    }
+  }
+
+  /** The bookmark the current manifest carries ([[sealTouched]]'s
+    * state), for the caller's audit. */
+  def sealedThrough(spark: SparkSession, root: String): Option[Long] =
+    currentManifestFull(spark, root).sealedThrough
 
   /** Retention, metadata-only: publish a manifest without the days
     * strictly older than `keepFrom`. The bytes are reclaimed when the
@@ -546,7 +717,7 @@ object VersionedServing {
   def expire(spark: SparkSession, root: String, keepFrom: String): Seq[String] = {
     val cur = currentManifestFull(spark, root)
     val (drop, keep) = cur.days.partition(_._1 < keepFrom)
-    if (drop.nonEmpty) publish(spark, root, keep, cur.schemaDdl)
+    if (drop.nonEmpty) publish(spark, root, keep, cur.schemaDdl, cur.sealedThrough)
     drop.keys.toSeq.sorted
   }
 
@@ -604,7 +775,8 @@ object VersionedServing {
   }
 
   private def publish(spark: SparkSession, root: String,
-      manifest: Map[String, Long], schemaDdl: Option[String]): Unit = {
+      manifest: Map[String, Long], schemaDdl: Option[String],
+      sealedThrough: Option[Long]): Unit = {
     val (fs, base) = fsFor(spark, root)
     val mdir = new org.apache.hadoop.fs.Path(base, "manifests")
     fs.mkdirs(mdir)
@@ -615,13 +787,16 @@ object VersionedServing {
     val tmp = new org.apache.hadoop.fs.Path(mdir, f".m$next%08d.tmp")
     val out = fs.create(tmp, true)
     try out.write((schemaDdl.map(d => s"#schema\t$d").toSeq ++
+        sealedThrough.map(b => s"#sealedThrough\t$b").toSeq ++
         manifest.toSeq.sortBy(_._1).map { case (d, g) => s"$d\t$g" })
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(tmp, mf), s"failed to publish manifest $mf")
-    // reclaim beyond the grace window
-    val keptFiles = (existing :+ mf).takeRight(KeepManifests)
-    (existing :+ mf).dropRight(KeepManifests).foreach(fs.delete(_, false))
+    // reclaim beyond the grace window (sized by the conf key — see
+    // [[KeepManifestsKey]] for the per-deployment arithmetic)
+    val keep = keepManifests(spark)
+    val keptFiles = (existing :+ mf).takeRight(keep)
+    (existing :+ mf).dropRight(keep).foreach(fs.delete(_, false))
     val referenced: Set[(Long, String)] = keptFiles.flatMap { f =>
       // toSeq BEFORE inverting: mapping a Map to (gen, day) would
       // collapse every day of one generation onto a single key

@@ -174,6 +174,70 @@ object PartitionedIngest {
     rows
   }
 
+  /** [[daysTouchedSince]]'s result: the `ts_date` day values whose
+    * directories received committed files in batches after the caller's
+    * bookmark, and the latest committed batch id — the new bookmark. */
+  final case class TouchedDays(days: Seq[String], throughBatch: Long)
+
+  private val DayInPath = "/ts_date=([^/]+)/".r
+
+  /** The latest batch id the sink's `_spark_metadata` commit log has,
+    * or None when the path is not a streaming sink (or never
+    * committed). Metadata-only. */
+  def latestBatch(spark: SparkSession, sinkPath: String): Option[Long] = {
+    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+    val metaDir = new org.apache.hadoop.fs.Path(sinkPath, "_spark_metadata")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaDir)) None
+    else new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, metaDir.toString)
+      .getLatestBatchId()
+  }
+
+  /** PRODUCER-side change detection for the nightly close-out: which
+    * `ts_date` days did the ingest touch since the last seal? Derived
+    * from the sink's `_spark_metadata` commit log — the same log that
+    * owns file visibility — so the answer is exact committed truth, not
+    * an mtime heuristic, and costs a metadata read (no data files
+    * opened). `sinceBatch` is the caller's bookmark (the manifest's
+    * `#sealedThrough` for [[graft.storage.VersionedServing
+    * .sealTouched]]); None means "never sealed" and returns every day
+    * the log has ever committed. Returns None when the path is not a
+    * streaming sink or nothing was ever committed.
+    *
+    * Compaction correctness: a compact log batch REPLAYS every file
+    * committed before it, so entries in the scanned range are filtered
+    * against the file set visible at `sinceBatch`. If pre-bookmark log
+    * files have aged out of the log's own retention that baseline is
+    * partial and days can OVER-report — safe, a re-seal is an
+    * idempotent per-day snapshot. UNDER-report is impossible: the log
+    * retains every batch after its latest compact, so a missing delta
+    * in the range implies a compact inside the range that replays its
+    * files. */
+  def daysTouchedSince(spark: SparkSession, sinkPath: String,
+      sinceBatch: Option[Long]): Option[TouchedDays] = {
+    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+    val metaDir = new org.apache.hadoop.fs.Path(sinkPath, "_spark_metadata")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaDir)) return None
+    val log = new FileStreamSinkLog(
+      FileStreamSinkLog.VERSION, spark, metaDir.toString)
+    log.getLatestBatchId() match {
+      case None => None
+      case Some(latest) if sinceBatch.exists(_ >= latest) =>
+        Some(TouchedDays(Nil, latest))
+      case Some(latest) =>
+        val entries = log.get(sinceBatch.map(_ + 1), Some(latest)).flatMap(_._2)
+        val baseline: Set[String] = sinceBatch match {
+          case None => Set.empty
+          case Some(s) => log.get(None, Some(s)).flatMap(_._2).map(_.path).toSet
+        }
+        val days = entries.iterator.map(_.path).filterNot(baseline)
+          .flatMap(p => DayInPath.findFirstMatchIn(p).map(_.group(1)))
+          .toSeq.distinct.sorted
+        Some(TouchedDays(days, latest))
+    }
+  }
+
   /** Janitor for the LIVE sink: delete data files present under the
     * sink directory but absent from its `_spark_metadata` commit log —
     * the leftovers of crashed/speculative write tasks. Readers never

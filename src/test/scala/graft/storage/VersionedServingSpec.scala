@@ -682,4 +682,164 @@ class VersionedServingSpec extends SparkSpec {
         m.contains("FILE_NOT_EXIST") || m.contains("MISSING_FILE")),
       s"expected the deleted-file failure the contract documents, got: ${chain(thrown)}")
   }
+
+  test("self-driving close-out: sealTouched derives its day list from the sink's commit log — a late-touched day is never left stale") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("vstouch").toString
+    val (sink, ckpt, root) = (s"$base/sink", s"$base/ckpt", s"$base/serving")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    def ingest(rows: (Long, java.sql.Timestamp)*): Unit = {
+      val q = graft.streaming.PartitionedIngest.start(
+        in.toDF().select($"_1".as("event_id"), $"_2".as("ts")), sink, ckpt)
+      try { in.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    }
+
+    ingest((101L, ts("2024-03-01 09:00:00")), (201L, ts("2024-03-02 09:00:00")),
+      (301L, ts("2024-03-03 09:00:00")))
+    // first close-out: no bookmark → the whole log
+    val s1 = VersionedServing.sealTouched(spark, sink, root)
+    assert(s1.days == Seq("2024-03-01", "2024-03-02", "2024-03-03") &&
+      s1.rowsSealed == 3 && s1.beyondHorizon.isEmpty, s"got $s1")
+    assert(s1.sealedThrough.isDefined &&
+      VersionedServing.sealedThrough(spark, root) == s1.sealedThrough,
+      "the publish must record the bookmark it covered")
+    val v1 = VersionedServing.currentVersion(spark, root)
+
+    // nothing new → metadata-only: no publish, no manifest churn
+    val s2 = VersionedServing.sealTouched(spark, sink, root)
+    assert(s2.days.isEmpty && s2.rowsSealed == 0 &&
+      s2.sealedThrough == s1.sealedThrough, s"got $s2")
+    assert(VersionedServing.currentVersion(spark, root) == v1,
+      "an idle close-out must not publish")
+
+    // a late row lands in OLD day 01 plus a NEW day 04 — NOBODY names
+    // the days; the close-out discovers exactly those two
+    ingest((102L, ts("2024-03-01 23:30:00")), (401L, ts("2024-03-04 08:00:00")))
+    val s3 = VersionedServing.sealTouched(spark, sink, root)
+    assert(s3.days == Seq("2024-03-01", "2024-03-04") && s3.rowsSealed == 3,
+      s"the close-out must discover exactly the touched days, got $s3")
+    val v2 = VersionedServing.currentVersion(spark, root)
+    assert(VersionedServing.diff(spark, root, v1, v2) ==
+      VersionedServing.VersionDiff(Seq("2024-03-01"), Seq("2024-03-04"), Nil),
+      "untouched days 02/03 must keep their generation")
+    assert(VersionedServing.read(spark, root)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(101L, 102L, 201L, 301L, 401L),
+      "the serving copy must equal sink truth after the automated close-out")
+
+    // the retention contract: after day 01 expires, a late row for it is
+    // REFUSED (never resurrected) and REPORTED — and keeps being
+    // reported at every close-out until an operator acts, because a
+    // refusal publishes nothing and so never advances the bookmark
+    VersionedServing.expire(spark, root, "2024-03-02")
+    ingest((103L, ts("2024-03-01 23:59:00")))
+    val s4 = VersionedServing.sealTouched(spark, sink, root,
+      keepFrom = Some("2024-03-02"))
+    assert(s4.days.isEmpty && s4.beyondHorizon == Seq("2024-03-01"), s"got $s4")
+    assert(!VersionedServing.servedDays(spark, root).contains("2024-03-01"),
+      "an expired day must never be resurrected by the close-out")
+    val s5 = VersionedServing.sealTouched(spark, sink, root,
+      keepFrom = Some("2024-03-02"))
+    assert(s5.beyondHorizon == Seq("2024-03-01"),
+      "the alert must persist until handled — the bookmark only advances on publish")
+  }
+
+  test("a reader that outlives the grace window fails loudly at the boundary — and the window is a conf") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsgrace").toString
+    val (sink, root, wide) = (s"$base/sink", s"$base/serving", s"$base/wide")
+    def appendRows(n: Int, tag: Int): Unit =
+      (1 to n).map(i => ((tag * 1000 + i).toLong, ts("2024-03-01 10:00:00")))
+        .toDF("event_id", "ts")
+        .withColumn("ts_date", Layout.utcDate(col("ts")))
+        .write.mode("append").partitionBy("ts_date").parquet(sink)
+
+    s.conf.set(VersionedServing.KeepManifestsKey, "2")
+    try {
+      appendRows(4, 1)
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) // v1
+      val v1 = VersionedServing.currentVersion(spark, root)
+      val pinned = VersionedServing.read(spark, root)
+      assert(pinned.count() == 4)
+
+      // publish #2: still inside the window (keep=2 retains v1+v2)
+      appendRows(3, 2)
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) // v2
+      assert(pinned.count() == 4, "inside the window the pinned scan survives")
+
+      // publish #3: v1 ages out, its generation's files are reclaimed —
+      // the outlived reader fails LOUDLY mid-flight on deleted files
+      // (never a silent wrong answer: the files are gone, not replaced)
+      appendRows(2, 3)
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) // v3
+      val thrown = quietly(intercept[Throwable](pinned.count()))
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+          .map(x => s"${x.getClass.getName}: ${x.getMessage}").toSeq
+      assert(chain(thrown).exists(m =>
+          m.contains("FileNotFound") || m.contains("does not exist") ||
+          m.contains("FILE_NOT_EXIST") || m.contains("MISSING_FILE")),
+        s"expected the outlived-grace deleted-file failure, got: ${chain(thrown)}")
+      // time travel to the aged-out version refuses BY NAME, citing the
+      // conf key an operator would size
+      val e = intercept[IllegalArgumentException](
+        VersionedServing.readAt(spark, root, v1))
+      assert(e.getMessage.contains(VersionedServing.KeepManifestsKey), e.getMessage)
+
+      // the same three publishes under a WIDER window keep v1 readable:
+      // the reclaim respects the conf, not the compiled default
+      s.conf.set(VersionedServing.KeepManifestsKey, "4")
+      (1 to 3).foreach { _ =>
+        VersionedServing.sealDays(spark, sink, wide, Seq("2024-03-01")) }
+      assert(VersionedServing.versions(spark, wide).size == 3 &&
+        VersionedServing.readAt(spark, wide, 1L).count() == 9,
+        "a widened window must retain what the default would have reclaimed")
+    } finally s.conf.unset(VersionedServing.KeepManifestsKey)
+  }
+
+  test("archive verification: a corrupted copy refuses to publish; the healed retry serves the pin") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsverify").toString
+    val (sink, root, arch) = (s"$base/sink", s"$base/serving", s"$base/archive")
+    (1 to 6).map(i => (i.toLong, ts("2024-03-01 10:00:00")))
+      .toDF("event_id", "ts")
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+      .write.partitionBy("ts_date").parquet(sink)
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01"))
+    val v1 = VersionedServing.currentVersion(spark, root)
+
+    // between copy and verification, one copied data file loses bytes
+    // (an eventually-consistent store or partial multipart commit)
+    def archivedParquet(): java.io.File = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$arch/data"))
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+    }
+    VersionedServing.postArchiveCopyHook = () => {
+      val raf = new java.io.RandomAccessFile(archivedParquet(), "rw")
+      try raf.setLength(raf.length() / 2) finally raf.close()
+    }
+    try {
+      val e = quietly(intercept[IllegalArgumentException](
+        VersionedServing.archive(spark, root, v1, arch)))
+      assert(e.getMessage.contains("NOT publishing"), e.getMessage)
+      assert(!VersionedServing.isVersioned(spark, arch),
+        "a refused archive must leave no manifest — readers can never resolve it")
+    } finally VersionedServing.postArchiveCopyHook = () => ()
+
+    // the retry re-copies over the same root (no manifest yet, so it is
+    // not "immutable" — the refusal left it unborn), verifies, publishes
+    assert(VersionedServing.archive(spark, root, v1, arch) > 0)
+    assert(VersionedServing.read(spark, arch)
+      .orderBy("event_id").collect().toSeq ==
+      VersionedServing.readAt(spark, root, v1)
+        .orderBy("event_id").collect().toSeq,
+      "the healed archive must serve the pinned snapshot exactly")
+  }
 }

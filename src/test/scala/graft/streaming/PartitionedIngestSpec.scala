@@ -283,4 +283,65 @@ class PartitionedIngestSpec extends SparkSpec {
     assert(!new java.io.File(s"$serving/ts_date=2024-03-01").exists(),
       "an expired day must never be resurrected by a later seal")
   }
+
+  test("daysTouchedSince: committed truth since a bookmark, exact through log compaction") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ptouch").toString
+    val (sink, ckpt) = (s"$base/sink", s"$base/ckpt")
+    def d(day: Int, id: Long) = (id, ts(f"2024-03-$day%02d 10:00:00"))
+
+    // compact every 3 batches (batches 2, 5, ... are compacts), so the
+    // test exercises the replay-filtering path a nightly close-out
+    // crosses every ~compactInterval batches in production
+    val key = "spark.sql.streaming.fileSink.log.compactInterval"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "3")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = PartitionedIngest.start(
+      in.toDF().select($"_1".as("event_id"), $"_2".as("ts")), sink, ckpt)
+    try {
+      // batch 0: days 01 + 02
+      in.addData(d(1, 1L), d(2, 2L)); q.processAllAvailable()
+      val t0 = PartitionedIngest.daysTouchedSince(spark, sink, None)
+        .getOrElse(fail("a committed sink must report"))
+      assert(t0 == PartitionedIngest.TouchedDays(
+        Seq("2024-03-01", "2024-03-02"), 0L), s"got $t0")
+      // bookmarked at batch 0: nothing since
+      assert(PartitionedIngest.daysTouchedSince(spark, sink, Some(0L)) ==
+        Some(PartitionedIngest.TouchedDays(Nil, 0L)))
+
+      // batch 1 touches day 01 again (late row); batch 2 — a COMPACT
+      // batch, which replays every file ever committed — adds day 03
+      in.addData(d(1, 11L)); q.processAllAvailable()
+      in.addData(d(3, 3L)); q.processAllAvailable()
+      val t1 = PartitionedIngest.daysTouchedSince(spark, sink, Some(0L))
+        .getOrElse(fail("must report"))
+      assert(t1 == PartitionedIngest.TouchedDays(
+        Seq("2024-03-01", "2024-03-03"), 2L),
+        s"the compact's replayed day-02 file must be filtered out, got $t1")
+
+      // batches 3+4 (one crossing into the next compact at 5): day 04
+      in.addData(d(4, 4L)); q.processAllAvailable()
+      in.addData(d(4, 41L)); q.processAllAvailable()
+      in.addData(d(2, 22L)); q.processAllAvailable() // batch 5 = compact
+      val t2 = PartitionedIngest.daysTouchedSince(spark, sink, Some(2L))
+        .getOrElse(fail("must report"))
+      assert(t2 == PartitionedIngest.TouchedDays(
+        Seq("2024-03-02", "2024-03-04"), 5L), s"got $t2")
+      // a fresh never-sealed scan still reports every day exactly once
+      val all = PartitionedIngest.daysTouchedSince(spark, sink, None).get
+      assert(all.days ==
+        Seq("2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"))
+    } finally {
+      q.stop()
+      prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }
+    // not a streaming sink → None (never a guess from directory mtimes)
+    val plain = s"$base/plain"
+    Seq(d(1, 9L)).toDF("event_id", "ts").write.parquet(plain)
+    assert(PartitionedIngest.daysTouchedSince(spark, plain, None).isEmpty)
+    assert(PartitionedIngest.latestBatch(spark, plain).isEmpty)
+  }
 }
