@@ -1113,6 +1113,153 @@ object ScaleProbe {
       f"bloom ${lookup(broot, absentOdd)}%.3f s")
   }
 
+  /** `touchseal` mode: builds a versioned serving copy through the
+    * SELF-DRIVING close-out path end-to-end — batch events staged, then
+    * ingested through a real FileStreamSink (commit log included), then
+    * sealed by [[graft.storage.VersionedServing.sealTouched]] with NO
+    * day list (the close-out derives it from the log). The root it
+    * leaves behind is the fixture for the serving-deployment identity
+    * proof: run the full `graft.Verify` surface with
+    * `SPARK_GRAFT_CONF="spark.graft.layout.events.enabled=true;
+    * spark.graft.layout.events.servingDir=/tmp/graft_touchserve/serving"`
+    * and every events consumer must hash-match DuckDB over the raw
+    * table — the r17 §4 proof re-run through the automated close-out. */
+  private def touchSealProbe(spark: SparkSession, src: String): Unit = {
+    import graft.storage.VersionedServing
+    val base = "/tmp/graft_touchserve"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val (staged, sink, ckpt, root) =
+      (s"$base/staged", s"$base/sink", s"$base/ckpt", s"$base/serving")
+    Tables.eventsNormalized(spark, src).write.parquet(staged)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staged).schema).parquet(staged)
+    val q = graft.streaming.PartitionedIngest.start(stream, sink, ckpt)
+    q.processAllAvailable(); q.stop()
+    val stats = VersionedServing.sealTouched(spark, sink, root)
+    println(s"sealTouched close-out: ${stats.days.size} days discovered from the " +
+      s"commit log, ${stats.rowsSealed} rows, sealedThrough=${stats.sealedThrough}")
+    val idle = VersionedServing.sealTouched(spark, sink, root)
+    require(idle.days.isEmpty && idle.rowsSealed == 0,
+      s"an idle close-out must be a metadata-only no-op, got $idle")
+    println(s"idle close-out: no-op (bookmark ${idle.sealedThrough}); " +
+      s"serving root at $root ready for the Verify identity run")
+  }
+
+  /** `composedserve` mode: prices the COMPOSED z-order + bloom seal at
+    * the production-sized day — the one combination SCALEPROBE_r17
+    * identity-proved at sf0.01 but never priced at the 100× day shape.
+    * Four arms over one dense day (same fixture recipe as
+    * [[bloomServeProbe]]): plain, z-order only, bloom only, composed.
+    * Questions answered: (1) what does the composed close-out cost vs
+    * each single layer — is the premium additive or super-additive
+    * (the curve's range exchange reshapes the rows the filter build
+    * then hashes)? (2) does each layer keep its read-side win when
+    * composed — box-slice file pruning (curve) and absent-id row-group
+    * skipping (bloom) measured on the SAME generation? */
+  private def composedServeProbe(spark: SparkSession, src: String, mult: Int = 100): Unit = {
+    import graft.storage.{Layout, VersionedServing}
+    val base = "/tmp/graft_composedserve"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val day = "2024-03-01"
+    val dayT0 = 1709251200L
+    val sink = s"$base/sink"
+    val dense = Tables.eventsNormalized(spark, src)
+      .crossJoin(spark.range(mult).select(col("id").as("copy")))
+      .withColumn("event_id", (col("event_id") + col("copy") * 10000000L) * 2L)
+      .withColumn("user_id", col("user_id") + col("copy") * 1000L)
+      .withColumn("ts",
+        (lit(dayT0) + pmod(col("ts").cast("long"), lit(86400L))).cast("timestamp"))
+      .drop("copy")
+      .withColumn("ts_date", Layout.utcDate(col("ts")))
+    dense.write.partitionBy("ts_date").parquet(sink)
+    Layout.markUtcDays(spark, sink)
+    val rows = spark.read.parquet(sink).count()
+    println(s"dense day at $sink: $rows rows in ts_date=$day (mult=$mult)")
+
+    val target = 4L * 1024 * 1024
+    val zorder = Some(("user_id", "ts"))
+    // untimed warm-up (scan-cold + JIT), which also sizes the ndv hint
+    // from the actual file shape (bloomServeProbe's discipline)
+    VersionedServing.sealDays(spark, sink, s"$base/warm", Seq(day), targetBytes = target)
+    val warmFiles = new java.io.File(
+        s"$base/warm/data/${VersionedServing.GenCol}=1/ts_date=$day")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val ndvPerFile = math.max(1L, rows / math.max(1, warmFiles))
+    println(s"warm-up shape: $warmFiles files ⇒ ndv hint $ndvPerFile")
+    val bloomOpts = Layout.bloomOptions(Map("event_id" -> ndvPerFile))
+
+    val arms = Seq(
+      ("plain", s"$base/plain", None, Map.empty[String, String]),
+      ("zorder", s"$base/z", zorder, Map.empty[String, String]),
+      ("bloom", s"$base/b", None, bloomOpts),
+      ("composed", s"$base/zb", zorder, bloomOpts))
+    // two interleaved samples per arm (re-seal into the same root — the
+    // nightly shape) so machine drift can't masquerade as a premium
+    val walls = (1 to 2).map { _ =>
+      arms.map { case (_, root, z, opts) =>
+        val t0 = System.nanoTime()
+        VersionedServing.sealDays(spark, sink, root, Seq(day),
+          targetBytes = target, zorder = z, writeOptions = opts)
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+    def dirBytes(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    val best = arms.indices.map(i => walls.map(_(i)).min)
+    arms.zipWithIndex.foreach { case ((label, root, _, _), i) =>
+      val dayDir = s"$root/data/${VersionedServing.GenCol}=2/ts_date=$day"
+      println(f"$label%-9s seal best-of-2 ${best(i)}%6.2f s (${best(i) / best(0)}%.2fx plain)  " +
+        f"${dirBytes(dayDir) / 1048576.0}%7.1f MB")
+    }
+
+    // the layers never change an answer — all four arms hash-identical
+    def sig(root: String) = Layout.servingEvents(spark, root)
+      .agg(count(lit(1)).as("n"),
+        sum(hash(col("event_id"), col("user_id"), col("ts")).cast("long")).as("h")).head
+    val sigs = arms.map { case (_, root, _, _) => sig(root) }
+    require(sigs.distinct.size == 1, s"arms must serve identical data: $sigs")
+    println(s"identity: all four arms serve ${sigs.head.getLong(0)} rows, same content hash")
+
+    // read side, on the SAME composed generation vs the single layers:
+    // (a) the dashboard box — files touched + wall
+    val uMax = spark.read.parquet(sink).agg(max("user_id")).head.getLong(0)
+    val uBox = ("user_id", uMax / 2, uMax / 2 + uMax / 8)
+    val tBox = ("ts", dayT0 + 6L * 3600, dayT0 + 9L * 3600 - 1)
+    def dayDir(root: String) = s"$root/data/${VersionedServing.GenCol}=2/ts_date=$day"
+    for ((label, root, _, _) <- arms) {
+      val (t, n) = Layout.filesTouched(spark, dayDir(root), Seq(uBox, tBox))
+      println(f"box files    $label%-9s touches $t/$n")
+    }
+    // (b) the point lookup — row groups touched for an absent odd id
+    val presentId = spark.read.parquet(dayDir(s"$base/plain"))
+      .stat.approxQuantile("event_id", Array(0.5), 0.0)(0).toLong
+    val absentOdd = presentId + 1L
+    for ((label, root, _, _) <- arms) {
+      val (aT, aN) = Layout.rowGroupsTouched(spark, dayDir(root), "event_id", absentOdd)
+      val (pT, _) = Layout.rowGroupsTouched(spark, dayDir(root), "event_id", presentId)
+      println(f"row groups   $label%-9s absent $aT/$aN, present $pT/$aN")
+    }
+    def med3[T](body: => T): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
+    for ((label, root, _, _) <- arms) {
+      val box = med3(Layout.servingEvents(spark, root)
+        .filter(col("user_id").between(uBox._2, uBox._3) &&
+          col("ts").between(
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(tBox._2)),
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(tBox._3))))
+        .groupBy("event_type").agg(count(lit(1)), sum("value")).collect())
+      val lkAbs = med3(Layout.servingEvents(spark, root)
+        .filter(col("event_id") === absentOdd).collect())
+      val lkPres = med3(Layout.servingEvents(spark, root)
+        .filter(col("event_id") === presentId).collect())
+      println(f"wall med-3   $label%-9s box $box%6.3f s  absent-id $lkAbs%6.3f s  present-id $lkPres%6.3f s")
+    }
+  }
+
   /** `events30x` mode: the composed-events-layout crossover measured
     * instead of argued (the Probe-1b move applied to the third table).
     * Replicates events fresh to 30× (same construction as the 10×
@@ -1464,6 +1611,14 @@ object ScaleProbe {
     }
     if (args.headOption.contains("bloomserve")) {
       bloomServeProbe(spark, src, args.drop(1).headOption.map(_.toInt).getOrElse(10))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("composedserve")) {
+      composedServeProbe(spark, src, args.drop(1).headOption.map(_.toInt).getOrElse(100))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("touchseal")) {
+      touchSealProbe(spark, src)
       spark.stop(); return
     }
     if (args.headOption.contains("events30x")) {

@@ -287,6 +287,18 @@ object StreamBench {
         ("ingest_seal_bloom", math.round(stats.rowsSealed / sec))
       },
       {
+        // the SELF-DRIVING close-out over the same sink: sealTouched
+        // derives its day list from the sink's commit log before
+        // sealing — this row prices discovery (a metadata-only log
+        // read) + the seal together, against ingest_seal_versioned
+        // (the told-its-days form of the same write).
+        val t0 = System.nanoTime()
+        val stats = graft.storage.VersionedServing.sealTouched(
+          spark, s"$ingestBase/sink", s"$ingestBase/serving_t")
+        val sec = (System.nanoTime() - t0) / 1e9
+        ("ingest_seal_touched", math.round(stats.rowsSealed / sec))
+      },
+      {
         // ingest-time BPE encode (StreamingBpe): per-batch published-chain
         // re-read + the one-projection literal-replace encode. Rows here
         // are DOCUMENTS (8 words each), so tokens/s ≈ 8× the figure.

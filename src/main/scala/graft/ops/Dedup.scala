@@ -1334,6 +1334,49 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The COMPOSABLE form of [[dedupIncremental]]'s ingest-vs-index
+    * core: disposition of each `batch` document against an arbitrary
+    * `index` document frame — 'exact' (content-hash hit), 'near'
+    * (shares an LSH band bucket with an index doc), or 'fresh'. The
+    * oracle query specializes this to the fixture's doc_id split; THIS
+    * form is what a feed-driven index refresh calls
+    * ([[graft.storage.ServingFollower]]: each manifest publish's
+    * changed day slices become the `batch`, the maintained corpus the
+    * `index` — the end-to-end loop ServingFollowerSpec pins). Both
+    * frames carry (doc_id, text). Same probe shapes and scale story as
+    * [[dedupIncremental]]: semi-joins on sketch keys, the index side
+    * never self-joined; at 100 TB the index's sketch table (hash + band
+    * keys per doc) is what a deployment PERSISTS between ingests —
+    * derive it once with the two `bandsOf`/md5 projections below and
+    * store that instead of re-sketching the corpus per batch. */
+  def incrementalDispositions(index: DataFrame, batch: DataFrame): DataFrame = {
+    def bandsOf(docs: DataFrame): DataFrame = {
+      val sig = minhashSig(docs).materialized
+      (0 until NumBands).map { k =>
+        sig.select(col("doc_id"), lit(k).as("band"),
+          hash60(concat_ws(",",
+            (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*)).as("bsig"))
+      }.reduce(_ unionByName _)
+    }
+    val oldHashes = index.select(md5(col("text")).as("ch")).distinct()
+    val exactHits = batch.select(col("doc_id"), md5(col("text")).as("ch"))
+      .join(oldHashes, Seq("ch"), "left_semi")
+      .select(col("doc_id"), lit(1).as("is_exact"))
+    val oldBands = bandsOf(index).select("band", "bsig").distinct()
+    val nearHits = bandsOf(batch)
+      .join(oldBands, Seq("band", "bsig"), "left_semi")
+      .select("doc_id").distinct()
+      .select(col("doc_id"), lit(1).as("is_near"))
+    batch.select("doc_id")
+      .join(exactHits, Seq("doc_id"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact")
+          .when(col("is_near") === 1, "near")
+          .otherwise("fresh").as("disposition"))
+      .orderBy("doc_id")
+  }
+
   /** PageRank iterations (unrolled identically in the SQL oracle). */
   private val PrIters = 3
   /** Micro-unit scale: each vertex starts with 1e6 integer mass. */

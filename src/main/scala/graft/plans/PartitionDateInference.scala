@@ -101,23 +101,35 @@ object PartitionDateInference extends Rule[LogicalPlan] with PredicateHelper {
   private val markerCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Conf key overriding [[markerRevalidateMs]] per deployment: the
+    * positive-marker cache window IS the pruning trust bound — a marked
+    * directory replaced at the same path by a non-contract writer keeps
+    * being pruned for at most this long. The 5-minute default trades
+    * one stat per root per window against that staleness; a deployment
+    * whose directories are rewritten by foreign jobs can tighten it
+    * (ms), one on a high-latency object store can widen it. */
+  val MarkerRevalidateKey = "spark.graft.pruning.markerRevalidateMs"
+
   /** Positive cache entries are re-verified after this long: a marked
     * directory deleted and recreated at the same path by a NON-contract
     * writer in the same JVM must stop being pruned — forever-cached
     * positives would keep deriving bounds against session-tz
     * directories, the exact silent-row-drop the gate exists to prevent.
     * The window bounds the staleness at one cheap stat per root per
-    * window, instead of one per query. `private[graft] var` so the spec
-    * can pin it to 0 and prove the revocation path. */
+    * window, instead of one per query. Default for
+    * [[MarkerRevalidateKey]]; `private[graft] var` so the spec can pin
+    * it to 0 and prove the revocation path. */
   @volatile private[graft] var markerRevalidateMs: Long = 5 * 60 * 1000L
 
   private def trusted(fs: HadoopFsRelation): Boolean = {
     val roots = fs.location.rootPaths
     val now = System.currentTimeMillis
+    val window = fs.sparkSession.conf.getOption(MarkerRevalidateKey)
+      .map(_.toLong).getOrElse(markerRevalidateMs)
     roots.nonEmpty && roots.forall { root =>
       val key = root.toString
       val verifiedAt = markerCache.get(key)
-      (verifiedAt != null && now - verifiedAt < markerRevalidateMs) || {
+      (verifiedAt != null && now - verifiedAt < window) || {
         val ok =
           try {
             val p = new org.apache.hadoop.fs.Path(root,

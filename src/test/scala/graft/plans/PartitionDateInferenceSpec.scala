@@ -268,11 +268,12 @@ class PartitionDateInferenceSpec extends SparkSpec {
     // path (marker gone): a forever-positive cache would keep deriving
     // bounds against what may now be session-tz directories
     assert(new java.io.File(dir, graft.storage.Layout.UtcDaysMarker).delete())
-    val saved = PartitionDateInference.markerRevalidateMs
-    PartitionDateInference.markerRevalidateMs = 0L // expire the window
+    // the window is a conf per deployment (the pruning trust bound):
+    // expire it through the key, not the compiled default
+    s.conf.set(PartitionDateInference.MarkerRevalidateKey, "0")
     try assert(partitionsScanned(q) == 4,
       "a vanished marker must revoke trust once the revalidation window expires")
-    finally PartitionDateInference.markerRevalidateMs = saved
+    finally s.conf.unset(PartitionDateInference.MarkerRevalidateKey)
     // re-marking restores pruning immediately (negatives are never cached)
     graft.storage.Layout.markUtcDays(s, dir)
     assert(partitionsScanned(q) == 2)

@@ -1,0 +1,132 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The manifest-log consumer loop: each publish of the versioned
+  * serving copy becomes one micro-batch of exactly its changed day
+  * slices, feeding the ingest-twin dedup operator — and the maintained
+  * artifact equals the batch recompute at every step. */
+class ServingFollowerSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** 15 per-doc-unique tokens: distinct docs share NO shingles, so a
+    * 'near' verdict can only come from a deliberately constructed
+    * near-dup (and 'fresh' is deterministic for everything else). */
+  private def text(seed: Int): String =
+    (0 until 15).map(j => s"w${seed}x$j").mkString(" ")
+
+  test("follower: two seals deliver exactly the changed day slices; the feed-maintained dedup index equals the batch recompute") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsfollow").toString
+    val (sink, root) = (s"$base/sink", s"$base/serving")
+    def writeSink(rows: Seq[(Long, String, java.sql.Timestamp)], mode: String): Unit =
+      rows.toDF("doc_id", "text", "ts")
+        .withColumn("ts_date", Layout.utcDate(col("ts")))
+        .drop("ts")
+        .write.mode(mode).partitionBy("ts_date").parquet(sink)
+
+    // the INDEX the consumer maintains: day -> that day's (doc_id, text)
+    // rows, replaced whole per feed batch (the documented discipline)
+    val index = collection.mutable.Map[String, Seq[(Long, String)]]()
+    def indexFrame(excludingDays: Set[String] = Set.empty): DataFrame =
+      index.view.filterKeys(!excludingDays(_)).values.flatten.toSeq
+        .toDF("doc_id", "text")
+    val processed = collection.mutable.ArrayBuffer[(Long, Seq[String], Seq[Long])]()
+    var lastDispositions: Map[Long, String] = Map.empty
+    val follower = new ServingFollower(spark, root)
+    def consume(version: Long, days: Seq[String], slices: DataFrame): Unit = {
+      val rows = slices.select(col("doc_id"), col("text"),
+          col("ts_date").cast("string").as("day"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // disposition the incoming docs against the index EXCLUDING the
+      // re-served days (per-day replace: the old day is being superseded)
+      lastDispositions = graft.ops.Dedup.incrementalDispositions(
+          indexFrame(excludingDays = days.toSet),
+          rows.map(r => (r._1, r._2)).toSeq.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      rows.groupBy(_._3).foreach { case (day, rs) =>
+        index(day) = rs.map(r => (r._1, r._2)).toSeq }
+      processed += ((version, days, rows.map(_._1).sorted.toSeq))
+    }
+
+    // nothing published yet: a consumer may start before the first seal
+    assert(follower.poll()(consume).isEmpty && processed.isEmpty)
+
+    // day 01 is the initial corpus; the first poll bootstraps from the
+    // full snapshot
+    writeSink(Seq(
+      (1L, text(1), ts("2024-03-01 09:00:00")),
+      (2L, text(2), ts("2024-03-01 10:00:00")),
+      (3L, text(3), ts("2024-03-01 11:00:00"))), "overwrite")
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) // v1
+    val p1 = follower.poll()(consume)
+    assert(p1 == Some((1L, Seq("2024-03-01"))), s"got $p1")
+    assert(processed.last._3 == Seq(1L, 2L, 3L))
+    assert(follower.poll()(consume).isEmpty, "no new publish → no batch")
+
+    // day 02 lands: an exact dup of doc 1, a near dup of doc 2 (same
+    // tokens after lowercasing — identical shingles, different raw
+    // bytes), and a fresh doc
+    writeSink(Seq(
+      (11L, text(1), ts("2024-03-02 09:00:00")),
+      (12L, text(2).toUpperCase, ts("2024-03-02 10:00:00")),
+      (13L, text(13), ts("2024-03-02 11:00:00"))), "append")
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-02")) // v2
+    val p2 = follower.poll()(consume)
+    assert(p2 == Some((2L, Seq("2024-03-02"))), s"got $p2")
+    assert(processed.last._3 == Seq(11L, 12L, 13L),
+      "the second batch must hold exactly the day-02 slice")
+    assert(lastDispositions == Map(11L -> "exact", 12L -> "near", 13L -> "fresh"),
+      s"ingest-twin dedup over the feed batch, got $lastDispositions")
+
+    // the close-out touches TWO days in one publish: a late fresh doc in
+    // day 01 and a new day 03 whose doc exactly duplicates a DAY-02 doc
+    // (proving the maintained index saw the previous feed batch)
+    writeSink(Seq(
+      (4L, text(4), ts("2024-03-01 23:00:00")),
+      (21L, text(13), ts("2024-03-03 09:00:00"))), "append")
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01", "2024-03-03")) // v3
+    val p3 = follower.poll()(consume)
+    assert(p3 == Some((3L, Seq("2024-03-01", "2024-03-03"))), s"got $p3")
+    assert(processed.last._3 == Seq(1L, 2L, 3L, 4L, 21L),
+      "a re-sealed day is delivered WHOLE, plus the added day — nothing else")
+    assert(lastDispositions(21L) == "exact" && lastDispositions(4L) == "fresh",
+      s"day-03's dup of a day-02 doc must hit the maintained index, got $lastDispositions")
+    // re-served day-01 docs disposition against the OTHER days' index:
+    // doc 1 is now an exact hit on day-02's copy of it
+    assert(lastDispositions(1L) == "exact" && lastDispositions(3L) == "fresh")
+
+    // the maintained artifact equals the batch recompute at the head
+    assert(indexFrame().collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      VersionedServing.read(spark, root).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq,
+      "feed-maintained corpus must equal the full snapshot read")
+
+    // an expire-only publish advances the bookmark without a batch
+    VersionedServing.expire(spark, root, "2024-03-02") // v4
+    val before = processed.size
+    assert(follower.poll()(consume) == Some((4L, Seq())) && processed.size == before,
+      "a metadata-only publish must advance the bookmark, not deliver")
+    assert(follower.lastProcessed == Some(4L))
+
+    // the LOOP form: a fresh follower bootstraps, then notices the next
+    // publish on its own thread
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val h = new ServingFollower(spark, root).follow(25) { (v, _, _) => seen.add(v) }
+    try {
+      val deadline = System.currentTimeMillis + 30000
+      while (!seen.contains(4L) && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(seen.contains(4L), "the loop must bootstrap from the current snapshot")
+      writeSink(Seq((31L, text(31), ts("2024-03-04 09:00:00"))), "append")
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-04")) // v5
+      while (!seen.contains(5L) && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(seen.contains(5L), "the loop must deliver the publish it observed")
+    } finally h.close()
+  }
+}
