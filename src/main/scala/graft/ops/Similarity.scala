@@ -686,7 +686,18 @@ object Similarity {
     * qv rows per vector into the argmin aggregation — the dominant
     * exchange of every semantic query at corpus scale). */
   private def assignedNarrow(s: SparkSession, dir: String,
-                             centRows: Seq[(Long, Seq[Long])]): DataFrame = {
+                             centRows: Seq[(Long, Seq[Long])]): DataFrame =
+    assignedOf(Tables.embeddings(s, dir), centRows)
+
+  /** Quantize + cluster-assign an arbitrary embeddings frame
+    * `(vec_id, embedding)` against a literal QUANTIZED codebook — the
+    * narrow argmin projection every IVF-family member shares (no
+    * exchange: the codebook rides as literals). Exposed package-wide so
+    * a feed-driven index refresh ([[graft.storage.ServingFollower]])
+    * can assign incoming day slices with the index's own shipped
+    * codebook. */
+  private[graft] def assignedOf(vectors: DataFrame,
+                                centRows: Seq[(Long, Seq[Long])]): DataFrame = {
     import graft.functions.QDot
     val cands = centRows.map { case (cid, cv) =>
       struct(
@@ -694,7 +705,7 @@ object Similarity {
           + lit(cv.map(x => x * x).sum)).as("d2"),
         lit(cid).as("cid"))
     }
-    Tables.embeddings(s, dir)
+    vectors
       .select(col("vec_id"), expr(quantExpr).as("qv"))
       .withColumn("qq", QDot(col("qv"), col("qv")))
       .withColumn("best", array_min(array(cands: _*)))
@@ -852,16 +863,33 @@ object Similarity {
     * (mirrors `StreamingSemanticDedup.apply`'s tau/cap parameters). */
   def semanticIncremental(s: SparkSession, dir: String, tau: Double,
                           ingestSplit: Long, maxCluster: Int): DataFrame = {
-    import graft.functions.QDot
     val centRows = codebookFor(s, dir, sampled = true)
     val assigned = assignedNarrow(s, dir, centRows)
       .select("vec_id", "list_id", "qv")
       .materialized
+    semanticDispositions(
+      assigned.filter(col("vec_id") < ingestSplit),
+      assigned.filter(col("vec_id") >= ingestSplit), tau, maxCluster)
+  }
+
+  /** The COMPOSABLE form of [[semanticIncremental]]'s ingest-vs-index
+    * core — the semantic twin of
+    * [[graft.ops.Dedup.incrementalDispositions]]: disposition of each
+    * `batch` vector against an arbitrary `index`, both as ASSIGNED
+    * frames `(vec_id, list_id, qv)` (exactly what a deployment persists
+    * between ingests — build either side with [[assignedOf]] and the
+    * index's shipped codebook). The oracle query specializes this to
+    * the fixture's vec_id split; a feed-driven refresh
+    * ([[graft.storage.ServingFollower]]) calls this per manifest
+    * publish. Same shapes and guards: batch compared against same-
+    * cluster index members only, hot clusters degrade to hub-star,
+    * index never self-joined. */
+  def semanticDispositions(index: DataFrame, batch: DataFrame,
+      tau: Double = SemTau, maxCluster: Int = MaxSemCluster): DataFrame = {
+    import graft.functions.QDot
     def cosine(aq: org.apache.spark.sql.Column, bq: org.apache.spark.sql.Column) =
       QDot(aq, bq).cast("double") /
         (sqrt(QDot(aq, aq).cast("double")) * sqrt(QDot(bq, bq).cast("double")))
-    val index = assigned.filter(col("vec_id") < ingestSplit)
-    val batch = assigned.filter(col("vec_id") >= ingestSplit)
     // per-cluster index occupancy — k rows, broadcast at every use
     val istats = index.groupBy("list_id")
       .agg(count(lit(1)).as("cn"), min("vec_id").as("hub"))

@@ -129,4 +129,72 @@ class ServingFollowerSpec extends SparkSpec {
       assert(seen.contains(5L), "the loop must deliver the publish it observed")
     } finally h.close()
   }
+
+  test("follower feeds the SEMANTIC ingest-twin: changed-day vectors dispositioned against the maintained assigned index") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsfollowsem").toString
+    val (sink, root) = (s"$base/sink", s"$base/serving")
+    // two far-apart quantized centroids — the index's shipped codebook
+    val codebook: Seq[(Long, Seq[Long])] =
+      Seq((0L, Seq(1000L, 0L, 0L, 0L)), (1L, Seq(0L, 1000L, 0L, 0L)))
+    def writeSink(rows: Seq[(Long, Seq[Float], java.sql.Timestamp)], mode: String): Unit =
+      rows.toDF("vec_id", "embedding", "ts")
+        .withColumn("ts_date", Layout.utcDate(col("ts")))
+        .drop("ts")
+        .write.mode(mode).partitionBy("ts_date").parquet(sink)
+    def v(a: Float, b: Float, c: Float, d: Float) = Seq(a, b, c, d)
+
+    // day 01: the corpus — one vector per cluster
+    writeSink(Seq(
+      (1L, v(1f, 0f, 0f, 0f), ts("2024-03-01 09:00:00")),
+      (2L, v(0f, 1f, 0f, 0f), ts("2024-03-01 10:00:00"))), "overwrite")
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) // v1
+
+    // the consumer: maintained ASSIGNED index (vec_id, list_id, qv) per
+    // day — what a deployment persists between ingests
+    val index = collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    var last: Map[Long, (Long, String)] = Map.empty
+    val follower = new ServingFollower(spark, root)
+    def consume(version: Long, days: Seq[String], slices: DataFrame): Unit = {
+      val byDay = days.map { d =>
+        d -> graft.ops.Similarity.assignedOf(
+          slices.filter(col("ts_date") === lit(d).cast("date"))
+            .select("vec_id", "embedding"), codebook)
+          .select("vec_id", "list_id", "qv").localCheckpoint()
+      }
+      val idxBefore = index.view.filterKeys(!days.contains(_)).values
+        .reduceOption(_ unionByName _)
+      idxBefore.foreach { idx =>
+        last = graft.ops.Similarity.semanticDispositions(idx,
+            byDay.map(_._2).reduce(_ unionByName _))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      }
+      byDay.foreach { case (d, df) => index(d) = df }
+    }
+    assert(follower.poll()(consume).isDefined) // bootstrap seeds the index
+
+    // day 02: an exact re-embed of vec 1 (cosine 1 in cluster 0) and an
+    // orthogonal fresh vector (assigned somewhere, no near neighbor)
+    writeSink(Seq(
+      (11L, v(1f, 0f, 0f, 0f), ts("2024-03-02 09:00:00")),
+      (12L, v(0f, 0f, 1f, 0f), ts("2024-03-02 10:00:00"))), "append")
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-02")) // v2
+    assert(follower.poll()(consume) == Some((2L, Seq("2024-03-02"))))
+    assert(last.view.mapValues(_._2).toMap == Map(11L -> "dup", 12L -> "fresh"),
+      s"semantic twin over the feed batch, got $last")
+    assert(last(11L)._1 == 0L, "the dup must land in its neighbor's cluster")
+
+    // equality with the batch recompute: the same dispositions fall out
+    // of assigning the WHOLE current snapshot from scratch
+    val allAssigned = graft.ops.Similarity.assignedOf(
+      VersionedServing.read(spark, root).select("vec_id", "embedding"), codebook)
+      .select("vec_id", "list_id", "qv").localCheckpoint()
+    val recompute = graft.ops.Similarity.semanticDispositions(
+        allAssigned.filter(col("vec_id") < 10L),
+        allAssigned.filter(col("vec_id") >= 10L))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(recompute == last.view.mapValues(_._2).toMap,
+      "feed-driven dispositions must equal the from-scratch recompute")
+  }
 }
