@@ -1,0 +1,96 @@
+package graft.storage
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE job a deployment crons against the events lifecycle — the
+  * operational composition of the pieces, in their safe order:
+  *
+  *  1. [[VersionedServing.sealTouched]]: re-seal exactly the days the
+  *     ingest touched since the last close-out (derived from the sink's
+  *     commit log — nobody names the days), publish one manifest.
+  *  2. [[VersionedServing.expire]] (when a horizon is given): drop
+  *     days strictly older than `keepFrom` from the manifest —
+  *     metadata-only; bytes follow when old manifests age out of the
+  *     grace window.
+  *  3. [[graft.streaming.PartitionedIngest.vacuumOrphans]] (opt-in):
+  *     sweep crashed-task leftovers from the live sink. Last, and only
+  *     when asked — it refuses under an in-session writer, and its
+  *     mtime grace is the only guard against writers this JVM cannot
+  *     see, so a deployment co-scheduling ingest restarts should run it
+  *     in the ingest job's own maintenance slot instead.
+  *
+  * The summary is the operator's alert surface: `beyondHorizon`
+  * non-empty means a late event targeted an expired day and was
+  * REFUSED (never resurrected) — it stays non-empty at every close-out
+  * until someone acts (extend retention, or accept the drop), because
+  * a refusal publishes nothing and so never advances the bookmark.
+  *
+  * Usage: `runMain graft.storage.NightlyCloseout <sinkPath> <servingRoot>
+  *   [keepFrom|-] [zorderColA zorderColB | - -] [bloomSpec|-] [vacuum]`
+  * — `-` skips an optional position (same sentinel convention as
+  * [[ServingBootstrap]]); `bloomSpec` is `col:expectedNdv[,...]`;
+  * a literal `vacuum` as the last arg enables step 3. SCALING.md's
+  * recommendation for a dense events table: `zorder user_id ts` +
+  * bloom on the point-lookup id columns — measured CHEAPER to write
+  * than a plain seal at production density (SCALEPROBE_r18 §2). */
+object NightlyCloseout {
+
+  /** What one close-out did — the fields an operator pages on. */
+  final case class Summary(
+      sealedDays: Seq[String], rowsSealed: Long, sealedThrough: Option[Long],
+      beyondHorizon: Seq[String], expiredDays: Seq[String],
+      vacuumedOrphans: Seq[String])
+
+  /** The composition, testable without a session of its own. */
+  def run(spark: SparkSession, sinkPath: String, root: String,
+      keepFrom: Option[String] = None,
+      zorder: Option[(String, String)] = None,
+      writeOptions: Map[String, String] = Map.empty,
+      parallelism: Int = 1,
+      vacuum: Boolean = false): Summary = {
+    val t = VersionedServing.sealTouched(spark, sinkPath, root,
+      keepFrom = keepFrom, parallelism = parallelism,
+      zorder = zorder, writeOptions = writeOptions)
+    val expired = keepFrom.map(VersionedServing.expire(spark, root, _))
+      .getOrElse(Nil)
+    val vacuumed =
+      if (vacuum) graft.streaming.PartitionedIngest.vacuumOrphans(spark, sinkPath)
+      else Nil
+    Summary(t.days, t.rowsSealed, t.sealedThrough, t.beyondHorizon,
+      expired, vacuumed)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sink, root) = args.take(2)
+    val keepFrom = args.lift(2).filter(_ != "-")
+    val zorder = (args.lift(3).filter(_ != "-"), args.lift(4).filter(_ != "-")) match {
+      case (Some(a), Some(b)) => Some((a, b))
+      case _ => None
+    }
+    val bloom = args.lift(5).filter(_ != "-").map { spec =>
+      Layout.bloomOptions(spec.split(',').map { s =>
+        val Array(c, n) = s.split(':'); c -> n.toLong
+      }.toMap)
+    }.getOrElse(Map.empty[String, String])
+    val vacuum = args.lift(6).contains("vacuum")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = run(spark, sink, root, keepFrom, zorder, bloom,
+      parallelism = cpus.toInt, vacuum = vacuum)
+    println(s"close-out: sealed ${s.sealedDays.size} days " +
+      s"(${s.sealedDays.mkString(", ")}), ${s.rowsSealed} rows, " +
+      s"bookmark ${s.sealedThrough.getOrElse("-")}; " +
+      s"expired ${s.expiredDays.size}; vacuumed ${s.vacuumedOrphans.size} orphans" +
+      (if (s.beyondHorizon.nonEmpty)
+        s"; ALERT beyond-horizon days refused: ${s.beyondHorizon.mkString(", ")}"
+      else ""))
+    spark.stop()
+  }
+}

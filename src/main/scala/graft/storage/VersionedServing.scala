@@ -678,6 +678,14 @@ object VersionedServing {
     * days strictly older are NOT sealed — a close-out must never
     * resurrect an expired partition — and come back in
     * [[TouchedSealStats.beyondHorizon]] for the caller's alerting.
+    * Alert semantics: the refusal repeats at every close-out while
+    * nothing else publishes (a refusal alone never advances the
+    * bookmark), but once other days seal, the bookmark moves past the
+    * refused rows and the alert is delivered exactly once — so the
+    * CALLER must treat a non-empty `beyondHorizon` as actionable, not
+    * as a standing condition to re-poll. The rows themselves are never
+    * lost: they stay in the sink, and extending retention + a manual
+    * [[sealDays]] of the day (or a full [[seal]]) folds them in.
     * Remaining knobs pass through to [[sealDays]]. */
   def sealTouched(spark: SparkSession, sinkPath: String, root: String,
       keepFrom: Option[String] = None,
