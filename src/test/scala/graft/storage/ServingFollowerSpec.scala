@@ -113,20 +113,36 @@ class ServingFollowerSpec extends SparkSpec {
       "a metadata-only publish must advance the bookmark, not deliver")
     assert(follower.lastProcessed == Some(4L))
 
+    // restart safety: a NEW follower resumed from the checkpointed
+    // bookmark sees exactly what the continuous one would have — the
+    // at-least-once contract's other half (the caller persists
+    // lastProcessed with its artifact and resumes with startAfter)
+    writeSink(Seq((22L, text(22), ts("2024-03-02 12:00:00"))), "append")
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-02")) // v5
+    val resumed = new ServingFollower(spark, root,
+      startAfter = follower.lastProcessed)
+    val got = collection.mutable.ArrayBuffer[(Long, Seq[String], Seq[Long])]()
+    val pr = resumed.poll() { (v, days, df) =>
+      got += ((v, days, df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)) }
+    assert(pr == Some((5L, Seq("2024-03-02"))) &&
+      got.head._3 == Seq(11L, 12L, 13L, 22L),
+      s"a resumed follower must process exactly the publishes past its bookmark, got $got")
+    follower.poll()(consume) // re-align the original follower for the loop leg below
+
     // the LOOP form: a fresh follower bootstraps, then notices the next
     // publish on its own thread
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val h = new ServingFollower(spark, root).follow(25) { (v, _, _) => seen.add(v) }
     try {
       val deadline = System.currentTimeMillis + 30000
-      while (!seen.contains(4L) && System.currentTimeMillis < deadline)
-        Thread.sleep(20)
-      assert(seen.contains(4L), "the loop must bootstrap from the current snapshot")
-      writeSink(Seq((31L, text(31), ts("2024-03-04 09:00:00"))), "append")
-      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-04")) // v5
       while (!seen.contains(5L) && System.currentTimeMillis < deadline)
         Thread.sleep(20)
-      assert(seen.contains(5L), "the loop must deliver the publish it observed")
+      assert(seen.contains(5L), "the loop must bootstrap from the current snapshot")
+      writeSink(Seq((31L, text(31), ts("2024-03-04 09:00:00"))), "append")
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-04")) // v6
+      while (!seen.contains(6L) && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(seen.contains(6L), "the loop must deliver the publish it observed")
     } finally h.close()
   }
 
