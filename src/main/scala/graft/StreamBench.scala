@@ -299,6 +299,25 @@ object StreamBench {
         ("ingest_seal_touched", math.round(stats.rowsSealed / sec))
       },
       {
+        // the manifest-log CONSUMER over the root the previous row
+        // sealed: one re-seal publishes a one-day delta, and the
+        // follower's poll resolves + delivers exactly that slice.
+        // Rows/s of the DELIVERED slice (feed resolution, metadata-only,
+        // rides inside) — the index-refresh consumer's capacity number.
+        val root = s"$ingestBase/serving_t"
+        val v1 = graft.storage.VersionedServing.currentVersion(spark, root)
+        val follower = new graft.storage.ServingFollower(spark, root,
+          startAfter = Some(v1))
+        val day = graft.storage.VersionedServing.servedDays(spark, root).head
+        graft.storage.VersionedServing.sealDays(
+          spark, s"$ingestBase/sink", root, Seq(day))
+        var fed = 0L
+        val t0 = System.nanoTime()
+        follower.poll() { (_, _, df) => fed = df.count() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        ("serving_feed", math.round(fed / sec))
+      },
+      {
         // ingest-time BPE encode (StreamingBpe): per-batch published-chain
         // re-read + the one-projection literal-replace encode. Rows here
         // are DOCUMENTS (8 words each), so tokens/s ≈ 8× the figure.
