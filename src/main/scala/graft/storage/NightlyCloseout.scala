@@ -47,14 +47,16 @@ object NightlyCloseout {
       zorder: Option[(String, String)] = None,
       writeOptions: Map[String, String] = Map.empty,
       parallelism: Int = 1,
-      vacuum: Boolean = false): Summary = {
+      vacuum: Boolean = false,
+      vacuumGraceMs: Long = 15 * 60 * 1000L): Summary = {
     val t = VersionedServing.sealTouched(spark, sinkPath, root,
       keepFrom = keepFrom, parallelism = parallelism,
       zorder = zorder, writeOptions = writeOptions)
     val expired = keepFrom.map(VersionedServing.expire(spark, root, _))
       .getOrElse(Nil)
     val vacuumed =
-      if (vacuum) graft.streaming.PartitionedIngest.vacuumOrphans(spark, sinkPath)
+      if (vacuum)
+        graft.streaming.PartitionedIngest.vacuumOrphans(spark, sinkPath, vacuumGraceMs)
       else Nil
     Summary(t.days, t.rowsSealed, t.sealedThrough, t.beyondHorizon,
       expired, vacuumed)

@@ -39,10 +39,13 @@ class NightlyCloseoutSpec extends SparkSpec {
       s1.expiredDays.isEmpty, s"got $s1")
     assert(VersionedServing.servedDays(spark, root) ==
       Seq("2024-03-02", "2024-03-03"))
-    // vacuum separately (grace 0: the ingest query is stopped)
-    val swept = graft.streaming.PartitionedIngest.vacuumOrphans(spark, sink, graceMs = 0)
-    assert(swept.exists(_.endsWith("part-orphan.parquet")) && !orphan.exists(),
-      s"the orphan must be swept, got $swept")
+    // the vacuum leg through the composition itself (grace 0: the
+    // ingest query is stopped, so the only orphan is the planted one)
+    val sv = NightlyCloseout.run(spark, sink, root,
+      keepFrom = Some("2024-03-02"), vacuum = true, vacuumGraceMs = 0)
+    assert(sv.sealedDays.isEmpty &&
+      sv.vacuumedOrphans.exists(_.endsWith("part-orphan.parquet")) && !orphan.exists(),
+      s"the orphan must be swept by the close-out, got $sv")
 
     // a late row beyond the horizon: the next close-out refuses it and
     // the summary carries the alert; nothing is resurrected
