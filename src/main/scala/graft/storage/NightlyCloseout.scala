@@ -21,9 +21,14 @@ import org.apache.spark.sql.SparkSession
   *
   * The summary is the operator's alert surface: `beyondHorizon`
   * non-empty means a late event targeted an expired day and was
-  * REFUSED (never resurrected) — it stays non-empty at every close-out
-  * until someone acts (extend retention, or accept the drop), because
-  * a refusal publishes nothing and so never advances the bookmark.
+  * REFUSED (never resurrected). The refusal is DURABLE: the publish
+  * that advances the bookmark past a refused day records it in the
+  * manifest (`#refused`), so `refusedOutstanding` — sourced from
+  * [[VersionedServing.refusedLates]], not from this run's observation —
+  * stays non-empty at every close-out until someone acts
+  * ([[VersionedServing.acknowledgeRefusals]] after extending retention
+  * or accepting the drop). Losing a cron log no longer loses the only
+  * record that rows were refused.
   *
   * Usage: `runMain graft.storage.NightlyCloseout <sinkPath> <servingRoot>
   *   [keepFrom|-] [zorderColA zorderColB | - -] [bloomSpec|-] [vacuum]`
@@ -35,11 +40,15 @@ import org.apache.spark.sql.SparkSession
   * than a plain seal at production density (SCALEPROBE_r18 §2). */
 object NightlyCloseout {
 
-  /** What one close-out did — the fields an operator pages on. */
+  /** What one close-out did — the fields an operator pages on.
+    * `beyondHorizon` is THIS run's fresh refusals; `refusedOutstanding`
+    * is the standing durable record (manifest `#refused` entries, this
+    * run's included) — the field to page on. */
   final case class Summary(
       sealedDays: Seq[String], rowsSealed: Long, sealedThrough: Option[Long],
       beyondHorizon: Seq[String], expiredDays: Seq[String],
-      vacuumedOrphans: Seq[String])
+      vacuumedOrphans: Seq[String],
+      refusedOutstanding: Map[String, Long])
 
   /** The composition, testable without a session of its own. */
   def run(spark: SparkSession, sinkPath: String, root: String,
@@ -59,7 +68,10 @@ object NightlyCloseout {
         graft.streaming.PartitionedIngest.vacuumOrphans(spark, sinkPath, vacuumGraceMs)
       else Nil
     Summary(t.days, t.rowsSealed, t.sealedThrough, t.beyondHorizon,
-      expired, vacuumed)
+      expired, vacuumed,
+      // the durable alert: manifest #refused entries (which include any
+      // this close-out just recorded), surviving the cron log
+      refusedOutstanding = VersionedServing.refusedLates(spark, root))
   }
 
   def main(args: Array[String]): Unit = {
@@ -92,6 +104,11 @@ object NightlyCloseout {
       s"expired ${s.expiredDays.size}; vacuumed ${s.vacuumedOrphans.size} orphans" +
       (if (s.beyondHorizon.nonEmpty)
         s"; ALERT beyond-horizon days refused: ${s.beyondHorizon.mkString(", ")}"
+      else "") +
+      (if (s.refusedOutstanding.nonEmpty)
+        s"; OUTSTANDING refusals (acknowledgeRefusals to clear): " +
+          s.refusedOutstanding.toSeq.sorted
+            .map { case (d, b) => s"$d@batch$b" }.mkString(", ")
       else ""))
     spark.stop()
   }

@@ -97,10 +97,30 @@ object VersionedServing {
   /** Default for [[KeepManifestsKey]]. */
   val KeepManifests = 3
 
+  /** Conf key for the TIME floor on the grace window: manifests younger
+    * than this many milliseconds are retained regardless of
+    * [[KeepManifestsKey]]'s count. The count alone is publish-RATE
+    * relative: the same `3` that gives days of grace at one nightly
+    * seal compresses to minutes under a [[sealTouched]] driven
+    * per-micro-batch — a burst of publishes could reclaim a manifest
+    * out from under a scan that started seconds ago. The floor makes
+    * the guarantee wall-clock: size it to the longest expected scan
+    * (e.g. 6h = 21600000). Default 0 (disabled — count-only, the
+    * historical behavior). Reclaim keeps the UNION of the newest
+    * `keepManifests` and everything younger than the floor, so setting
+    * both never weakens either. */
+  val KeepManifestsMsKey = "spark.graft.layout.serving.keepManifestsMs"
+
   private def keepManifests(spark: SparkSession): Int = {
     val n = spark.conf.get(KeepManifestsKey, KeepManifests.toString).toInt
     require(n >= 1, s"$KeepManifestsKey must be >= 1 (got $n)")
     n
+  }
+
+  private def keepManifestsMs(spark: SparkSession): Long = {
+    val ms = spark.conf.get(KeepManifestsMsKey, "0").toLong
+    require(ms >= 0, s"$KeepManifestsMsKey must be >= 0 (got $ms)")
+    ms
   }
 
   /** The generation partition column's name in the pool layout. Chosen
@@ -209,7 +229,8 @@ object VersionedServing {
     * roots never sealed from a sink (then [[sealTouched]]'s first run
     * covers the whole log). */
   private case class Manifest(days: Map[String, Long], schemaDdl: Option[String],
-      sealedThrough: Option[Long])
+      sealedThrough: Option[Long],
+      refused: Map[String, Long] = Map.empty)
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       mf: org.apache.hadoop.fs.Path): Manifest = {
@@ -221,10 +242,15 @@ object VersionedServing {
     val sealedThrough = lines.collectFirst {
       case l if l.startsWith("#sealedThrough\t") =>
         l.stripPrefix("#sealedThrough\t").toLong }
+    val refused = lines.collect {
+      case l if l.startsWith("#refused\t") =>
+        val Array(day, batch) = l.stripPrefix("#refused\t").split('\t')
+        day -> batch.toLong
+    }.toMap
     val days = lines.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
       val Array(day, gen) = l.split('\t'); day -> gen.toLong
     }.toMap
-    Manifest(days, schema, sealedThrough)
+    Manifest(days, schema, sealedThrough, refused)
   }
 
   /** Resolve the newest manifest's day→generation map. Empty map if
@@ -359,7 +385,7 @@ object VersionedServing {
     require(bad.isEmpty,
       s"archive verification failed — NOT publishing $archiveRoot " +
         s"(the copied files remain for inspection):\n${bad.mkString("\n")}")
-    publish(spark, archiveRoot, m.days, m.schemaDdl, m.sealedThrough)
+    publish(spark, archiveRoot, m.days, m.schemaDdl, m.sealedThrough, m.refused)
     bytes
   }
 
@@ -466,13 +492,19 @@ object VersionedServing {
       keepFrom: Option[String] = None,
       zorder: Option[(String, String)] = None,
       writeOptions: Map[String, String] = Map.empty)
-      : graft.streaming.PartitionedIngest.SealStats =
+      : graft.streaming.PartitionedIngest.SealStats = {
     // a full seal of a streaming sink covers everything the commit log
     // has: bookmark the log's latest batch id so sealTouched's next
-    // close-out only looks at batches after it
+    // close-out only looks at batches after it. The bookmark is taken
+    // BEFORE the sink DataFrame pins its committed-file snapshot
+    // (MetadataLogFileIndex is built eagerly at spark.read) — bookmark
+    // ≤ data snapshot, so a batch committed between the two is in the
+    // sealed data AND re-sealed at the next close-out (over-report,
+    // idempotent) rather than recorded-but-absent (stale forever).
+    val bookmark = graft.streaming.PartitionedIngest.latestBatch(spark, sinkPath)
     sealFrameWith(spark, spark.read.parquet(sinkPath), root, keepFrom, zorder,
-      writeOptions,
-      graft.streaming.PartitionedIngest.latestBatch(spark, sinkPath))
+      writeOptions, bookmark)
+  }
 
   /** [[seal]] over an arbitrary frame carrying a `ts_date` DateType
     * column — the batch BOOTSTRAP form: build the first versioned
@@ -525,7 +557,10 @@ object VersionedServing {
       Some(pinnedSchemaDdl(
         org.apache.spark.sql.types.StructType(
           laid.schema.filterNot(_.name == "ts_date")))),
-      sealedThrough)
+      sealedThrough,
+      // a full seal rewrites the data but does not act on refusals —
+      // the durable alert stands until acknowledged
+      currentManifestFull(spark, root).refused)
     // count from the generation just written (ours, immutable): one
     // sink read for the data, footer-level reads for the statistic
     val rowsSealed = if (days.isEmpty) 0L else spark.read.parquet(genDir).count()
@@ -580,7 +615,8 @@ object VersionedServing {
       days: Seq[String], targetBytes: Long,
       parallelism: Int, zorder: Option[(String, String)],
       writeOptions: Map[String, String],
-      sealedThrough: Option[Long]): Long = {
+      sealedThrough: Option[Long],
+      extraRefused: Map[String, Long] = Map.empty): Long = {
     require(days.nonEmpty, "sealDays needs at least one day")
     require(days.distinct.length == days.length, s"duplicate days in $days")
     val hc = spark.sparkContext.hadoopConfiguration
@@ -635,7 +671,7 @@ object VersionedServing {
       if (written.nonEmpty) Some(pinnedSchemaDdl(written.head._3))
       else cur.schemaDdl
     publish(spark, root, cur.days ++ written.map(w => w._1 -> gen), schema,
-      sealedThrough)
+      sealedThrough, cur.refused ++ extraRefused)
     written.map(_._2).sum
   }
 
@@ -680,12 +716,14 @@ object VersionedServing {
     * [[TouchedSealStats.beyondHorizon]] for the caller's alerting.
     * Alert semantics: the refusal repeats at every close-out while
     * nothing else publishes (a refusal alone never advances the
-    * bookmark), but once other days seal, the bookmark moves past the
-    * refused rows and the alert is delivered exactly once — so the
-    * CALLER must treat a non-empty `beyondHorizon` as actionable, not
-    * as a standing condition to re-poll. The rows themselves are never
-    * lost: they stay in the sink, and extending retention + a manual
-    * [[sealDays]] of the day (or a full [[seal]]) folds them in.
+    * bookmark). Once other days seal, the bookmark moves past the
+    * refused rows — and THAT publish records them durably as `#refused`
+    * manifest entries ([[refusedLates]]), carried by every later
+    * publish until [[acknowledgeRefusals]]: the returned
+    * `beyondHorizon` is delivered once, but the record survives the
+    * cron log. The rows themselves are never lost: they stay in the
+    * sink, and extending retention + a manual [[sealDays]] of the day
+    * (or a full [[seal]]) folds them in.
     * Remaining knobs pass through to [[sealDays]]. */
   def sealTouched(spark: SparkSession, sinkPath: String, root: String,
       keepFrom: Option[String] = None,
@@ -705,8 +743,14 @@ object VersionedServing {
           // and avoids publishing a manifest that changes nothing
           TouchedSealStats(Nil, 0L, cur.sealedThrough, beyond)
         else {
+          // this publish advances the bookmark PAST the refused days'
+          // batches — the next scan will not re-surface them, so the
+          // refusal is made DURABLE here (a #refused manifest record,
+          // readable via [[refusedLates]] until acknowledged) instead
+          // of living only in the returned stats and the cron log
           val rows = sealDaysWith(spark, sinkPath, root, due, targetBytes,
-            parallelism, zorder, writeOptions, Some(t.throughBatch))
+            parallelism, zorder, writeOptions, Some(t.throughBatch),
+            extraRefused = beyond.map(_ -> t.throughBatch).toMap)
           TouchedSealStats(due, rows, Some(t.throughBatch), beyond)
         }
     }
@@ -717,6 +761,32 @@ object VersionedServing {
   def sealedThrough(spark: SparkSession, root: String): Option[Long] =
     currentManifestFull(spark, root).sealedThrough
 
+  /** The DURABLE beyond-horizon refusal record: day → the sink batch id
+    * whose close-out refused to seal it (the bookmark that moved past
+    * its rows). [[sealTouched]] writes these `#refused` manifest
+    * entries at the publish that advances the bookmark beyond a refused
+    * day — the moment the alert would otherwise be delivered exactly
+    * once and then exist nowhere but the cron log. Every later publish
+    * carries them forward, so "rows were refused" is auditable for as
+    * long as it stands; [[acknowledgeRefusals]] is how an operator acts
+    * on it (after extending retention + a manual [[sealDays]], or
+    * accepting the drop). */
+  def refusedLates(spark: SparkSession, root: String): Map[String, Long] =
+    currentManifestFull(spark, root).refused
+
+  /** Operator acknowledgment of [[refusedLates]] entries: publishes a
+    * manifest without the named days' refusal records (data and
+    * bookmark unchanged) and returns what remains. Days not currently
+    * refused are ignored; acknowledging nothing publishes nothing. */
+  def acknowledgeRefusals(spark: SparkSession, root: String,
+      days: Seq[String]): Map[String, Long] = {
+    val cur = currentManifestFull(spark, root)
+    val remaining = cur.refused -- days
+    if (remaining.size != cur.refused.size)
+      publish(spark, root, cur.days, cur.schemaDdl, cur.sealedThrough, remaining)
+    remaining
+  }
+
   /** Retention, metadata-only: publish a manifest without the days
     * strictly older than `keepFrom`. The bytes are reclaimed when the
     * manifests still referencing them age out of [[KeepManifests]] —
@@ -725,7 +795,8 @@ object VersionedServing {
   def expire(spark: SparkSession, root: String, keepFrom: String): Seq[String] = {
     val cur = currentManifestFull(spark, root)
     val (drop, keep) = cur.days.partition(_._1 < keepFrom)
-    if (drop.nonEmpty) publish(spark, root, keep, cur.schemaDdl, cur.sealedThrough)
+    if (drop.nonEmpty)
+      publish(spark, root, keep, cur.schemaDdl, cur.sealedThrough, cur.refused)
     drop.keys.toSeq.sorted
   }
 
@@ -784,7 +855,8 @@ object VersionedServing {
 
   private def publish(spark: SparkSession, root: String,
       manifest: Map[String, Long], schemaDdl: Option[String],
-      sealedThrough: Option[Long]): Unit = {
+      sealedThrough: Option[Long],
+      refused: Map[String, Long] = Map.empty): Unit = {
     val (fs, base) = fsFor(spark, root)
     val mdir = new org.apache.hadoop.fs.Path(base, "manifests")
     fs.mkdirs(mdir)
@@ -796,15 +868,25 @@ object VersionedServing {
     val out = fs.create(tmp, true)
     try out.write((schemaDdl.map(d => s"#schema\t$d").toSeq ++
         sealedThrough.map(b => s"#sealedThrough\t$b").toSeq ++
+        refused.toSeq.sortBy(_._1).map { case (d, b) => s"#refused\t$d\t$b" } ++
         manifest.toSeq.sortBy(_._1).map { case (d, g) => s"$d\t$g" })
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(tmp, mf), s"failed to publish manifest $mf")
-    // reclaim beyond the grace window (sized by the conf key — see
-    // [[KeepManifestsKey]] for the per-deployment arithmetic)
+    // reclaim beyond the grace window: keep the newest `keepManifests`
+    // PLUS everything younger than the time floor (see the two conf
+    // keys' scaladoc for the per-deployment arithmetic) — the union, so
+    // a publish burst can never compress the wall-clock guarantee
     val keep = keepManifests(spark)
-    val keptFiles = (existing :+ mf).takeRight(keep)
-    (existing :+ mf).dropRight(keep).foreach(fs.delete(_, false))
+    val floorMs = keepManifestsMs(spark)
+    val cutoff = System.currentTimeMillis() - floorMs
+    val all = existing :+ mf
+    val keptFiles = all.zipWithIndex.collect {
+      case (f, i) if i >= all.length - keep ||
+        (floorMs > 0 && fs.getFileStatus(f).getModificationTime >= cutoff) => f
+    }
+    val keptSet = keptFiles.toSet
+    all.filterNot(keptSet).foreach(fs.delete(_, false))
     val referenced: Set[(Long, String)] = keptFiles.flatMap { f =>
       // toSeq BEFORE inverting: mapping a Map to (gen, day) would
       // collapse every day of one generation onto a single key

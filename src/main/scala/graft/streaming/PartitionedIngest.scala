@@ -223,7 +223,18 @@ object PartitionedIngest {
       FileStreamSinkLog.VERSION, spark, metaDir.toString)
     log.getLatestBatchId() match {
       case None => None
-      case Some(latest) if sinceBatch.exists(_ >= latest) =>
+      case Some(latest) if sinceBatch.exists(_ > latest) =>
+        // a bookmark STRICTLY ahead of the commit log means the sink's
+        // checkpoint/metadata log was recreated (batch ids restarted)
+        // under an old manifest — returning "nothing touched" here
+        // would leave the serving copy permanently stale with no
+        // signal while new data keeps landing
+        throw new IllegalStateException(
+          s"bookmark ${sinceBatch.get} is ahead of the commit log's latest " +
+            s"batch $latest at $sinkPath — the sink's metadata log was " +
+            "likely recreated; re-bootstrap the serving copy with a full " +
+            "seal instead of a touched-day close-out")
+      case Some(latest) if sinceBatch.contains(latest) =>
         Some(TouchedDays(Nil, latest))
       case Some(latest) =>
         val entries = log.get(sinceBatch.map(_ + 1), Some(latest)).flatMap(_._2)

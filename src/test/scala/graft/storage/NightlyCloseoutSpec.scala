@@ -39,6 +39,13 @@ class NightlyCloseoutSpec extends SparkSpec {
       s1.expiredDays.isEmpty, s"got $s1")
     assert(VersionedServing.servedDays(spark, root) ==
       Seq("2024-03-02", "2024-03-03"))
+    // the refusal is DURABLE from the publish that advanced the bookmark
+    // past it: recorded in the manifest, not just in this run's summary
+    val recorded = VersionedServing.refusedLates(spark, root)
+    assert(recorded.keySet == Set("2024-03-01") &&
+      recorded("2024-03-01") == s1.sealedThrough.get,
+      s"refusal must be recorded at the advancing publish, got $recorded")
+    assert(s1.refusedOutstanding == recorded)
     // the vacuum leg through the composition itself (grace 0: the
     // ingest query is stopped, so the only orphan is the planted one)
     val sv = NightlyCloseout.run(spark, sink, root,
@@ -64,5 +71,23 @@ class NightlyCloseoutSpec extends SparkSpec {
     assert(s3.sealedDays.isEmpty && s3.expiredDays == Seq("2024-03-02"), s"got $s3")
     assert(VersionedServing.servedDays(spark, root) ==
       Seq("2024-03-03", "2024-03-04"))
+
+    // the durable record is carried by every later publish (s2's re-seal
+    // updated its batch id; s3's expire-only publish carried it) and
+    // stays readable until an operator acts — losing the cron's stdout
+    // loses nothing
+    assert(s3.refusedOutstanding ==
+      Map("2024-03-01" -> s2.sealedThrough.get), s"got $s3")
+    assert(VersionedServing.refusedLates(spark, root) == s3.refusedOutstanding)
+    // acknowledging clears the record (data and bookmark untouched) and
+    // the next close-out's alert surface is quiet
+    assert(VersionedServing.acknowledgeRefusals(
+      spark, root, Seq("2024-03-01")).isEmpty)
+    assert(VersionedServing.refusedLates(spark, root).isEmpty)
+    assert(VersionedServing.sealedThrough(spark, root) == s2.sealedThrough)
+    assert(VersionedServing.servedDays(spark, root) ==
+      Seq("2024-03-03", "2024-03-04"))
+    val s4 = NightlyCloseout.run(spark, sink, root, keepFrom = Some("2024-03-03"))
+    assert(s4.refusedOutstanding.isEmpty && s4.beyondHorizon.isEmpty, s"got $s4")
   }
 }

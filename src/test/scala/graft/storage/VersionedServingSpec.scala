@@ -800,6 +800,51 @@ class VersionedServingSpec extends SparkSpec {
     } finally s.conf.unset(VersionedServing.KeepManifestsKey)
   }
 
+  test("keepManifestsMs: a publish burst cannot reclaim manifests younger than the time floor") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsgracems").toString
+    val (sink, root) = (s"$base/sink", s"$base/serving")
+    def appendRows(n: Int, tag: Int): Unit =
+      (1 to n).map(i => ((tag * 1000 + i).toLong, ts("2024-03-01 10:00:00")))
+        .toDF("event_id", "ts")
+        .withColumn("ts_date", Layout.utcDate(col("ts")))
+        .write.mode("append").partitionBy("ts_date").parquet(sink)
+
+    // the hostile shape: count window 1 (every publish would reclaim its
+    // predecessor) + a per-batch publish burst — the exact compression
+    // the floor exists for. One hour floor: every manifest in this test
+    // is younger than it, so ALL must survive the burst.
+    s.conf.set(VersionedServing.KeepManifestsKey, "1")
+    s.conf.set(VersionedServing.KeepManifestsMsKey, "3600000")
+    try {
+      appendRows(4, 1)
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) // v1
+      val pinned = VersionedServing.read(spark, root)
+      assert(pinned.count() == 4)
+      appendRows(3, 2)
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) // v2
+      appendRows(2, 3)
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) // v3
+      assert(VersionedServing.versions(spark, root) == Seq(1L, 2L, 3L),
+        "manifests younger than the floor must survive a count-1 burst")
+      assert(pinned.count() == 4,
+        "the pinned scan survives the burst — the floor is the wall-clock guarantee")
+      assert(VersionedServing.readAt(spark, root, 1L).count() == 4)
+
+      // floor disabled → the very next publish reclaims down to the
+      // count window (the historical behavior, untouched by default)
+      s.conf.set(VersionedServing.KeepManifestsMsKey, "0")
+      appendRows(1, 4)
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) // v4
+      assert(VersionedServing.versions(spark, root) == Seq(4L),
+        "with the floor off, the count window alone governs reclaim")
+    } finally {
+      s.conf.unset(VersionedServing.KeepManifestsKey)
+      s.conf.unset(VersionedServing.KeepManifestsMsKey)
+    }
+  }
+
   test("archive verification: a corrupted copy refuses to publish; the healed retry serves the pin") {
     val s = spark
     import s.implicits._

@@ -344,4 +344,28 @@ class PartitionedIngestSpec extends SparkSpec {
     assert(PartitionedIngest.daysTouchedSince(spark, plain, None).isEmpty)
     assert(PartitionedIngest.latestBatch(spark, plain).isEmpty)
   }
+
+  test("daysTouchedSince: a bookmark ahead of the commit log fails loudly (recreated sink)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("pahead").toString
+    val (sink, ckpt) = (s"$base/sink", s"$base/ckpt")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = PartitionedIngest.start(
+      in.toDF().select($"_1".as("event_id"), $"_2".as("ts")), sink, ckpt)
+    try {
+      in.addData((1L, ts("2024-03-01 10:00:00"))); q.processAllAvailable()
+      // the log's latest batch is 0; an old manifest carrying a higher
+      // bookmark means the sink's metadata log was recreated — returning
+      // "nothing touched" would leave the serving copy permanently stale
+      val e = intercept[IllegalStateException] {
+        PartitionedIngest.daysTouchedSince(spark, sink, Some(7L))
+      }
+      assert(e.getMessage.contains("ahead of the commit log"), e.getMessage)
+      // exactly-at-latest remains the quiet "nothing new" answer
+      assert(PartitionedIngest.daysTouchedSince(spark, sink, Some(0L)) ==
+        Some(PartitionedIngest.TouchedDays(Nil, 0L)))
+    } finally q.stop()
+  }
 }
