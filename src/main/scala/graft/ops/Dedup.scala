@@ -379,15 +379,26 @@ object Dedup {
     * Hamming distance): bands = hammingK+1 equal slices of the
     * fingerprint (pigeonhole), identical machinery at every width. */
   private[graft] def simhashHammingPairsImpl(s: SparkSession, dir: String,
-                                             bits: Int, hammingK: Int): DataFrame = {
+                                             bits: Int, hammingK: Int): DataFrame =
+    hammingPairs(simhashFpsImpl(s, dir, bits), "simhash", bits, hammingK)
+
+  /** The banded Hamming-pair core over ANY (doc_id, fingerprint) frame
+    * — pigeonhole banding, [[MaxBandBucket]] hub-star cap, exact
+    * `bit_count(xor)` verification — shared by the SimHash text path
+    * and the perceptual-hash image path
+    * ([[graft.ops.Multimodal.phashNearDup]]): "find fingerprints within
+    * Hamming k" is one problem regardless of what produced the bits.
+    * Never all-pairs; the only join is bucket-local on (band, value). */
+  private[graft] def hammingPairs(fps0: DataFrame, fpCol: String,
+                                  bits: Int, hammingK: Int): DataFrame = {
     val nBands = hammingK + 1
     val bandBits = bits / nBands
     require(nBands * bandBits == bits,
       s"fingerprint width $bits must split evenly into $nBands bands")
     val bandMask = (1L << bandBits) - 1
     // referenced by all band projections + both join sides: pin the
-    // doc-sized (doc_id, simhash) table once; blocks free with the RDD
-    val fps = simhashFpsImpl(s, dir, bits).materialized
+    // doc-sized (doc_id, fingerprint) table once; blocks free with the RDD
+    val fps = fps0.select(col("doc_id"), col(fpCol).as("simhash")).materialized
     val bands = (0 until nBands).map { k =>
       fps.select(col("doc_id"), col("simhash"), lit(k).as("band"),
         shiftrightunsigned(col("simhash"), bandBits * k)
@@ -1345,29 +1356,65 @@ object Dedup {
     * `index` — the end-to-end loop ServingFollowerSpec pins). Both
     * frames carry (doc_id, text). Same probe shapes and scale story as
     * [[dedupIncremental]]: semi-joins on sketch keys, the index side
-    * never self-joined; at 100 TB the index's sketch table (hash + band
-    * keys per doc) is what a deployment PERSISTS between ingests —
-    * derive it once with the two `bandsOf`/md5 projections below and
-    * store that instead of re-sketching the corpus per batch. */
-  def incrementalDispositions(index: DataFrame, batch: DataFrame): DataFrame = {
-    def bandsOf(docs: DataFrame): DataFrame = {
-      val sig = minhashSig(docs).materialized
-      (0 until NumBands).map { k =>
-        sig.select(col("doc_id"), lit(k).as("band"),
-          hash60(concat_ws(",",
-            (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*)).as("bsig"))
-      }.reduce(_ unionByName _)
-    }
-    val oldHashes = index.select(md5(col("text")).as("ch")).distinct()
-    val exactHits = batch.select(col("doc_id"), md5(col("text")).as("ch"))
-      .join(oldHashes, Seq("ch"), "left_semi")
+    * never self-joined. This form re-sketches BOTH sides per call — at
+    * 100 TB that is re-minhashing the corpus every night; a deployment
+    * persists [[sketchOf]] of the corpus instead and calls
+    * [[sketchedDispositions]] with it (the feed loop then maintains the
+    * sketch artifact by per-day replace — ServingFollowerSpec pins the
+    * full cycle). */
+  def incrementalDispositions(index: DataFrame, batch: DataFrame): DataFrame =
+    sketchedDispositions(sketchOf(index), sketchOf(batch))
+
+  /** The PERSISTED dedup-index sketch of a document frame — everything
+    * [[sketchedDispositions]] needs to disposition future batches
+    * against these documents, as ONE narrow table: a row per
+    * (doc, LSH band) carrying `(doc_id, ch, band, bsig)` where `ch` is
+    * the content hash (exact-dup key, repeated across the doc's
+    * [[NumBands]] rows so the artifact stays a single table) and
+    * `(band, bsig)` the banded-minhash key (near-dup key). This is the
+    * exact/near twin of the semantic side's persisted
+    * `(vec_id, list_id, qv)` assigned frame
+    * ([[graft.ops.Similarity.semanticDispositions]]'s contract): the
+    * feed-driven index refresh sketches each changed day slice ONCE,
+    * dispositions it against the maintained artifact, then replaces
+    * that day's sketch rows — the corpus text is never re-read, never
+    * re-minhashed. Cost shape: the minhash aggregation moves one
+    * 16-column row per document ([[minhashSig]]); the content-hash
+    * attach is a doc-narrow join BEFORE the ×[[NumBands]] band
+    * expansion, so the join side is one row per document. 4 rows × ~32
+    * bytes per doc ≈ 128 bytes/doc — a 10⁹-doc corpus sketch is
+    * ~128 GB, partition-pruned per day like any fact table. */
+  def sketchOf(docs: DataFrame): DataFrame = {
+    val sig = minhashSig(docs)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("ch")), Seq("doc_id"))
+      .materialized
+    (0 until NumBands).map { k =>
+      sig.select(col("doc_id"), col("ch"), lit(k).as("band"),
+        hash60(concat_ws(",",
+          (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*)).as("bsig"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[incrementalDispositions]] over PRE-SKETCHED frames (both sides
+    * in [[sketchOf]]'s (doc_id, ch, band, bsig) shape): 'exact' when
+    * the batch doc's content hash appears in the index sketch, 'near'
+    * when any of its band keys does, 'fresh' otherwise. The index side
+    * is only ever semi-join probed on its two key projections — never
+    * self-joined, never re-hashed — so the nightly cost is
+    * O(batch sketch + index key probe), independent of corpus text
+    * size. The caller sketches a feed batch once, dispositions it
+    * here, then folds the same sketch rows into the persisted
+    * artifact. */
+  def sketchedDispositions(indexSketch: DataFrame, batchSketch: DataFrame): DataFrame = {
+    val exactHits = batchSketch.select("doc_id", "ch").dropDuplicates("doc_id")
+      .join(indexSketch.select("ch").distinct(), Seq("ch"), "left_semi")
       .select(col("doc_id"), lit(1).as("is_exact"))
-    val oldBands = bandsOf(index).select("band", "bsig").distinct()
-    val nearHits = bandsOf(batch)
-      .join(oldBands, Seq("band", "bsig"), "left_semi")
+    val nearHits = batchSketch.select("doc_id", "band", "bsig")
+      .join(indexSketch.select("band", "bsig").distinct(),
+        Seq("band", "bsig"), "left_semi")
       .select("doc_id").distinct()
       .select(col("doc_id"), lit(1).as("is_near"))
-    batch.select("doc_id")
+    batchSketch.select("doc_id").distinct()
       .join(exactHits, Seq("doc_id"), "left")
       .join(nearHits, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -77,7 +77,11 @@ final class ServingFollower(spark: SparkSession, root: String,
       case Some(seen) if seen >= cur => None
       case None =>
         val days = VersionedServing.servedDays(spark, root)
-        process(cur, days, VersionedServing.readAt(spark, root, cur))
+        // a current snapshot with zero days (everything expired before
+        // the first poll) has nothing readable — treat it like the
+        // expire-only window below rather than crashing the bootstrap
+        if (days.nonEmpty)
+          process(cur, days, VersionedServing.readAt(spark, root, cur))
         bookmark = Some(cur)
         Some((cur, days))
       case Some(seen) =>

@@ -589,6 +589,26 @@ class OpsSpec extends SparkSpec {
     assert(out(401L) == "near", s"one-word edit: ${out(401L)}")
     assert(out(402L) == "fresh", s"disjoint doc: ${out(402L)}")
     assert(out.size == 3) // only the batch is reported
+
+    // the PERSISTED-sketch path: dispositioning the batch against a
+    // sketchOf(index) artifact written to parquet and read back gives
+    // the same rows as the oracle query — the corpus text is never
+    // re-read once its sketch exists
+    val all = s.read.parquet(s"$tmp/documents.parquet")
+    val sketch = Dedup.sketchOf(all.filter($"doc_id" < 400L))
+    sketch.write.parquet(s"$tmp/sketch.parquet")
+    val viaSketch = Dedup.sketchedDispositions(
+        s.read.parquet(s"$tmp/sketch.parquet"),
+        Dedup.sketchOf(all.filter($"doc_id" >= 400L)))
+      .as[(Long, String)].collect().toMap
+    assert(viaSketch == out,
+      s"sketch-fed dispositions must equal the oracle rows, got $viaSketch vs $out")
+    // and the composable text form (which sketches both sides itself)
+    // agrees too — it IS the sketch path
+    val viaText = Dedup.incrementalDispositions(
+        all.filter($"doc_id" < 400L), all.filter($"doc_id" >= 400L))
+      .as[(Long, String)].collect().toMap
+    assert(viaText == out)
   }
 
   test("editdist_pairs: hot blocks degrade to star pairs on the block minimum") {

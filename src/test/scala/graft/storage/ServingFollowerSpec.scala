@@ -213,4 +213,134 @@ class ServingFollowerSpec extends SparkSpec {
     assert(recompute == last.view.mapValues(_._2).toMap,
       "feed-driven dispositions must equal the from-scratch recompute")
   }
+
+  test("follower maintains the PERSISTED dedup sketch per-day; feed-built sketch equals the from-scratch re-sketch") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vssketch").toString
+    val (sink, root, sketchRoot) = (s"$base/sink", s"$base/serving", s"$base/sketch")
+    def writeSink(rows: Seq[(Long, String, java.sql.Timestamp)], mode: String): Unit =
+      rows.toDF("doc_id", "text", "ts")
+        .withColumn("ts_date", Layout.utcDate(col("ts")))
+        .drop("ts")
+        .write.mode(mode).partitionBy("ts_date").parquet(sink)
+
+    // the consumer's artifact is the PERSISTED sketch table, one
+    // directory per day, replaced whole per feed batch — the corpus
+    // text is sketched exactly once, at the feed batch that delivers it
+    def sketchDays: Seq[String] = {
+      val d = new java.io.File(sketchRoot)
+      if (!d.exists()) Nil
+      else d.listFiles().filter(_.getName.startsWith("ts_date="))
+        .map(_.getName.stripPrefix("ts_date=")).sorted.toSeq
+    }
+    def readSketch(excluding: Set[String]): Option[DataFrame] = {
+      val keep = sketchDays.filterNot(excluding)
+      if (keep.isEmpty) None
+      else Some(s.read.parquet(keep.map(d => s"$sketchRoot/ts_date=$d"): _*))
+    }
+    var last: Map[Long, String] = Map.empty
+    def consume(version: Long, days: Seq[String], slices: DataFrame): Unit = {
+      val byDay = days.map { d =>
+        d -> graft.ops.Dedup.sketchOf(
+          slices.filter(col("ts_date") === lit(d).cast("date"))
+            .select("doc_id", "text")).localCheckpoint()
+      }
+      // disposition the batch against the index EXCLUDING the re-served
+      // days (per-day replace: those days are being superseded) — from
+      // the persisted artifact alone, no document text re-read
+      readSketch(excluding = days.toSet).foreach { idx =>
+        last = graft.ops.Dedup.sketchedDispositions(idx,
+            byDay.map(_._2).reduce(_ unionByName _))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      }
+      byDay.foreach { case (d, sk) =>
+        sk.write.mode("overwrite").parquet(s"$sketchRoot/ts_date=$d") }
+    }
+    val follower = new ServingFollower(spark, root)
+
+    // day 01 bootstraps the sketch; nothing to disposition against yet
+    writeSink(Seq(
+      (1L, text(1), ts("2024-03-01 09:00:00")),
+      (2L, text(2), ts("2024-03-01 10:00:00")),
+      (3L, text(3), ts("2024-03-01 11:00:00"))), "overwrite")
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) // v1
+    assert(follower.poll()(consume) == Some((1L, Seq("2024-03-01"))))
+    assert(sketchDays == Seq("2024-03-01") && last.isEmpty)
+
+    // day 02: exact dup of doc 1, near dup of doc 2 (same tokens after
+    // lowercasing), and a fresh doc — dispositioned against the
+    // persisted day-01 sketch
+    writeSink(Seq(
+      (11L, text(1), ts("2024-03-02 09:00:00")),
+      (12L, text(2).toUpperCase, ts("2024-03-02 10:00:00")),
+      (13L, text(13), ts("2024-03-02 11:00:00"))), "append")
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-02")) // v2
+    assert(follower.poll()(consume) == Some((2L, Seq("2024-03-02"))))
+    assert(last == Map(11L -> "exact", 12L -> "near", 13L -> "fresh"),
+      s"sketch-fed ingest-twin dedup, got $last")
+
+    // a two-day close-out: late fresh doc in day 01 + a day 03 doc that
+    // exactly duplicates a DAY-02 doc — the hit comes from sketch rows
+    // written by the PREVIOUS feed batch, and the re-served day 01 is
+    // excluded from its own index
+    writeSink(Seq(
+      (4L, text(4), ts("2024-03-01 23:00:00")),
+      (21L, text(13), ts("2024-03-03 09:00:00"))), "append")
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01", "2024-03-03")) // v3
+    assert(follower.poll()(consume) ==
+      Some((3L, Seq("2024-03-01", "2024-03-03"))))
+    assert(last(21L) == "exact" && last(4L) == "fresh" &&
+      last(1L) == "exact" && last(3L) == "fresh",
+      s"day-03's dup of a day-02 doc must hit the persisted sketch, got $last")
+    assert(sketchDays == Seq("2024-03-01", "2024-03-02", "2024-03-03"))
+
+    // the feed-maintained sketch equals re-sketching the full current
+    // snapshot from scratch — per-day replace loses nothing, keeps
+    // nothing stale
+    val fed = readSketch(Set.empty).get
+      .select("doc_id", "ch", "band", "bsig")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .sorted.toSeq
+    val scratch = graft.ops.Dedup.sketchOf(
+        VersionedServing.read(spark, root).select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(fed == scratch,
+      "feed-maintained sketch must equal the from-scratch re-sketch")
+  }
+
+  test("follower: bootstrap against an all-expired snapshot delivers nothing and advances") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vsempty").toString
+    val (sink, root) = (s"$base/sink", s"$base/serving")
+    Seq((1L, text(1), ts("2024-03-01 09:00:00")))
+      .toDF("doc_id", "text", "ts")
+      .withColumn("ts_date", Layout.utcDate(col("ts"))).drop("ts")
+      .write.partitionBy("ts_date").parquet(sink)
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) // v1
+    VersionedServing.expire(spark, root, "2024-03-02")              // v2: zero days
+    assert(VersionedServing.servedDays(spark, root).isEmpty)
+
+    // a FRESH consumer's first poll sees a current snapshot with zero
+    // readable days: nothing to deliver, but the bookmark must advance
+    // (crashing here would wedge every new consumer of an idle root)
+    var called = 0
+    val follower = new ServingFollower(spark, root)
+    val p = follower.poll() { (_, _, _) => called += 1 }
+    assert(p == Some((2L, Seq())) && called == 0, s"got $p after $called calls")
+    assert(follower.lastProcessed == Some(2L))
+
+    // and the next publish is delivered normally from that bookmark
+    Seq((2L, text(2), ts("2024-03-03 09:00:00")))
+      .toDF("doc_id", "text", "ts")
+      .withColumn("ts_date", Layout.utcDate(col("ts"))).drop("ts")
+      .write.mode("append").partitionBy("ts_date").parquet(sink)
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-03")) // v3
+    val got = collection.mutable.ArrayBuffer[Long]()
+    val p2 = follower.poll() { (_, _, df) =>
+      got ++= df.select("doc_id").collect().map(_.getLong(0)) }
+    assert(p2 == Some((3L, Seq("2024-03-03"))) && got.toSeq == Seq(2L))
+  }
 }
