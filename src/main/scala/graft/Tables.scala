@@ -51,11 +51,19 @@ object Tables {
     * built once per source dir), so the dedup/text family's doc_id-keyed
     * front half plans exchange-free — the SCALEPROBE_r12 §3 win wired
     * into the serving path. Default is the raw parquet scan. */
-  def documents(s: SparkSession, d: String): DataFrame =
-    if (s.conf.get(graft.storage.Layout.EnabledKey, "false").toBoolean) {
+  def documents(s: SparkSession, d: String): DataFrame = {
+    val servingDir = s.conf.get(graft.storage.Layout.DocsServingDirKey, "")
+    if (servingDir.nonEmpty) {
+      // a sealed serving copy IS the corpus (snapshot-isolated,
+      // time-travelable — see DocsServingDirKey); there may be no batch
+      // source at all, and every documents consumer must see ONE dataset
+      graft.functions.GraftExtensions.ensure(s)
+      graft.storage.Layout.servingDocuments(s, servingDir)
+    } else if (s.conf.get(graft.storage.Layout.EnabledKey, "false").toBoolean) {
       graft.functions.GraftExtensions.ensure(s)
       graft.storage.Layout.bucketedDocuments(s, d)
     } else apply(s, d, "documents")
+  }
 
   /** The raw (never-bucketed) documents scan, regardless of the layout
     * conf — for consumers whose front half is NOT doc_id-keyed. A
@@ -67,8 +75,17 @@ object Tables {
     * pinned ngram_jaccard's shingle DISTINCT to 4 tasks and cost 6.4×
     * wall at 10× volume (SCALEPROBE_r14 §1). Layouts are chosen per
     * access pattern; this is the other pattern's accessor. */
-  def documentsRaw(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "documents")
+  def documentsRaw(s: SparkSession, d: String): DataFrame = {
+    val servingDir = s.conf.get(graft.storage.Layout.DocsServingDirKey, "")
+    if (servingDir.nonEmpty) {
+      // one-dataset rule (the events accessors' contract applied here):
+      // when the corpus is served from a sealed copy, the never-bucketed
+      // accessor reads it too — raw-vs-serving answering over different
+      // data would be a wrong-answer bug, not a performance trade
+      graft.functions.GraftExtensions.ensure(s)
+      graft.storage.Layout.servingDocuments(s, servingDir)
+    } else apply(s, d, "documents")
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** `events.ts` has shipped under two physical parquet types across testdata

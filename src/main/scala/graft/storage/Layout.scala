@@ -406,12 +406,58 @@ object Layout {
     * raw schema: partition columns are the layout's business, not the
     * consumer's. [[EventsServingVersionKey]] pins a snapshot version. */
   def servingEvents(spark: SparkSession, servingDir: String): DataFrame =
+    servingTable(spark, servingDir, EventsServingVersionKey)
+
+  /** Point every documents consumer at a [[VersionedServing]] root (or
+    * a plain `ts_date=` seal output) instead of the batch parquet —
+    * the DOCUMENTS twin of [[EventsServingDirKey]], giving the corpus
+    * the dedup index actually tracks the same snapshot isolation, time
+    * travel, and archive pin the events table has. The root partitions
+    * on an INGEST date (`ts_date` — the day the document entered the
+    * corpus; [[docsWithIngestDate]] assigns one deterministically when
+    * the source has none), which is exactly the granularity the feed
+    * loop maintains its sketch index at
+    * ([[graft.ops.Dedup.sketchOf]]'s per-day replace). Non-empty ⇒
+    * BOTH `Tables.documents` and `Tables.documentsRaw` serve it — the
+    * one-dataset rule, same as events. */
+  val DocsServingDirKey = "spark.graft.layout.documents.servingDir"
+
+  /** Pin every documents consumer to one retained snapshot version of
+    * the [[DocsServingDirKey]] root (empty = newest) — "which exact
+    * corpus did training run X read": record
+    * `VersionedServing.currentVersion` when the run starts, set this
+    * conf to re-read that corpus bit-identically regardless of
+    * re-seals since (within retention; beyond it, archive the pin). */
+  val DocsServingVersionKey = "spark.graft.layout.documents.servingVersion"
+
+  /** The serving-copy read behind [[DocsServingDirKey]] — raw document
+    * schema (ingest-date and generation partition columns dropped). */
+  def servingDocuments(spark: SparkSession, servingDir: String): DataFrame =
+    servingTable(spark, servingDir, DocsServingVersionKey)
+
+  private def servingTable(spark: SparkSession, servingDir: String,
+      versionKey: String): DataFrame =
     if (VersionedServing.isVersioned(spark, servingDir)) {
-      val pinned = spark.conf.get(EventsServingVersionKey, "")
+      val pinned = spark.conf.get(versionKey, "")
       (if (pinned.isEmpty) VersionedServing.read(spark, servingDir)
        else VersionedServing.readAt(spark, servingDir, pinned.toLong))
         .drop(VersionedServing.GenCol).drop("ts_date")
     } else spark.read.parquet(servingDir).drop("ts_date")
+
+  /** Deterministic ingest-date assignment for a corpus whose source
+    * carries none (the synthetic documents table): day =
+    * `startDay + (doc_id mod days)`. A REAL deployment's ingest date is
+    * the arrival day; this stand-in exists so the versioned-serving
+    * lifecycle (seal / expire / time travel / follower feed) can be
+    * driven and identity-proven over the documents corpus. DateType,
+    * named `ts_date` — the column every seal form requires. */
+  def docsWithIngestDate(docs: DataFrame, startDay: String = "2024-03-01",
+      days: Int = 30): DataFrame = {
+    import org.apache.spark.sql.functions.{col, date_add, lit, pmod}
+    docs.withColumn("ts_date",
+      date_add(lit(startDay).cast("date"),
+        pmod(col("doc_id"), lit(days.toLong)).cast("int")))
+  }
 
   /** Provenance marker file for date-partitioned layouts whose
     * `<col>_date` partition values honor the UTC-day write contract
