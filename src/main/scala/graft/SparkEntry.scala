@@ -147,6 +147,7 @@ object SparkEntry {
     "doc_chunking"      -> (TextAnalysis.docChunking _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "frame_sample"      -> (Multimodal.frameSample _),
+    "phash_near_dup"    -> (Multimodal.phashNearDup _),
     "train_val_split"   -> (PipelineOps.trainValSplit _),
     "split_leakage"     -> (PipelineOps.splitLeakage _),
     "train_val_split_cluster" -> (PipelineOps.trainValSplitCluster _),

@@ -107,8 +107,100 @@ object Multimodal {
        |  md5(frame) AS frame_md5
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** dHash grid: 8×8 cells, each sampled from [[PhashStride]] chars of
+    * the decoded frame (decode stubbed — the payload is the text bytes,
+    * see the class doc; the grid/compare/band plumbing is the real
+    * image-dedup design). */
+  private val PhashGrid = 8
+  private val PhashStride = 8
+  /** 7 horizontal comparisons × 8 rows = 56 fingerprint bits — kept
+    * inside the POSITIVE int64 range so the cross-engine arithmetic is
+    * sign-free (the hash60 discipline; a 64-bit dHash's top bit would
+    * make the DuckDB power-sum overflow signed BIGINT). */
+  private val PhashBits = PhashGrid * (PhashGrid - 1)
+  /** Max Hamming distance for [[phashNearDup]] to report a pair; 4
+    * pigeonhole bands of 14 bits. */
+  private val PhashHammingK = 3
+
+  /** The (doc_id, phash) fingerprint table: a difference-hash (dHash)
+    * over the decoded frame's luminance grid — cell (r,c) is a 0..255
+    * "gray" value hashed from the frame's byte window, bit (r,c) is
+    * set when cell (r,c) outweighs its right neighbor. Gradient
+    * direction survives uniform brightness/contrast shifts, which is
+    * why dHash is the standard cheap image near-dup fingerprint. One
+    * narrow codegen'd projection per document — no shuffle, no UDF. */
+  private[graft] def phashFps(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Prims.hash60
+    val cells = (0 until PhashGrid * PhashGrid).map(i =>
+      pmod(hash60(substring(col("text"), 1 + i * PhashStride, PhashStride)),
+        lit(256L)).as(s"g$i"))
+    val grid = Tables.documents(s, dir)
+      .select((col("doc_id") +: cells): _*)
+    val fp = (0 until PhashGrid).flatMap { r =>
+      (0 until PhashGrid - 1).map { c =>
+        when(col(s"g${r * PhashGrid + c}") > col(s"g${r * PhashGrid + c + 1}"),
+          lit(1L << (r * (PhashGrid - 1) + c))).otherwise(lit(0L))
+      }
+    }.reduce(_ bitwiseOR _)
+    grid.select(col("doc_id"), fp.as("phash"))
+  }
+
+  /** phash_near_dup: image near-duplicate PAIRS by perceptual-hash
+    * Hamming distance ≤ [[PhashHammingK]] — the standard image-dedup
+    * operator of a multimodal training pipeline (re-encoded, resized,
+    * or brightness-shifted copies of one image share most of their
+    * gradient bits). Candidates and verification ride the EXACT
+    * machinery the text side already ships
+    * ([[graft.ops.Dedup.hammingPairs]]): pigeonhole banding on 14-bit
+    * fingerprint slices, bucket join capped hub-star, exact
+    * `bit_count(xor)` — never all-pairs, same 100 TB shape as
+    * `simhash_hamming_pairs`. */
+  def phashNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.hammingPairs(phashFps(s, dir), "phash",
+      PhashBits, PhashHammingK)
+
+  def phashNearDupSql: String = {
+    import graft.ops.Prims.hash60Sql
+    val bandBits = PhashBits / (PhashHammingK + 1)
+    val bandMask = (1L << bandBits) - 1
+    val cells = (0 until PhashGrid * PhashGrid).map(i =>
+      s"${hash60Sql(s"substr(text, ${1 + i * PhashStride}, $PhashStride)")} % 256 AS g$i")
+      .mkString(",\n    ")
+    val fp = (0 until PhashGrid).flatMap { r =>
+      (0 until PhashGrid - 1).map { c =>
+        s"CASE WHEN g${r * PhashGrid + c} > g${r * PhashGrid + c + 1} " +
+          s"THEN ${1L << (r * (PhashGrid - 1) + c)} ELSE 0 END"
+      }
+    }.mkString(" + ")
+    s"""WITH g AS (SELECT doc_id,
+       |    $cells
+       |  FROM documents),
+       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS phash FROM g),
+       |bands AS (SELECT doc_id, phash, CAST(t.band AS INT) AS band,
+       |    (phash >> ($bandBits * CAST(t.band AS INT))) & $bandMask AS bval
+       |  FROM fps, unnest(range(0, ${PhashHammingK + 1})) AS t(band)),
+       |bstats AS (SELECT band, bval, count(*) AS bn, min(doc_id) AS bmin,
+       |    arg_min(phash, doc_id) AS minfp
+       |  FROM bands GROUP BY band, bval),
+       |bk AS (SELECT bands.doc_id, bands.phash, bands.band, bands.bval
+       |  FROM bands JOIN bstats USING (band, bval) WHERE bn <= ${graft.ops.Dedup.MaxBandBucket}),
+       |fullp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.phash, b.phash)) AS hamming
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |starp AS (SELECT bstats.bmin AS doc_a, bands.doc_id AS doc_b,
+       |    bit_count(xor(bstats.minfp, bands.phash)) AS hamming
+       |  FROM bands JOIN bstats USING (band, bval)
+       |  WHERE bn > ${graft.ops.Dedup.MaxBandBucket} AND bands.doc_id <> bstats.bmin)
+       |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM (SELECT * FROM fullp UNION ALL SELECT * FROM starp)
+       |WHERE hamming <= $PhashHammingK
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "frame_sample" -> frameSampleSql,
+    "phash_near_dup" -> phashNearDupSql,
   )
 }

@@ -194,6 +194,9 @@ class PlanGuardSpec extends SparkSpec {
     "side_output_split" -> 1,
     "simhash_dedup" -> 4,
     "simhash_hamming_pairs" -> 5,
+    // the image twin of simhash_hamming_pairs: same banded-hamming core,
+    // same 5 exchanges (band stats agg, bucket join both sides, distinct)
+    "phash_near_dup" -> 5,
     "sliding_window" -> 2,
     "source_cardinality" -> 3,
     "state_kinds" -> 4,
