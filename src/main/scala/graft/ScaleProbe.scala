@@ -358,6 +358,65 @@ object ScaleProbe {
       "each ADDITIONAL consumer of the graph rides the read price)")
   }
 
+  /** `sketchreuse` mode: price the feed loop's persisted dedup sketch
+    * ([[graft.ops.Dedup.sketchOf]]) against re-sketching the corpus per
+    * nightly batch. Corpus = the 10× fresh-text replica (every copy's
+    * shingles distinct — the honest volume), batch = one sf0.1-sized
+    * slice (a nightly ingest's shape, ~1/10 of the corpus). Arms:
+    * `resketch` is [[graft.ops.Dedup.incrementalDispositions]] over raw
+    * text (re-minhashes the corpus inside every call — what a
+    * deployment must NOT do); `build (once)` writes the persisted
+    * sketch artifact; `reuse` dispositions the same batch against the
+    * artifact read back from parquet — the recurring nightly price. At
+    * 100 TB the corpus:batch ratio is far beyond 10:1, so the measured
+    * reuse-vs-resketch ratio is a LOWER bound on the win. */
+  private def sketchReuseProbe(spark: SparkSession, src: String): Unit = {
+    import graft.ops.Dedup
+    val dir = "/tmp/graft_fresh10x"
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      val copies = spark.range(10).select(col("id").as("copy"))
+      base.crossJoin(copies)
+        .withColumn("text",
+          when(col("copy") === 0, col("text"))
+            .otherwise(concat_ws(" ",
+              expr("transform(split(text, ' '), w -> concat(w, '_', copy))"))))
+        .withColumn("doc_id", col("doc_id") + col("copy") * 1000000L)
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = spark.read.parquet(s"$src/documents.parquet")
+    println(f"sketchreuse corpus=${corpus.count()}%,d docs  batch=${batch.count()}%,d docs")
+    def timed(label: String)(mk: => Long): Double = {
+      mk // warm
+      HarnessUtil.releaseAll(spark, gc = true)
+      val t0 = System.nanoTime()
+      val rows = mk
+      val sec = (System.nanoTime() - t0) / 1e9
+      HarnessUtil.releaseAll(spark, gc = true)
+      println(f"sketchreuse $label%-24s $sec%7.2f s  rows=$rows%,d")
+      sec
+    }
+    val resketch = timed("resketch per batch")(
+      Dedup.incrementalDispositions(corpus, batch).count())
+    val art = "/tmp/graft_sketch_art"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(art))
+    val t0 = System.nanoTime()
+    Dedup.sketchOf(corpus).write.parquet(art)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    HarnessUtil.releaseAll(spark, gc = true)
+    println(f"sketchreuse ${"sketch build (once)"}%-24s $buildSec%7.2f s")
+    val reuse = timed("reuse per batch")(
+      Dedup.sketchedDispositions(
+        spark.read.parquet(art), Dedup.sketchOf(batch)).count())
+    println(f"sketchreuse summary: persisted-sketch batch $reuse%.2f s vs " +
+      f"re-sketch batch $resketch%.2f s (${resketch / math.max(reuse, 0.01)}%.1fx; " +
+      f"one-time build $buildSec%.2f s pays for itself after " +
+      f"${math.ceil(buildSec / math.max(resketch - reuse, 0.01)).toLong} batches — " +
+      "and the feed maintains the artifact per-day, never rebuilding it)")
+  }
+
   /** `chain` mode: pin [[graft.ops.Dedup.alternatingStar]]'s O(log n)
     * round bound on the topology that killed the old algorithm — a
     * single chain-shaped component whose diameter equals its node
@@ -1145,6 +1204,32 @@ object ScaleProbe {
       s"serving root at $root ready for the Verify identity run")
   }
 
+  /** `docserve` mode: build the VERSIONED DOCUMENTS corpus root — the
+    * serving fixture for the Verify identity run over the doc-family
+    * surface. Documents get a deterministic ingest date
+    * ([[graft.storage.Layout.docsWithIngestDate]]) and a bootstrap
+    * [[graft.storage.VersionedServing.sealFrame]]; the identity proof
+    * is then the FULL oracle surface served from this root:
+    * `SPARK_GRAFT_CONF="spark.graft.layout.documents.servingDir=
+    * /tmp/graft_docserve/serving" runMain graft.Verify ...` — every
+    * documents consumer reads the snapshot, every result must still
+    * hash-match DuckDB over the batch parquet. */
+  private def docServeProbe(spark: SparkSession, src: String): Unit = {
+    import graft.storage.{Layout, VersionedServing}
+    val base = "/tmp/graft_docserve"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val root = s"$base/serving"
+    val docs = Layout.docsWithIngestDate(Tables.documentsRaw(spark, src))
+    val stats = VersionedServing.sealFrame(spark, docs, root)
+    val days = VersionedServing.servedDays(spark, root)
+    val served = Layout.servingDocuments(spark, root)
+    println(s"versioned documents root at $root: ${days.size} ingest days " +
+      s"(${days.head}..${days.last}), ${stats.rowsSealed} rows, " +
+      s"version ${VersionedServing.currentVersion(spark, root)}; " +
+      s"served schema ${served.schema.fieldNames.mkString(",")} — " +
+      "ready for the Verify identity run (see scaladoc)")
+  }
+
   /** `composedserve` mode: prices the COMPOSED z-order + bloom seal at
     * the production-sized day — the one combination SCALEPROBE_r17
     * identity-proved at sf0.01 but never priced at the 100× day shape.
@@ -1619,6 +1704,14 @@ object ScaleProbe {
     }
     if (args.headOption.contains("touchseal")) {
       touchSealProbe(spark, src)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("sketchreuse")) {
+      sketchReuseProbe(spark, src)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("docserve")) {
+      docServeProbe(spark, src)
       spark.stop(); return
     }
     if (args.headOption.contains("events30x")) {
