@@ -148,6 +148,7 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "frame_sample"      -> (Multimodal.frameSample _),
     "phash_near_dup"    -> (Multimodal.phashNearDup _),
+    "phash_clusters"    -> (Multimodal.phashClusters _),
     "train_val_split"   -> (PipelineOps.trainValSplit _),
     "split_leakage"     -> (PipelineOps.splitLeakage _),
     "train_val_split_cluster" -> (PipelineOps.trainValSplitCluster _),

@@ -696,6 +696,15 @@ object Dedup {
       .select(col("label").as("cluster_id"), col("cluster_size"), col("members"))
       .orderBy("cluster_id")
 
+  /** The cluster report over an arbitrary (doc_a, doc_b) pair frame —
+    * the connected-components core (size-gated alternating-star) +
+    * report shape shared with [[dedupClusters]], for pair families
+    * beyond the text shingle graph ([[graft.ops.Multimodal
+    * .phashClusters]] runs it over image near-dup pairs). */
+  private[ops] def clustersOverPairs(s: SparkSession, pairs: DataFrame): DataFrame =
+    clustersFromLabels(labelsFromPairs(s,
+      pairs.select("doc_a", "doc_b").materialized, SmallGraphMaxEdges))
+
   /** Layout seam for composing modules (PipelineOps.splitLeakage):
     * (doc_id, label) near-dup component labels at the production gate. */
   private[graft] def clusterLabelsFor(s: SparkSession, dir: String): DataFrame =

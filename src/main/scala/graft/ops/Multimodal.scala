@@ -159,7 +159,11 @@ object Multimodal {
     graft.ops.Dedup.hammingPairs(phashFps(s, dir), "phash",
       PhashBits, PhashHammingK)
 
-  def phashNearDupSql: String = {
+  /** DuckDB CTE chain to `pairs(doc_a, doc_b, hamming)` — the oracle
+    * twin of [[phashFps]] + [[graft.ops.Dedup.hammingPairs]], shared by
+    * the pair and cluster oracles so the fingerprint semantics can
+    * never desynchronize between them. */
+  private def phashPairsCtesSql: String = {
     import graft.ops.Prims.hash60Sql
     val bandBits = PhashBits / (PhashHammingK + 1)
     val bandMask = (1L << bandBits) - 1
@@ -172,7 +176,7 @@ object Multimodal {
           s"THEN ${1L << (r * (PhashGrid - 1) + c)} ELSE 0 END"
       }
     }.mkString(" + ")
-    s"""WITH g AS (SELECT doc_id,
+    s"""g AS (SELECT doc_id,
        |    $cells
        |  FROM documents),
        |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS phash FROM g),
@@ -191,16 +195,48 @@ object Multimodal {
        |starp AS (SELECT bstats.bmin AS doc_a, bands.doc_id AS doc_b,
        |    bit_count(xor(bstats.minfp, bands.phash)) AS hamming
        |  FROM bands JOIN bstats USING (band, bval)
-       |  WHERE bn > ${graft.ops.Dedup.MaxBandBucket} AND bands.doc_id <> bstats.bmin)
-       |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-       |FROM (SELECT * FROM fullp UNION ALL SELECT * FROM starp)
-       |WHERE hamming <= $PhashHammingK
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  WHERE bn > ${graft.ops.Dedup.MaxBandBucket} AND bands.doc_id <> bstats.bmin),
+       |pairs AS (SELECT DISTINCT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |  FROM (SELECT * FROM fullp UNION ALL SELECT * FROM starp)
+       |  WHERE hamming <= $PhashHammingK)""".stripMargin
   }
+
+  def phashNearDupSql: String =
+    s"""WITH $phashPairsCtesSql
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** phash_clusters: connected components over the [[phashNearDup]]
+    * pair graph — the cluster report an image-dedup pass keeps one
+    * canonical per (re-encode/resize chains are transitive: A≈B and
+    * B≈C cluster even when A and C drift past the pair threshold).
+    * Same size-gated alternating-star core and report shape as the
+    * text side's `dedup_clusters`
+    * ([[graft.ops.Dedup.clustersOverPairs]]). */
+  def phashClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.clustersOverPairs(s, phashNearDup(s, dir))
+
+  def phashClustersSql: String =
+    s"""WITH RECURSIVE $phashPairsCtesSql,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS label
+       |  FROM reach GROUP BY src)
+       |SELECT label AS cluster_id, count(*) AS cluster_size,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+       |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "frame_sample" -> frameSampleSql,
     "phash_near_dup" -> phashNearDupSql,
+    "phash_clusters" -> phashClustersSql,
   )
 }

@@ -137,6 +137,9 @@ class PlanGuardSpec extends SparkSpec {
     "decontaminate_bloom" -> 3,
     "decontaminate_semantic" -> 3,
     "dedup_clusters" -> 1,
+    // image-dedup cluster report: small-graph gate resolves the pair
+    // graph driver-side, leaving the one report aggregation exchange
+    "phash_clusters" -> 1,
     "dedup_exact" -> 2,
     "dedup_incremental" -> 7,
     "dedup_near_minhash" -> 5,
