@@ -31,10 +31,13 @@ import org.apache.spark.sql.SparkSession
   * record that rows were refused.
   *
   * Usage: `runMain graft.storage.NightlyCloseout <sinkPath> <servingRoot>
-  *   [keepFrom|-] [zorderColA zorderColB | - -] [bloomSpec|-] [vacuum]`
+  *   [keepFrom|-] [zorderColA zorderColB | - -] [bloomSpec|-] [vacuum]
+  *   [targetBytes=<n>]`
   * — `-` skips an optional position (same sentinel convention as
   * [[ServingBootstrap]]); `bloomSpec` is `col:expectedNdv[,...]`;
-  * a literal `vacuum` as the last arg enables step 3. SCALING.md's
+  * a literal `vacuum` anywhere enables step 3; `targetBytes=<n>`
+  * overrides the 128 MB per-file sizing target a non-default
+  * deployment needs. SCALING.md's
   * recommendation for a dense events table: `zorder user_id ts` +
   * bloom on the point-lookup id columns — measured CHEAPER to write
   * than a plain seal at production density (SCALEPROBE_r18 §2). */
@@ -57,9 +60,11 @@ object NightlyCloseout {
       writeOptions: Map[String, String] = Map.empty,
       parallelism: Int = 1,
       vacuum: Boolean = false,
-      vacuumGraceMs: Long = 15 * 60 * 1000L): Summary = {
+      vacuumGraceMs: Long = 15 * 60 * 1000L,
+      targetBytes: Long = 128L * 1024 * 1024): Summary = {
     val t = VersionedServing.sealTouched(spark, sinkPath, root,
-      keepFrom = keepFrom, parallelism = parallelism,
+      keepFrom = keepFrom, targetBytes = targetBytes,
+      parallelism = parallelism,
       zorder = zorder, writeOptions = writeOptions)
     val expired = keepFrom.map(VersionedServing.expire(spark, root, _))
       .getOrElse(Nil)
@@ -86,7 +91,11 @@ object NightlyCloseout {
         val Array(c, n) = s.split(':'); c -> n.toLong
       }.toMap)
     }.getOrElse(Map.empty[String, String])
-    val vacuum = args.lift(6).contains("vacuum")
+    val vacuum = args.contains("vacuum")
+    val targetBytes = args.collectFirst {
+      case a if a.startsWith("targetBytes=") =>
+        a.stripPrefix("targetBytes=").toLong
+    }.getOrElse(128L * 1024 * 1024)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -97,7 +106,7 @@ object NightlyCloseout {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = run(spark, sink, root, keepFrom, zorder, bloom,
-      parallelism = cpus.toInt, vacuum = vacuum)
+      parallelism = cpus.toInt, vacuum = vacuum, targetBytes = targetBytes)
     println(s"close-out: sealed ${s.sealedDays.size} days " +
       s"(${s.sealedDays.mkString(", ")}), ${s.rowsSealed} rows, " +
       s"bookmark ${s.sealedThrough.getOrElse("-")}; " +
