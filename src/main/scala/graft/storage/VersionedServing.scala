@@ -502,9 +502,17 @@ object VersionedServing {
     // sealed data AND re-sealed at the next close-out (over-report,
     // idempotent) rather than recorded-but-absent (stale forever).
     val bookmark = graft.streaming.PartitionedIngest.latestBatch(spark, sinkPath)
+    preSealSnapshotHook()
     sealFrameWith(spark, spark.read.parquet(sinkPath), root, keepFrom, zorder,
       writeOptions, bookmark)
   }
+
+  /** Test seam: runs between [[seal]]'s bookmark read and its sink
+    * snapshot pin — the window a live ingest can commit into. The spec
+    * drives a real mid-gap commit through it and proves the invariant
+    * (bookmark ≤ snapshot: the commit is in the sealed data AND
+    * re-discovered by the next close-out). No-op in production. */
+  private[graft] var preSealSnapshotHook: () => Unit = () => ()
 
   /** [[seal]] over an arbitrary frame carrying a `ts_date` DateType
     * column — the batch BOOTSTRAP form: build the first versioned

@@ -800,6 +800,40 @@ class VersionedServingSpec extends SparkSpec {
     } finally s.conf.unset(VersionedServing.KeepManifestsKey)
   }
 
+  test("seal under a live ingest: a batch committed between bookmark and snapshot is sealed now AND re-discovered next close-out") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("vsrace").toString
+    val (sink, ckpt, root) = (s"$base/sink", s"$base/ckpt", s"$base/serving")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.PartitionedIngest.start(
+      in.toDF().select($"_1".as("event_id"), $"_2".as("ts")), sink, ckpt)
+    try {
+      in.addData((1L, ts("2024-03-01 10:00:00"))); q.processAllAvailable() // batch 0
+      // the race: a live micro-batch commits AFTER seal() reads its
+      // bookmark and BEFORE it pins the sink snapshot
+      VersionedServing.preSealSnapshotHook = () => {
+        in.addData((2L, ts("2024-03-02 10:00:00"))); q.processAllAvailable() // batch 1
+      }
+      try VersionedServing.seal(spark, sink, root)
+      finally VersionedServing.preSealSnapshotHook = () => ()
+      // the mid-gap commit is IN the sealed data (snapshot pinned after)…
+      assert(VersionedServing.read(spark, root)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      // …and the bookmark is BELOW it (read before), so the next
+      // close-out re-discovers its day instead of skipping it forever —
+      // the invariant the old argument-evaluation order violated
+      assert(VersionedServing.sealedThrough(spark, root) == Some(0L))
+      val t = VersionedServing.sealTouched(spark, sink, root)
+      assert(t.days == Seq("2024-03-02") && t.sealedThrough == Some(1L),
+        s"the mid-seal commit's day must be re-sealed, got $t")
+      // idempotent re-seal: same rows, nothing lost, nothing doubled
+      assert(VersionedServing.read(spark, root)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("keepManifestsMs: a publish burst cannot reclaim manifests younger than the time floor") {
     val s = spark
     import s.implicits._
