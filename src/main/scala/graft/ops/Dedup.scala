@@ -1392,16 +1392,30 @@ object Dedup {
     * attach is a doc-narrow join BEFORE the ×[[NumBands]] band
     * expansion, so the join side is one row per document. 4 rows × ~32
     * bytes per doc ≈ 128 bytes/doc — a 10⁹-doc corpus sketch is
-    * ~128 GB, partition-pruned per day like any fact table. */
+    * ~128 GB, partition-pruned per day like any fact table.
+    *
+    * Docs too short to shingle (< 3 tokens, so [[minhashSig]] emits no
+    * signature) still get ONE sketch row with null `(band, bsig)`:
+    * they keep their exact-dup key `ch` and a guaranteed disposition
+    * row (null band keys never equi-join, so they can never spuriously
+    * match 'near'). Dropping them — as the pre-r20 inner-join form did
+    * — silently removed short/empty batch docs from the disposition
+    * report AND made exact md5 copies of short index docs undetectable,
+    * diverging from [[dedupIncremental]]'s raw-text exact semantics. */
   def sketchOf(docs: DataFrame): DataFrame = {
-    val sig = minhashSig(docs)
-      .join(docs.select(col("doc_id"), md5(col("text")).as("ch")), Seq("doc_id"))
+    val sig = docs.select(col("doc_id"), md5(col("text")).as("ch"))
+      .join(minhashSig(docs), Seq("doc_id"), "left")
       .materialized
-    (0 until NumBands).map { k =>
-      sig.select(col("doc_id"), col("ch"), lit(k).as("band"),
-        hash60(concat_ws(",",
-          (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*)).as("bsig"))
+    val banded = (0 until NumBands).map { k =>
+      sig.where(col("mh0").isNotNull)
+        .select(col("doc_id"), col("ch"), lit(k).as("band"),
+          hash60(concat_ws(",",
+            (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*)).as("bsig"))
     }.reduce(_ unionByName _)
+    banded.unionByName(
+      sig.where(col("mh0").isNull)
+        .select(col("doc_id"), col("ch"),
+          lit(null).cast("int").as("band"), lit(null).cast("bigint").as("bsig")))
   }
 
   /** [[incrementalDispositions]] over PRE-SKETCHED frames (both sides

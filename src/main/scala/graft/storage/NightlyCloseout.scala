@@ -81,18 +81,32 @@ object NightlyCloseout {
 
   def main(args: Array[String]): Unit = {
     val Array(sink, root) = args.take(2)
-    val keepFrom = args.lift(2).filter(_ != "-")
-    val zorder = (args.lift(3).filter(_ != "-"), args.lift(4).filter(_ != "-")) match {
+    // flag-like args are non-positional EVERYWHERE: a `vacuum` or
+    // `targetBytes=` sitting where keepFrom belongs must never be
+    // consumed as a day horizon — expire compares day strings
+    // lexicographically, so a stray flag read as keepFrom would sort
+    // above every date and expire ALL served days in one close-out
+    val (flags, positional) = args.drop(2)
+      .partition(a => a == "vacuum" || a.startsWith("targetBytes="))
+    val keepFrom = positional.lift(0).filter(_ != "-")
+    keepFrom.foreach { k =>
+      require(k.matches("""\d{4}-\d{2}-\d{2}"""),
+        s"keepFrom must be YYYY-MM-DD (or '-'), got '$k'")
+    }
+    val zorder = (positional.lift(1).filter(_ != "-"),
+        positional.lift(2).filter(_ != "-")) match {
       case (Some(a), Some(b)) => Some((a, b))
       case _ => None
     }
-    val bloom = args.lift(5).filter(_ != "-").map { spec =>
+    val bloom = positional.lift(3).filter(_ != "-").map { spec =>
       Layout.bloomOptions(spec.split(',').map { s =>
         val Array(c, n) = s.split(':'); c -> n.toLong
       }.toMap)
     }.getOrElse(Map.empty[String, String])
-    val vacuum = args.contains("vacuum")
-    val targetBytes = args.collectFirst {
+    require(positional.length <= 4,
+      s"unrecognized positional args: ${positional.drop(4).mkString(" ")}")
+    val vacuum = flags.contains("vacuum")
+    val targetBytes = flags.collectFirst {
       case a if a.startsWith("targetBytes=") =>
         a.stripPrefix("targetBytes=").toLong
     }.getOrElse(128L * 1024 * 1024)

@@ -108,7 +108,11 @@ object VersionedServing {
     * (e.g. 6h = 21600000). Default 0 (disabled — count-only, the
     * historical behavior). Reclaim keeps the UNION of the newest
     * `keepManifests` and everything younger than the floor, so setting
-    * both never weakens either. */
+    * both never weakens either. Age is computed from filesystem mtimes
+    * on BOTH sides (each old manifest's mtime vs the newest manifest's
+    * mtime) — one clock, the store's own — so writer-host clock skew
+    * cannot shorten the guarantee; what remains assumed is only that
+    * the store's mtimes are monotone across publishes. */
   val KeepManifestsMsKey = "spark.graft.layout.serving.keepManifestsMs"
 
   private def keepManifests(spark: SparkSession): Int = {
@@ -487,7 +491,10 @@ object VersionedServing {
     * manifest had but the sink no longer does simply drop out — full
     * seal IS the snapshot. `keepFrom` days-strictly-older are excluded
     * and counted ([[graft.streaming.PartitionedIngest.SealStats]]'s
-    * beyond-horizon alert hook). */
+    * beyond-horizon alert hook) AND recorded as durable `#refused`
+    * manifest entries ([[refusedLates]]) — the same survives-the-cron-
+    * log contract as [[sealTouched]]'s refusal path, keyed by the
+    * bookmark this seal advances to. */
   def seal(spark: SparkSession, sinkPath: String, root: String,
       keepFrom: Option[String] = None,
       zorder: Option[(String, String)] = None,
@@ -545,7 +552,15 @@ object VersionedServing {
       s"sink schema already carries a '$GenCol' column — the pool layout reserves it")
     val horizon = keepFrom.map(d => lit(d).cast("date"))
     val kept = horizon.map(h => all.filter(col("ts_date") >= h)).getOrElse(all)
-    val beyond = horizon.map(h => all.filter(col("ts_date") < h).count()).getOrElse(0L)
+    // per-day counts of the dropped slice (bounded by the day count):
+    // the row total feeds SealStats, the day keys become durable
+    // #refused records below — a full seal dropping beyond-horizon rows
+    // must not be the one path whose alert lives only in the cron log
+    val beyondByDay = horizon.map(h =>
+        all.filter(col("ts_date") < h).groupBy(col("ts_date")).count()
+          .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap)
+      .getOrElse(Map.empty[String, Long])
+    val beyond = beyondByDay.values.sum
     val gen = nextGen(spark, root)
     val genDir = s"$root/data/$GenCol=$gen"
     val laid = zorder.flatMap(zvalueFor(kept, _)) match {
@@ -566,9 +581,13 @@ object VersionedServing {
         org.apache.spark.sql.types.StructType(
           laid.schema.filterNot(_.name == "ts_date")))),
       sealedThrough,
-      // a full seal rewrites the data but does not act on refusals —
-      // the durable alert stands until acknowledged
-      currentManifestFull(spark, root).refused)
+      // a full seal rewrites the data but does not act on PRIOR
+      // refusals (the durable alert stands until acknowledged); days it
+      // dropped at the horizon ITSELF join the record, keyed by the
+      // bookmark batch (-1 on a bootstrap with no sink log) — same
+      // durability contract as [[sealTouched]]'s refusal path
+      currentManifestFull(spark, root).refused ++
+        beyondByDay.keys.map(_ -> sealedThrough.getOrElse(-1L)))
     // count from the generation just written (ours, immutable): one
     // sink read for the data, footer-level reads for the statistic
     val rowsSealed = if (days.isEmpty) 0L else spark.read.parquet(genDir).count()
@@ -887,7 +906,13 @@ object VersionedServing {
     // a publish burst can never compress the wall-clock guarantee
     val keep = keepManifests(spark)
     val floorMs = keepManifestsMs(spark)
-    val cutoff = System.currentTimeMillis() - floorMs
+    // age is measured against the manifest JUST published, mtime vs
+    // mtime — one clock (the filesystem's own), so skew between the
+    // publishing host and the store can never silently shorten the
+    // wall-clock grace the floor promises
+    val cutoff =
+      if (floorMs > 0) fs.getFileStatus(mf).getModificationTime - floorMs
+      else Long.MinValue
     val all = existing :+ mf
     val keptFiles = all.zipWithIndex.collect {
       case (f, i) if i >= all.length - keep ||

@@ -575,12 +575,19 @@ class OpsSpec extends SparkSpec {
     // 402 (disjoint text -> fresh)
     val nearTxt = corpus.replace("today", "tomorrow")
     val fresh = "completely unrelated content with entirely different vocabulary throughout the body"
+    // short docs (< 3 tokens): no minhash signature exists for them, so
+    // they exercise the null-band sketch row — 403 is an exact md5 copy
+    // of index doc 3, 404 is a unique short doc
+    val shortIdx = "tiny doc"
     val docs = Seq(
       (1L, corpus, "en", "web", corpus.length.toLong),
       (2L, "some other indexed document body with its own words", "en", "web", 51L),
+      (3L, shortIdx, "en", "web", shortIdx.length.toLong),
       (400L, corpus, "en", "web", corpus.length.toLong),
       (401L, nearTxt, "en", "web", nearTxt.length.toLong),
-      (402L, fresh, "en", "web", fresh.length.toLong))
+      (402L, fresh, "en", "web", fresh.length.toLong),
+      (403L, shortIdx, "en", "web", shortIdx.length.toLong),
+      (404L, "zz", "en", "web", 2L))
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = Dedup.dedupIncremental(s, tmp)
@@ -588,7 +595,9 @@ class OpsSpec extends SparkSpec {
     assert(out(400L) == "exact", s"verbatim copy: ${out(400L)}")
     assert(out(401L) == "near", s"one-word edit: ${out(401L)}")
     assert(out(402L) == "fresh", s"disjoint doc: ${out(402L)}")
-    assert(out.size == 3) // only the batch is reported
+    assert(out(403L) == "exact", s"short-doc exact copy: ${out(403L)}")
+    assert(out(404L) == "fresh", s"unique short doc: ${out(404L)}")
+    assert(out.size == 5) // EVERY batch doc reported, sig-less included
 
     // the PERSISTED-sketch path: dispositioning the batch against a
     // sketchOf(index) artifact written to parquet and read back gives

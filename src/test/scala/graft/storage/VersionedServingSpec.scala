@@ -50,6 +50,9 @@ class VersionedServingSpec extends SparkSpec {
     assert(stats.rowsSealed == 8 && stats.rowsBeyondHorizon == 2, s"got $stats")
     assert(VersionedServing.servedDays(spark, root) ==
       Seq("2024-03-02", "2024-03-03", "2024-03-04", "2024-03-05"))
+    // the dropped day is durably #refused (same contract as sealTouched)
+    assert(VersionedServing.refusedLates(spark, root).keySet == Set("2024-03-01"),
+      "full seal must record its horizon-dropped days in the manifest")
 
     // serve through the production accessors — ONE dataset for all
     // events consumers (events AND eventsRaw), raw schema, pruning live
