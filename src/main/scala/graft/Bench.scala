@@ -128,14 +128,14 @@ object Bench {
         // one-directional bias class interleaving removed at fleet
         // scale, one level down. Alternation cancels it across the
         // family instead of accumulating it on one arm.
-        def abArm(family: Seq[String], confKey: String)
+        def abArmBy(family: Seq[String], setArm: Boolean => Unit)
             : Seq[(String, IndexedSeq[Double], Long, IndexedSeq[Double], Long)] =
           family.filter(SparkEntry.queries.contains).zipWithIndex.map {
             case (name, i) =>
               val fn = SparkEntry.queries(name)
               def arm(on: Boolean) = {
-                spark.conf.set(confKey, on.toString)
-                try timeQuery(fn) finally spark.conf.set(confKey, "false")
+                setArm(on)
+                try timeQuery(fn) finally setArm(false)
               }
               if (i % 2 == 0) {
                 val (rs, rsb) = arm(on = false); val (ls, lsb) = arm(on = true)
@@ -145,15 +145,36 @@ object Bench {
                 (name, rs, rsb, ls, lsb)
               }
           }
+        def abArm(family: Seq[String], confKey: String) =
+          abArmBy(family, on => spark.conf.set(confKey, on.toString))
         def timedBuild(build: => Unit): Double = {
           val t0 = System.nanoTime(); build; (System.nanoTime() - t0) / 1e9
         }
         // corpus layout: the doc_id-keyed dedup/text front half
+        val docFamily = Seq("dedup_near_minhash", "ngram_jaccard",
+          "minhash_calibration", "simhash_dedup", "doc_fingerprint",
+          "token_count", "quality_score")
         val buildSec = timedBuild(graft.storage.Layout.bucketedDocuments(spark, sfDir))
-        val docRes = abArm(
-          Seq("dedup_near_minhash", "ngram_jaccard", "minhash_calibration",
-            "simhash_dedup", "doc_fingerprint", "token_count", "quality_score"),
-          graft.storage.Layout.EnabledKey)
+        val docRes = abArm(docFamily, graft.storage.Layout.EnabledKey)
+        // versioned-documents SERVING arm: DocsServingDirKey re-routes
+        // every documents consumer through the per-day serving root (30
+        // ingest-day dirs instead of one table — small files, and the
+        // bucketed shingle index's exchange-free front half does not
+        // survive the re-route). Timed as its own serving-vs-raw A/B
+        // over the SAME family, so the record carries all three arms:
+        // raw, bucketed (docRes), serving (this block).
+        val docsServeBase = "/tmp/graft_bench_docserve"
+        val docsServeRoot = s"$docsServeBase/serving"
+        val docsServeBuildSec = timedBuild {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(docsServeBase))
+          graft.storage.VersionedServing.sealFrame(spark,
+            graft.storage.Layout.docsWithIngestDate(Tables.documentsRaw(spark, sfDir)),
+            docsServeRoot); ()
+        }
+        val serveKey = graft.storage.Layout.DocsServingDirKey
+        val serveRes = abArmBy(docFamily,
+          on => if (on) spark.conf.set(serveKey, docsServeRoot)
+                else spark.conf.unset(serveKey))
         // fact-pair layout: the orderkey-clustered TPC-H family over the
         // co-bucketed lineitem/orders layout (Layout.bucketedFacts)
         val tpchBuildSec = timedBuild(graft.storage.Layout.bucketedFacts(spark, sfDir))
@@ -173,16 +194,58 @@ object Bench {
         val lsb = all.map { case (k, _, _, _, sb) => q(k) + ":" + sb }.mkString("{", ",", "}")
         val rq  = all.map { case (k, ss, _, _, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
         val rsb = all.map { case (k, _, sb, _, _) => q(k) + ":" + sb }.mkString("{", ",", "}")
-        s""","layout":{"build_sec":$buildSec,"tpch_build_sec":$tpchBuildSec,"events_build_sec":$eventsBuildSec,"queries":$lq,"shuffle":$lsb,"raw":{"queries":$rq,"shuffle":$rsb}}"""
+        val dq  = serveRes.map { case (k, _, _, ss, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
+        val dsb = serveRes.map { case (k, _, _, _, sb) => q(k) + ":" + sb }.mkString("{", ",", "}")
+        val drq = serveRes.map { case (k, ss, _, _, _) => q(k) + ":" + med(ss) }.mkString("{", ",", "}")
+        s""","layout":{"build_sec":$buildSec,"tpch_build_sec":$tpchBuildSec,"events_build_sec":$eventsBuildSec,"queries":$lq,"shuffle":$lsb,"raw":{"queries":$rq,"shuffle":$rsb},"docserve":{"build_sec":$docsServeBuildSec,"queries":$dq,"shuffle":$dsb,"raw_queries":$drq}}"""
       } catch { case scala.util.control.NonFatal(e) =>
         s""","layout":{"error":${q(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
       } finally {
         spark.conf.set(graft.storage.Layout.EnabledKey, "false")
         spark.conf.set(graft.storage.Layout.TpchEnabledKey, "false")
         spark.conf.set(graft.storage.Layout.EventsEnabledKey, "false")
+        spark.conf.unset(graft.storage.Layout.DocsServingDirKey)
       }
 
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle":$shuffle$layoutJson,"errors":$errJson,"sf":"$sfDir"}"""
+    // STAGE-ATTRIBUTED curate_manifest: the same mark-callback breakdown
+    // graft.CurateStages prints, recorded INTO the bench line — when the
+    // fleet's most checkpoint-heavy query shows a wall anomaly, the
+    // record itself says which eager stage (tokenize checkpoint, cluster
+    // resolution, Bloom build, quota rank, pack) absorbed the time,
+    // instead of requiring a separate probe run to adjudicate machine
+    // contention vs a plan regression. Median of TimedRuns per stage,
+    // same warm-up protocol as the fleet. SPARK_GRAFT_BENCH_CURATE=0
+    // disables (e.g. sf0.001 smoke where the breakdown is noise).
+    val curateStagesJson: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_CURATE", "1") == "0" ||
+          !SparkEntry.queries.contains("curate_manifest")) ""
+      else try {
+        def sample(): Seq[(String, Double)] = {
+          val marks = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+          val t0 = System.nanoTime()
+          val f = graft.ops.PipelineOps.curateStages(spark, sfDir,
+            (label, sec) => { marks += (label -> sec); () })
+          val build = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          f.manifest.count()
+          val fin = (System.nanoTime() - t1) / 1e9
+          marks += ("final_plan_execution" -> fin)
+          marks += ("total" -> (build + fin))
+          HarnessUtil.releaseAll(spark, gc = true)
+          marks.toSeq
+        }
+        sample() // warm-up (not recorded)
+        val runs = (1 to TimedRuns).map(_ => sample())
+        val labels = runs.head.map(_._1)
+        val obj = labels.zipWithIndex.map { case (label, i) =>
+          q(label) + ":" + runs.map(_(i)._2).sorted.apply(TimedRuns / 2)
+        }.mkString("{", ",", "}")
+        s""","curate_stages":$obj"""
+      } catch { case scala.util.control.NonFatal(e) =>
+        s""","curate_stages":{"error":${q(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
+      } finally HarnessUtil.releaseAll(spark, gc = true)
+
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle":$shuffle$layoutJson$curateStagesJson,"errors":$errJson,"sf":"$sfDir"}"""
     // truncation-proof record: the harness keeps only a ~2,000-char tail
     // of stdout and a JSON parse of it. The FULL line (spread + shuffle
     // bytes for every query) lands in a repo file; stdout gets a COMPACT

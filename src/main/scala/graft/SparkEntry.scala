@@ -149,6 +149,8 @@ object SparkEntry {
     "frame_sample"      -> (Multimodal.frameSample _),
     "phash_near_dup"    -> (Multimodal.phashNearDup _),
     "phash_clusters"    -> (Multimodal.phashClusters _),
+    "phash_calibration" -> (Multimodal.phashCalibration _),
+    "frame_near_dup"    -> (Multimodal.frameNearDup _),
     "train_val_split"   -> (PipelineOps.trainValSplit _),
     "split_leakage"     -> (PipelineOps.splitLeakage _),
     "train_val_split_cluster" -> (PipelineOps.trainValSplitCluster _),

@@ -318,6 +318,74 @@ object StreamBench {
         ("serving_feed", math.round(fed / sec))
       },
       {
+        // the COMPOSED nightly dedup-index leg over a versioned
+        // DOCUMENTS root: follower poll → sketch the delivered batch
+        // ONCE → disposition it against the persisted sketch artifact
+        // (semi-join key probes only) → fold the batch sketch in
+        // per-day-replace. The corpus index is 10× the batch, but
+        // corpus text is never re-read inside the measured window —
+        // the leg's cost is bounded by sketching the BATCH plus key
+        // probes, the ratio-independence the artifact exists to buy
+        // (SCALEPROBE_r19 §3 priced the re-sketch alternative at 4.3×).
+        // Rows/s of the delivered batch DOCUMENTS, beside serving_feed;
+        // ServingFollowerSpec pins the loop's correctness.
+        import org.apache.spark.sql.functions.{col, lit}
+        val base = java.nio.file.Files.createTempDirectory("sb_docfeed").toString
+        val (sink, root, sketchRoot) = (s"$base/sink", s"$base/serving", s"$base/sketch")
+        val lex = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+          "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+          "november", "oscar", "papa")
+        def dtext(seed: Int) =
+          (0 until 24).map(j => lex((seed * 7 + j * 3) % lex.length) + (seed % 97))
+            .mkString(" ")
+        val corpusN = math.max(2000, total / 10)
+        val batchN = math.max(200, corpusN / 10)
+        def writeDay(day: String, rows: Seq[(Long, String)], mode: String): Unit =
+          rows.toDF("doc_id", "text")
+            .withColumn("ts_date", lit(day).cast("date"))
+            .write.mode(mode).partitionBy("ts_date").parquet(sink)
+        def sketchTo(days: Seq[String], df: org.apache.spark.sql.DataFrame): Unit =
+          days.foreach { d =>
+            graft.ops.Dedup.sketchOf(
+                df.filter(col("ts_date") === lit(d).cast("date"))
+                  .select("doc_id", "text"))
+              .write.mode("overwrite").parquet(s"$sketchRoot/ts_date=$d")
+          }
+        writeDay("2024-03-01", (0 until corpusN).map(i => (i.toLong, dtext(i))),
+          "overwrite")
+        graft.storage.VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01"))
+        val follower = new graft.storage.ServingFollower(spark, root)
+        // bootstrap feed batch builds the persisted corpus sketch — the
+        // one-time index build, outside the measured window
+        follower.poll() { (_, days, df) => sketchTo(days, df) }
+        // the nightly batch: 1-in-10 an exact copy of a corpus doc
+        writeDay("2024-03-02", (0 until batchN).map { i =>
+          ((corpusN + i).toLong, if (i % 10 == 0) dtext(i) else dtext(corpusN + i))
+        }, "append")
+        graft.storage.VersionedServing.sealDays(spark, sink, root, Seq("2024-03-02"))
+        var dispositioned = 0L
+        val t0 = System.nanoTime()
+        follower.poll() { (_, days, df) =>
+          val byDay = days.map { d =>
+            d -> graft.ops.Dedup.sketchOf(
+              df.filter(col("ts_date") === lit(d).cast("date"))
+                .select("doc_id", "text")).localCheckpoint()
+          }
+          val idxDays = new java.io.File(sketchRoot).listFiles()
+            .map(_.getName).filter(_.startsWith("ts_date="))
+            .map(_.stripPrefix("ts_date=")).filterNot(days.contains).sorted
+          val idx = spark.read.parquet(idxDays.map(d => s"$sketchRoot/ts_date=$d"): _*)
+          dispositioned = graft.ops.Dedup.sketchedDispositions(idx,
+            byDay.map(_._2).reduce(_ unionByName _)).count()
+          byDay.foreach { case (d, sk) =>
+            sk.write.mode("overwrite").parquet(s"$sketchRoot/ts_date=$d") }
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(dispositioned == batchN,
+          s"nightly leg dispositioned $dispositioned of $batchN batch docs")
+        ("nightly_dedup_leg", math.round(batchN / sec))
+      },
+      {
         // ingest-time BPE encode (StreamingBpe): per-batch published-chain
         // re-read + the one-projection literal-replace encode. Rows here
         // are DOCUMENTS (8 words each), so tokens/s ≈ 8× the figure.

@@ -390,6 +390,15 @@ object Dedup {
     * Hamming k" is one problem regardless of what produced the bits.
     * Never all-pairs; the only join is bucket-local on (band, value). */
   private[graft] def hammingPairs(fps0: DataFrame, fpCol: String,
+                                  bits: Int, hammingK: Int): DataFrame =
+    hammingPairsUnordered(fps0, fpCol, bits, hammingK)
+      .orderBy("doc_a", "doc_b")
+
+  /** [[hammingPairs]] without the final presentation sort — for
+    * consumers that AGGREGATE the pair set next (calibration deciles,
+    * per-doc-pair frame counts): a range exchange feeding a groupBy is
+    * pure overhead. */
+  private[graft] def hammingPairsUnordered(fps0: DataFrame, fpCol: String,
                                   bits: Int, hammingK: Int): DataFrame = {
     val nBands = hammingK + 1
     val bandBits = bits / nBands
@@ -424,7 +433,6 @@ object Dedup {
     full.unionByName(star)
       .filter(col("hamming") <= hammingK)
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** DuckDB CTE chain producing `fps(doc_id, simhash)` — the oracle twin

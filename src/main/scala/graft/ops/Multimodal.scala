@@ -129,21 +129,32 @@ object Multimodal {
     * direction survives uniform brightness/contrast shifts, which is
     * why dHash is the standard cheap image near-dup fingerprint. One
     * narrow codegen'd projection per document — no shuffle, no UDF. */
-  private[graft] def phashFps(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def phashFps(s: SparkSession, dir: String): DataFrame =
+    phashGridOf(Tables.documents(s, dir))
+      .select(col("doc_id"), dhashFp.as("phash"))
+
+  /** The raw 8×8 luminance grid behind [[phashFps]] — (doc_id, g0..g63),
+    * each cell a 0..255 "gray" sampled from [[PhashStride]] chars of the
+    * stub-decoded payload. Exposed separately because the calibration
+    * audit needs the CELLS, not just the folded fingerprint bits. */
+  private def phashGridOf(docs: DataFrame): DataFrame = {
     import graft.ops.Prims.hash60
     val cells = (0 until PhashGrid * PhashGrid).map(i =>
       pmod(hash60(substring(col("text"), 1 + i * PhashStride, PhashStride)),
         lit(256L)).as(s"g$i"))
-    val grid = Tables.documents(s, dir)
-      .select((col("doc_id") +: cells): _*)
-    val fp = (0 until PhashGrid).flatMap { r =>
+    docs.select((col("doc_id") +: cells): _*)
+  }
+
+  /** The dHash bit-fold over grid columns g0..g63 (one codegen'd
+    * projection): bit (r,c) set when cell (r,c) outweighs its right
+    * neighbor — shared by the document path and the per-frame path. */
+  private def dhashFp: org.apache.spark.sql.Column =
+    (0 until PhashGrid).flatMap { r =>
       (0 until PhashGrid - 1).map { c =>
         when(col(s"g${r * PhashGrid + c}") > col(s"g${r * PhashGrid + c + 1}"),
           lit(1L << (r * (PhashGrid - 1) + c))).otherwise(lit(0L))
       }
     }.reduce(_ bitwiseOR _)
-    grid.select(col("doc_id"), fp.as("phash"))
-  }
 
   /** phash_near_dup: image near-duplicate PAIRS by perceptual-hash
     * Hamming distance ≤ [[PhashHammingK]] — the standard image-dedup
@@ -163,43 +174,62 @@ object Multimodal {
     * twin of [[phashFps]] + [[graft.ops.Dedup.hammingPairs]], shared by
     * the pair and cluster oracles so the fingerprint semantics can
     * never desynchronize between them. */
-  private def phashPairsCtesSql: String = {
-    import graft.ops.Prims.hash60Sql
-    val bandBits = PhashBits / (PhashHammingK + 1)
-    val bandMask = (1L << bandBits) - 1
-    val cells = (0 until PhashGrid * PhashGrid).map(i =>
-      s"${hash60Sql(s"substr(text, ${1 + i * PhashStride}, $PhashStride)")} % 256 AS g$i")
-      .mkString(",\n    ")
-    val fp = (0 until PhashGrid).flatMap { r =>
+  /** The dHash bit-sum as a DuckDB expression over g0..g63 columns —
+    * twin of [[dhashFp]], shared by the doc and frame fingerprint CTEs. */
+  private def dhashFpSql: String =
+    (0 until PhashGrid).flatMap { r =>
       (0 until PhashGrid - 1).map { c =>
         s"CASE WHEN g${r * PhashGrid + c} > g${r * PhashGrid + c + 1} " +
           s"THEN ${1L << (r * (PhashGrid - 1) + c)} ELSE 0 END"
       }
     }.mkString(" + ")
+
+  /** DuckDB CTEs `g(doc_id, g0..g63)` + `fps(doc_id, phash)` — the
+    * oracle twin of [[phashGridOf]] + [[dhashFp]] over `documents`;
+    * the calibration oracle reads the `g` cells directly. */
+  private def phashFpsCtesSql: String = {
+    import graft.ops.Prims.hash60Sql
+    val cells = (0 until PhashGrid * PhashGrid).map(i =>
+      s"${hash60Sql(s"substr(text, ${1 + i * PhashStride}, $PhashStride)")} % 256 AS g$i")
+      .mkString(",\n    ")
     s"""g AS (SELECT doc_id,
        |    $cells
        |  FROM documents),
-       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS phash FROM g),
-       |bands AS (SELECT doc_id, phash, CAST(t.band AS INT) AS band,
-       |    (phash >> ($bandBits * CAST(t.band AS INT))) & $bandMask AS bval
+       |fps AS (SELECT doc_id, CAST($dhashFpSql AS BIGINT) AS phash FROM g)""".stripMargin
+  }
+
+  /** Banded-Hamming CTE chain appended after an `fps(doc_id, <fpCol>)`
+    * CTE — bands/bstats/bk/fullp/starp → `pairs(doc_a, doc_b, hamming)`,
+    * the oracle twin of [[graft.ops.Dedup.hammingPairs]] at
+    * [[PhashBits]]/[[PhashHammingK]]; parameterized on the fingerprint
+    * column so the document path and the per-frame path share one
+    * rendering and cannot desynchronize. */
+  private def bandedPairsCtesSql(fpCol: String): String = {
+    val bandBits = PhashBits / (PhashHammingK + 1)
+    val bandMask = (1L << bandBits) - 1
+    s"""bands AS (SELECT doc_id, $fpCol, CAST(t.band AS INT) AS band,
+       |    ($fpCol >> ($bandBits * CAST(t.band AS INT))) & $bandMask AS bval
        |  FROM fps, unnest(range(0, ${PhashHammingK + 1})) AS t(band)),
        |bstats AS (SELECT band, bval, count(*) AS bn, min(doc_id) AS bmin,
-       |    arg_min(phash, doc_id) AS minfp
+       |    arg_min($fpCol, doc_id) AS minfp
        |  FROM bands GROUP BY band, bval),
-       |bk AS (SELECT bands.doc_id, bands.phash, bands.band, bands.bval
+       |bk AS (SELECT bands.doc_id, bands.$fpCol, bands.band, bands.bval
        |  FROM bands JOIN bstats USING (band, bval) WHERE bn <= ${graft.ops.Dedup.MaxBandBucket}),
        |fullp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    bit_count(xor(a.phash, b.phash)) AS hamming
+       |    bit_count(xor(a.$fpCol, b.$fpCol)) AS hamming
        |  FROM bk a JOIN bk b
        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
        |starp AS (SELECT bstats.bmin AS doc_a, bands.doc_id AS doc_b,
-       |    bit_count(xor(bstats.minfp, bands.phash)) AS hamming
+       |    bit_count(xor(bstats.minfp, bands.$fpCol)) AS hamming
        |  FROM bands JOIN bstats USING (band, bval)
        |  WHERE bn > ${graft.ops.Dedup.MaxBandBucket} AND bands.doc_id <> bstats.bmin),
        |pairs AS (SELECT DISTINCT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
        |  FROM (SELECT * FROM fullp UNION ALL SELECT * FROM starp)
        |  WHERE hamming <= $PhashHammingK)""".stripMargin
   }
+
+  private def phashPairsCtesSql: String =
+    s"$phashFpsCtesSql,\n${bandedPairsCtesSql("phash")}"
 
   def phashNearDupSql: String =
     s"""WITH $phashPairsCtesSql
@@ -233,10 +263,138 @@ object Multimodal {
        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
        |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin
 
+  /** phash_calibration: the image family's threshold-picking audit —
+    * the twin of the text side's `minhash_calibration`. The phash bit
+    * (a gradient SIGN) is a lossy summary of the underlying 0..255
+    * luminance cells; before anyone trusts "Hamming ≤ k means
+    * near-identical image", this report says what each Hamming distance
+    * actually corresponds to in EXACT grid distance (L1 over the 64
+    * gray cells — the stand-in for pixel-level difference a real
+    * decoder would measure). Per Hamming value over the banded pair
+    * set: pair count and the sum/min/max of grid L1 — an operator reads
+    * the max column to see the worst true distance a given k admits.
+    *
+    * All-integer arithmetic (cells are int64 0..255, L1 ≤ 64·255), so
+    * the oracle hash-matches bit-for-bit. Scale shape: the pair set is
+    * the already-banded candidate output (never all-pairs); the two
+    * grid attaches are doc_id-keyed joins moving one 64-cell row per
+    * pair side; the final aggregation has [[PhashHammingK]]+1 groups. */
+  def phashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val n = PhashGrid * PhashGrid
+    val pairs = graft.ops.Dedup.hammingPairsUnordered(
+      phashFps(s, dir), "phash", PhashBits, PhashHammingK)
+    val grid = phashGridOf(Tables.documents(s, dir))
+    val ga = grid.toDF("doc_a" +: (0 until n).map(i => s"a$i"): _*)
+    val gb = grid.toDF("doc_b" +: (0 until n).map(i => s"b$i"): _*)
+    val l1 = (0 until n).map(i => abs(col(s"a$i") - col(s"b$i"))).reduce(_ + _)
+    pairs.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
+      .select(col("hamming"), l1.as("grid_l1"))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("grid_l1").as("sum_grid_l1"),
+        min("grid_l1").as("min_grid_l1"),
+        max("grid_l1").as("max_grid_l1"))
+      .orderBy("hamming")
+  }
+
+  def phashCalibrationSql: String = {
+    val l1 = (0 until PhashGrid * PhashGrid)
+      .map(i => s"abs(a.g$i - b.g$i)").mkString(" + ")
+    s"""WITH $phashPairsCtesSql,
+       |pl AS (SELECT p.hamming, $l1 AS grid_l1
+       |  FROM pairs p
+       |  JOIN g a ON a.doc_id = p.doc_a
+       |  JOIN g b ON b.doc_id = p.doc_b)
+       |SELECT hamming, count(*) AS n_pairs,
+       |  CAST(sum(grid_l1) AS BIGINT) AS sum_grid_l1,
+       |  CAST(min(grid_l1) AS BIGINT) AS min_grid_l1,
+       |  CAST(max(grid_l1) AS BIGINT) AS max_grid_l1
+       |FROM pl GROUP BY hamming ORDER BY hamming""".stripMargin
+  }
+
+  /** Frame-id packing base for [[frameNearDup]]: fid = doc_id ·
+    * [[FrameIdBase]] + frame index. [[MaxFrames]] = 8 < 16, so the
+    * packing is collision-free and invertible by integer division. */
+  private val FrameIdBase = 16L
+  /** Minimum near-identical frame pairs for [[frameNearDup]] to report
+    * a document pair. */
+  private val MinSharedFrames = 2L
+
+  /** Per-FRAME perceptual fingerprints — (fid, fph) where fid packs
+    * (doc, frame) into one int64 key and fph is the 56-bit dHash of the
+    * frame's own 8×8 grid (stride 1: a frame is one [[FrameStride]]-char
+    * slice, so its 64 cells tile it at char granularity). The same
+    * narrow no-shuffle projection shape as [[phashFps]], one row per
+    * sampled frame. */
+  private def frameFps(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Prims.hash60
+    val frames = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1) // see [[frameSample]]'s guard
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, least((length(text) + ${FrameStride - 1}) div $FrameStride,
+           |                            $MaxFrames)),
+           |  i -> substring(text, (i - 1) * $FrameStride + 1, $FrameStride))"""
+          .stripMargin))).toDF("doc_id", "pos", "frame")
+    val cells = (0 until PhashGrid * PhashGrid).map(i =>
+      pmod(hash60(substring(col("frame"), 1 + i, 1)), lit(256L)).as(s"g$i"))
+    frames
+      .select(((col("doc_id") * FrameIdBase + col("pos") + lit(1L)).as("doc_id") +: cells): _*)
+      .select(col("doc_id"), dhashFp.as("fph"))
+  }
+
+  /** frame_near_dup: VIDEO near-duplicate pairs — documents sharing at
+    * least [[MinSharedFrames]] near-identical frames (per-frame phash
+    * Hamming ≤ [[PhashHammingK]]). This is the operator that catches
+    * re-cut / re-encoded video the document-level [[phashNearDup]]
+    * misses: a clip embedded in a longer video shares most of its
+    * FRAMES while the whole-document fingerprint drifts arbitrarily
+    * far. Candidates stay banded PER FRAME (the shared
+    * [[graft.ops.Dedup.hammingPairs]] core over the packed frame-id
+    * table — never all-pairs, hub-star over hot buckets); the doc-pair
+    * rollup is one map-side-combinable count over the frame-pair set.
+    * Reports (doc_a, doc_b, shared_frames). */
+  def frameNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.hammingPairsUnordered(
+        frameFps(s, dir), "fph", PhashBits, PhashHammingK)
+      .select(expr(s"doc_a div $FrameIdBase").as("da"),
+        expr(s"doc_b div $FrameIdBase").as("db"))
+      .filter(col("da") =!= col("db")) // fid_a < fid_b across docs ⇒ da < db
+      .groupBy("da", "db").agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= MinSharedFrames)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("shared_frames"))
+      .orderBy("doc_a", "doc_b")
+
+  def frameNearDupSql: String = {
+    import graft.ops.Prims.hash60Sql
+    val cells = (0 until PhashGrid * PhashGrid).map(i =>
+      s"${hash60Sql(s"substr(frame, ${1 + i}, 1)")} % 256 AS g$i")
+      .mkString(",\n    ")
+    s"""WITH fr AS (SELECT doc_id, i,
+       |    substr(text, (i - 1) * $FrameStride + 1, $FrameStride) AS frame
+       |  FROM documents,
+       |    unnest(range(1, least((len(text) + ${FrameStride - 1}) // $FrameStride,
+       |                          $MaxFrames) + 1)) AS t(i)),
+       |g AS (SELECT doc_id * $FrameIdBase + i AS doc_id,
+       |    $cells
+       |  FROM fr),
+       |fps AS (SELECT doc_id, CAST($dhashFpSql AS BIGINT) AS fph FROM g),
+       |${bandedPairsCtesSql("fph")}
+       |SELECT doc_a // $FrameIdBase AS doc_a, doc_b // $FrameIdBase AS doc_b,
+       |  count(*) AS shared_frames
+       |FROM pairs
+       |WHERE doc_a // $FrameIdBase <> doc_b // $FrameIdBase
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $MinSharedFrames
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "frame_sample" -> frameSampleSql,
     "phash_near_dup" -> phashNearDupSql,
     "phash_clusters" -> phashClustersSql,
+    "phash_calibration" -> phashCalibrationSql,
+    "frame_near_dup" -> frameNearDupSql,
   )
 }

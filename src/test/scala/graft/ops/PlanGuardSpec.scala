@@ -200,6 +200,11 @@ class PlanGuardSpec extends SparkSpec {
     // the image twin of simhash_hamming_pairs: same banded-hamming core,
     // same 5 exchanges (band stats agg, bucket join both sides, distinct)
     "phash_near_dup" -> 5,
+    // the banded core's 4 pre-sort exchanges + the two grid attaches'
+    // shared key exchange + the decile aggregation
+    "phash_calibration" -> 6,
+    // same core over per-frame fingerprints + the doc-pair count rollup
+    "frame_near_dup" -> 6,
     "sliding_window" -> 2,
     "source_cardinality" -> 3,
     "state_kinds" -> 4,
