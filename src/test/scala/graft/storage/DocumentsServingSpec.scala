@@ -107,4 +107,56 @@ class DocumentsServingSpec extends SparkSpec {
     assert(graft.Tables.documents(s, tmp).select("doc_id")
       .collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
+
+  test("time-travel replay: a past run's dispositions reproduce against its pinned corpus version") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("docreplay").toString
+    val (sink, root) = (s"$base/sink", s"$base/serving")
+    def writeSink(rows: Seq[(Long, String, String, String, Long, java.sql.Timestamp)],
+        mode: String): Unit =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars", "ts")
+        .withColumn("ts_date", Layout.utcDate(col("ts")))
+        .drop("ts")
+        .write.mode(mode).partitionBy("ts_date").parquet(sink)
+
+    writeSink(Seq(
+      docRow(1L, text(1), "2024-03-01"),
+      docRow(2L, text(2), "2024-03-01")), "overwrite")
+    VersionedServing.sealDays(spark, sink, root, Seq("2024-03-01")) // v1
+    val v1 = VersionedServing.currentVersion(spark, root)
+
+    // "run X": one ingest batch dispositioned against the then-current
+    // corpus; a deployment records (results, corpus version v1)
+    val batch = Seq((21L, text(1)), (22L, text(22))).toDF("doc_id", "text")
+    s.conf.set(Layout.DocsServingDirKey, root)
+    try {
+      def dispositionsNow(): Map[Long, String] =
+        graft.ops.Dedup.incrementalDispositions(
+            graft.Tables.documents(s, "/nonexistent").select("doc_id", "text"),
+            batch)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val runX = dispositionsNow()
+      assert(runX == Map(21L -> "exact", 22L -> "fresh"), s"run X: $runX")
+
+      // the corpus evolves: a later day carries doc 22's exact text, so
+      // the same batch dispositions DIFFERENTLY against corpus head
+      writeSink(Seq(docRow(3L, text(22), "2024-03-02")), "append")
+      VersionedServing.sealDays(spark, sink, root, Seq("2024-03-02")) // v2
+      val head = dispositionsNow()
+      assert(head == Map(21L -> "exact", 22L -> "exact"),
+        s"the evolved corpus must change the verdict on doc 22, got $head")
+
+      // replay under run X's recorded pin: the ingest twin reads the
+      // EXACT corpus run X saw and reproduces its dispositions — the
+      // "which corpus did run X read" story closed for the ingest loop,
+      // not just ad-hoc reads
+      s.conf.set(Layout.DocsServingVersionKey, v1.toString)
+      assert(dispositionsNow() == runX,
+        "pinned replay must reproduce run X's dispositions exactly")
+    } finally {
+      s.conf.unset(Layout.DocsServingDirKey)
+      s.conf.unset(Layout.DocsServingVersionKey)
+    }
+  }
 }
