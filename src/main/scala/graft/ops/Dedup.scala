@@ -148,11 +148,16 @@ object Dedup {
     // index; the oracle applies the identical hash, so a 60-bit
     // collision — two bands binned together spuriously — is mirrored
     // bit-for-bit on both engines and only ever ADDS a candidate pair)
-    val bands = (0 until NumBands).map { k =>
-      sig.select(col("doc_id"), lit(k).as("band"),
-        hash60(concat_ws(",",
-          (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*)).as("bsig"))
-    }.reduce(_ unionByName _)
+    // ONE posexplode pass instead of a NumBands-way union of pin
+    // re-reads (r20): identical rows, one scan of the pinned signature
+    // table, and downstream stages keep the pin's task count instead of
+    // NumBands× it (each union branch contributed its own copy of the
+    // pin's partitions to every consumer stage).
+    val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until NumBands).map(k =>
+          hash60(concat_ws(",",
+            (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*))): _*)))
+      .toDF("doc_id", "band", "bsig")
     // hot-bucket guard: size each (band, bsig) bucket first (bands is
     // narrow compute over the checkpointed sig, so the extra pass is
     // cheap; the count is a map-side-combinable aggregation). Buckets
@@ -408,11 +413,17 @@ object Dedup {
     // referenced by all band projections + both join sides: pin the
     // doc-sized (doc_id, fingerprint) table once; blocks free with the RDD
     val fps = fps0.select(col("doc_id"), col(fpCol).as("simhash")).materialized
-    val bands = (0 until nBands).map { k =>
-      fps.select(col("doc_id"), col("simhash"), lit(k).as("band"),
-        shiftrightunsigned(col("simhash"), bandBits * k)
-          .bitwiseAND(lit(bandMask)).as("bval"))
-    }.reduce(_ unionByName _)
+    // ONE posexplode pass instead of an nBands-way union of pin re-reads
+    // (r20): the union form scanned the pinned table nBands times and
+    // multiplied every downstream stage's task count by nBands (each
+    // union branch contributes the pin's partitions); the explode emits
+    // the same (doc_id, simhash, band, bval) rows in a single narrow
+    // pass with the pin's own partition count. Row set identical.
+    val bands = fps.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until nBands).map(k =>
+          shiftrightunsigned(col("simhash"), bandBits * k)
+            .bitwiseAND(lit(bandMask))): _*)))
+      .toDF("doc_id", "simhash", "band", "bval")
     val bstats = bands.groupBy("band", "bval")
       .agg(count(lit(1)).as("bn"), min("doc_id").as("bmin"),
         min_by(col("simhash"), col("doc_id")).as("minfp"))
@@ -520,7 +531,11 @@ object Dedup {
       .filter(col("df") <= MaxShingleDf)
       .select("hs")
     // referenced three times (sizes + both sides of the index self-join):
-    // localCheckpoint, not cache — see the leak note in dedupNearMinhash
+    // localCheckpoint, not cache — see the leak note in dedupNearMinhash.
+    // (r20 probed removing this pin in favor of ReuseExchange: shuffle
+    // bytes ROSE 15.9 → 19.5 MB — the un-pinned consumers do not in fact
+    // share exchanges across the join subtrees — and wall was flat-to-
+    // worse. The pin stays.)
     val shr = sh.join(rare, "hs").materialized
     val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shr.as("a").join(shr.as("b"),
@@ -1306,11 +1321,12 @@ object Dedup {
     // near probe: band signatures from the SAME minhash family as the
     // batch near-dup path, new-batch bands semi-joined to index bands
     val sig = minhashSig(docs).materialized
-    val bands = (0 until NumBands).map { k =>
-      sig.select(col("doc_id"), lit(k).as("band"),
-        hash60(concat_ws(",",
-          (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*)).as("bsig"))
-    }.reduce(_ unionByName _)
+    // one posexplode pass over the pin — see minhashCandidatesWithMatches
+    val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until NumBands).map(k =>
+          hash60(concat_ws(",",
+            (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*))): _*)))
+      .toDF("doc_id", "band", "bsig")
     val oldBands = bands.filter(col("doc_id") < IngestSplit)
       .select("band", "bsig").distinct()
     val nearHits = bands.filter(col("doc_id") >= IngestSplit)
@@ -1414,12 +1430,13 @@ object Dedup {
     val sig = docs.select(col("doc_id"), md5(col("text")).as("ch"))
       .join(minhashSig(docs), Seq("doc_id"), "left")
       .materialized
-    val banded = (0 until NumBands).map { k =>
-      sig.where(col("mh0").isNotNull)
-        .select(col("doc_id"), col("ch"), lit(k).as("band"),
+    // one posexplode pass over the pin — see minhashCandidatesWithMatches
+    val banded = sig.where(col("mh0").isNotNull)
+      .select(col("doc_id"), col("ch"),
+        posexplode(array((0 until NumBands).map(k =>
           hash60(concat_ws(",",
-            (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*)).as("bsig"))
-    }.reduce(_ unionByName _)
+            (0 until BandRows).map(r => col(s"mh${BandRows * k + r}")): _*))): _*)))
+      .toDF("doc_id", "ch", "band", "bsig")
     banded.unionByName(
       sig.where(col("mh0").isNull)
         .select(col("doc_id"), col("ch"),
@@ -1508,7 +1525,13 @@ object Dedup {
       p = edges.join(out, "u")
         .select(col("v"), expr(s"(outv * $PrDamp) div $PrUnit").as("c"))
         .groupBy("v").agg((lit(PrTeleport) + sum(col("c"))).as("p"))
-        .materialized // vertex-sized; keeps the loop's lineage flat
+      // no per-iteration pin (r20): PrIters is a CONSTANT 3, so the
+      // unrolled plan is bounded (the SQL oracle unrolls the same three
+      // CTEs) — unlike alternatingStar's data-dependent round count,
+      // which genuinely needs per-round truncation. The edges pin above
+      // still cuts the expensive pair-generation lineage; dropping the
+      // three vertex-frame barriers saved ~0.2–0.3 s/query at sf0.1
+      // (three fewer blocking jobs), identical rows.
     }
     p.join(degByV, Seq("v")).select(col("v"), col("p").as("pr_micro"), col("deg"))
   }

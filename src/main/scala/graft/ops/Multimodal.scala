@@ -142,6 +142,10 @@ object Multimodal {
     val cells = (0 until PhashGrid * PhashGrid).map(i =>
       pmod(hash60(substring(col("text"), 1 + i * PhashStride, PhashStride)),
         lit(256L)).as(s"g$i"))
+    // (no scanFanout here, unlike [[frameFps]]: 64 md5s per DOCUMENT is
+    // ~8× less work than the frame path's per-frame grids, and the r20
+    // A/B showed the fan-out exchange costing more than the serial scan
+    // saves — phash_near_dup 0.97 → 1.39 s with it)
     docs.select((col("doc_id") +: cells): _*)
   }
 
@@ -328,8 +332,14 @@ object Multimodal {
     * sampled frame. */
   private def frameFps(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Prims.hash60
-    val frames = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
+    // scanFanout: this projection computes 64 oracle-parity md5s PER
+    // FRAME (up to 8 frames/doc — by far the heaviest per-row compute in
+    // the fleet), and a few-row-group corpus file would otherwise run all
+    // of it fused into a near-serial scan stage (guide §2.5's
+    // unsplittable-input fix; no-op when the scan is already parallel)
+    val frames = graft.ops.Prims.scanFanout(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .filter(length(col("text")) >= 1) // see [[frameSample]]'s guard
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(1, least((length(text) + ${FrameStride - 1}) div $FrameStride,

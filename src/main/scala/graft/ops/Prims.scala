@@ -24,6 +24,37 @@ object Prims {
     * `local` (default) or `reliable`. */
   val MaterializeModeKey = "spark.graft.materialize.mode"
 
+  /** Conf key for [[scanFanout]]: `auto` (default — fan out only when the
+    * scan is under-parallel) or `off`. */
+  val ScanFanoutKey = "spark.graft.scan.fanout"
+
+  /** Conditional post-scan fan-out — the optimization guide's §2.5 fix for
+    * under-parallel inputs ("one huge unsplittable file … repartition
+    * immediately after the read"), applied adaptively. A parquet scan
+    * cannot be split below row-group granularity, so a table written as
+    * few row groups runs its ENTIRE first stage (scan + every fused narrow
+    * op: tokenize, explode, per-row hashing) on that few tasks while the
+    * rest of the cluster idles. When the planned scan parallelism is below
+    * half the cluster's core count, repartition by a deterministic key to
+    * 2× default parallelism; otherwise pass through unchanged.
+    *
+    * Scale posture: at warehouse scale inputs arrive in hundreds of
+    * splits, the condition is false, and this is a no-op — it never adds
+    * an exchange to an already-parallel scan (bucketed/serving layouts
+    * included: their multi-file scans pass the threshold, preserving
+    * their exchange-free plans). The fan-out key is a deterministic
+    * column (hash repartition), never `rand()` — see SPARK-38388 — and
+    * the bytes moved are exactly the under-parallel input, the same bytes
+    * a single task would otherwise process serially. */
+  def scanFanout(df: DataFrame, keys: Column*): DataFrame = {
+    val sess = df.sparkSession
+    if (sess.conf.get(ScanFanoutKey, "auto") == "off") return df
+    val parallelism = sess.sparkContext.defaultParallelism
+    val scanParts = df.rdd.getNumPartitions // planning only — no job runs
+    if (scanParts * 2 <= parallelism) df.repartition(parallelism * 2, keys: _*)
+    else df
+  }
+
   /** THE materialization barrier — every eager pin in graft routes
     * through this one indirection (call sites spell it
     * `df.materialized` via [[MaterializeOps]]).

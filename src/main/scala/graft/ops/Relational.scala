@@ -131,6 +131,11 @@ object Relational {
     var feedback = start.filter(col("x") <= 5).materialized
     var guard    = 0
     while (!feedback.isEmpty && guard < 12) {
+      // per-round pin KEPT (r20 probed dropping it: the pin is what makes
+      // each round's isEmpty/next-step scan the SHRINKING feedback set
+      // instead of re-filtering the full pinned start every round — wall
+      // rose 0.67 → 0.89 s at sf0.1 without it, and at corpus scale the
+      // unpinned form re-scans the whole input once per iteration)
       val stepped = feedback.withColumn("x", col("x") + 1).materialized
       done = done.unionByName(stepped.filter(col("x") > 5))
       feedback = stepped.filter(col("x") <= 5)

@@ -49,11 +49,19 @@ object Sketches {
         "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
         .as("gram"))
 
-  /** Row-i CMS bucket of a key: hash60 over a row-salted key, mod Width.
-    * Salting the PLAINTEXT (not mixing hashes) keeps the Depth hash
-    * functions genuinely independent. */
+  /** Row-i CMS bucket of a key: xxhash64 seeded by the row index, mod
+    * Width. The bucket hash never reaches the output — the CMS gate is
+    * conservative for ANY hash family (estimate ≥ true count, no false
+    * negatives) and the exact re-count drops false positives — so unlike
+    * every oracle-visible sketch it does NOT need the cross-engine
+    * hash60/md5 discipline; the JVM-native xxhash64 costs ~an order of
+    * magnitude less per gram than md5 and takes the salt as a seed column
+    * instead of allocating a concatenated string per cell (r20: the Depth
+    * × 2-pass md5 stream was the query's dominant CPU). Output is
+    * bit-identical by the gate/confirm argument above; the oracle (exact
+    * HAVING) is unchanged. */
   private def bucket(i: Int, key: Column): Column =
-    pmod(hash60(concat(lit(s"$i#"), key)), lit(Width))
+    pmod(xxhash64(lit(i), key), lit(Width.toLong))
 
   /** heavy_hitters: every bigram with frequency ≥ total/[[HhDenom]],
     * with its exact count — CMS gate + exact confirm as described above.

@@ -111,8 +111,13 @@ class PlanGuardSpec extends SparkSpec {
     "multitouch_attribution" -> 2,
     "nb_classifier" -> 2,
     "source_divergence" -> 6, // one corpus agg; the rest are (sources × V+1)-cell marginals
-    "pagerank_docs" -> 3,
-    "dedup_central_survivors" -> 6,
+    // r20: pagerank's three unrolled iterations are now IN the final plan
+    // (the former per-iteration localCheckpoints hid their exchanges in
+    // separate pre-executed jobs while paying a blocking job each — the
+    // total shuffle work is unchanged, three barriers fewer; PrIters is a
+    // constant so the unrolled depth is bounded, like the oracle's CTEs)
+    "pagerank_docs" -> 12,
+    "dedup_central_survivors" -> 15,
     "moving_avg" -> 2, // day aggregation + the date-range-bounded global window's single partition
     "ann_ivf_recall" -> 6,
     "ann_ivf_sampled_recall" -> 6,
@@ -141,7 +146,9 @@ class PlanGuardSpec extends SparkSpec {
     // graph driver-side, leaving the one report aggregation exchange
     "phash_clusters" -> 1,
     "dedup_exact" -> 2,
-    "dedup_incremental" -> 7,
+    // r20: 7 → 4 — the banded near-probe now posexplodes the pinned
+    // signature once instead of unioning four band projections of it
+    "dedup_incremental" -> 4,
     "dedup_near_minhash" -> 5,
     "dedup_substring" -> 3,
     "dedup_survivors" -> 4,
