@@ -117,8 +117,14 @@ object Dedup {
     * collapses each doc to one 16-column row per map task, so the ONLY
     * exchange moves ~one row per document. The oracle (min over the
     * DISTINCT shingle set) is unchanged — same min, bit-for-bit. */
-  private[graft] def minhashSig(docs: DataFrame): DataFrame = {
-    val hs = shingleExplodeFromToks(Prims.tokenized(docs))
+  private[graft] def minhashSig(docs: DataFrame): DataFrame =
+    minhashSigFromToks(Prims.tokenized(docs))
+
+  /** [[minhashSig]] over a pre-tokenized `(doc_id, ws)` frame — the
+    * shared-scan form, so a composed pipeline that also builds the
+    * shingle index (minhash_calibration) tokenizes the corpus once. */
+  private def minhashSigFromToks(toks: DataFrame): DataFrame = {
+    val hs = shingleExplodeFromToks(toks)
       .select(col("doc_id"), pmod(hash60(col("s")), lit(P31)).as("hm"))
     val aggs = (0 until NumHashes).map(j =>
       min(pmod(lit(aCoef(j)) * col("hm") + lit(bCoef(j)), lit(P31))).as(s"mh$j"))
@@ -137,11 +143,17 @@ object Dedup {
   /** LSH candidate pairs with their raw signature-match count (0..16) —
     * the shared core of [[dedupNearMinhash]] (estimate surface) and
     * [[minhashCalibration]] (estimator audit). */
-  private def minhashCandidatesWithMatches(s: SparkSession, dir: String): DataFrame = {
+  private def minhashCandidatesWithMatches(s: SparkSession, dir: String): DataFrame =
+    minhashCandidatesWithMatchesFromToks(
+      Prims.tokenized(Tables.documents(s, dir)))
+
+  /** [[minhashCandidatesWithMatches]] over a pre-tokenized frame (the
+    * shared-scan form for [[minhashCalibration]]). */
+  private def minhashCandidatesWithMatchesFromToks(toks: DataFrame): DataFrame = {
     // the signature table is referenced three times (banding + both join
     // sides); eager localCheckpoint materializes it once and frees with
     // the RDD — no cache entry outlives the call (OpsSpec leak guard)
-    val sig = minhashSig(Tables.documents(s, dir)).materialized
+    val sig = minhashSigFromToks(toks).materialized
     // band signature = hash60 of the comma-joined band values: an int64
     // join/aggregation key instead of a ~40-char string, so the bucket
     // exchange moves 8-byte keys (the same key-narrowing as the n-gram
@@ -203,8 +215,14 @@ object Dedup {
     * floor(|m/16 − i/u|·10) — two int÷int IEEE divisions both engines
     * reproduce bit-for-bit. */
   def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
-    val cands = minhashCandidatesWithMatches(s, dir).materialized
-    val shr = shingleHashesFromToks(Prims.tokenized(Tables.documents(s, dir)))
+    // ONE corpus tokenize pass (pinned) feeds BOTH fronts — the LSH
+    // signature and the exact shingle index — which previously each
+    // re-scanned and re-split the text (r20: −0.5 s at sf0.1; at corpus
+    // scale it halves the tokenize passes of the audit). Same pin
+    // discipline as curateStages' shared toks.
+    val toks = Prims.tokenized(Tables.documents(s, dir)).materialized
+    val cands = minhashCandidatesWithMatchesFromToks(toks).materialized
+    val shr = shingleHashesFromToks(toks)
       .materialized
     val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands

@@ -61,7 +61,15 @@ object PipelineOps {
     * multiplicity — only the tiny held-out side gets deduped (for
     * broadcast size). */
   private def wordGrams(docs: DataFrame, n: Int): DataFrame =
-    wordGramsFromToks(Prims.tokenized(docs), n)
+    // scanFanout (r20): the gram explode is heavy per-row work fused into
+    // a near-serial scan stage on a few-row-group corpus file (guide
+    // §2.5); the decontamination consumers are pin-light (the held-side
+    // pin is heldout-sized), so the fan-out's task-count effect on pinned
+    // tables — which killed the blanket form — does not apply here.
+    // Measured: decontaminate 1.01 → 0.66 s at sf0.1. No-op on
+    // already-parallel scans; composed pipelines use the FromToks form
+    // and their own shared pinned tokenize instead.
+    wordGramsFromToks(Prims.tokenized(Prims.scanFanout(docs, col("doc_id"))), n)
 
   /** [[wordGrams]] over a pre-tokenized `(doc_id, ws)` frame — composed
     * pipelines feed this from their one shared corpus-tokenize pass. */
@@ -921,6 +929,11 @@ object PipelineOps {
     }
     val clean = collapsed.filter(col("doc_id") >= HeldoutMax)
       .join(contaminated, Seq("doc_id"), "left_anti")
+    // (r20 probed pinning `clean` before the rank to spare the range
+    // partitioner's sampling pass its recompute of the upstream chain:
+    // pin job 1.0 s + quota 0.47 s vs unpinned quota 1.45 s — a wash;
+    // the sampling pass only re-runs post-exchange narrow work, which is
+    // exactly what the pin job costs. Not kept.)
     val picked = timed("quota_grouped_rank") {
       Prims.groupedRowNumber(
           clean.select(col("doc_id"), col("source"), col("n_words"),

@@ -316,17 +316,29 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), expr(wordsExpr).as("ws"))
       .filter(size(col("ws")) >= 3)
-    def gramCounts(n: Int) = docs
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"))
-        .as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    val a2 = gramCounts(2).groupBy("doc_id")
-      .agg(max("c").as("top2"), sum("c").as("tot2"))
-    val a3 = gramCounts(3).groupBy("doc_id")
-      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
-           sum("c").as("tot3"))
-    a2.join(a3, "doc_id")
+    // ONE tagged gram pass for both gram sizes (r20): the 2-gram and
+    // 3-gram streams previously each exploded the corpus, paid their own
+    // (doc_id, g) exchange, aggregated per doc and joined back — two
+    // full-gram-volume shuffles and a join for what is one partitioned
+    // count. Tagging each gram with its size n and grouping on
+    // (doc_id, n, g) yields identical per-gram counts (n rides the key,
+    // so the two gram families can never merge) in ONE exchange; the two
+    // per-doc aggregate rows then come from one conditional aggregation,
+    // no join. Same rows, same values, half the shuffle.
+    val grams = docs.select(col("doc_id"), explode(expr(
+      """concat(
+        |  transform(sequence(1, size(ws) - 1),
+        |    i -> named_struct('n', 2, 'g', array_join(slice(ws, i, 2), ' '))),
+        |  transform(sequence(1, size(ws) - 2),
+        |    i -> named_struct('n', 3, 'g', array_join(slice(ws, i, 3), ' '))))"""
+        .stripMargin)).as("t"))
+      .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+    grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(when(col("n") === 2, col("c"))).as("top2"),
+        sum(when(col("n") === 2, col("c"))).as("tot2"),
+        sum(when(col("n") === 3 && col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
+        sum(when(col("n") === 3, col("c"))).as("tot3"))
       .select(col("doc_id"),
         (col("top2").cast("double") / col("tot2")).as("top2_frac"),
         (col("dup3").cast("double") / col("tot3")).as("dup3_frac"))
@@ -846,6 +858,8 @@ object TextAnalysis {
     * the classifier little real signal; the OPERATOR contract (split /
     * train / score / confuse, deterministically) is what's pinned. */
   def nbClassifier(s: SparkSession, dir: String): DataFrame = {
+    // (no scanFanout: training is several separate jobs and each would
+    // re-pay the fan-out exchange — r20 A/B: 1.14 → 1.71 s with it)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), expr(wordsExpr).as("ws"))
       .withColumn("fold",
@@ -857,12 +871,16 @@ object TextAnalysis {
     val vocab = trainToks.groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(VocabN)
       .select("w").collect().map(_.getString(0))
-    // class priors + token totals + per-(class, vocab-word) counts
-    val classes = train.groupBy("lang").agg(count(lit(1)).as("nc"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // class priors + token totals in ONE training job (r20: these were
+    // two separate corpus-scanning collects; per-class doc count and
+    // token count are one combinable aggregation — Σ size(ws) per class
+    // equals the exploded token count exactly)
+    val classStats = train.groupBy("lang")
+      .agg(count(lit(1)).as("nc"), sum(size(col("ws")).cast("long")).as("tc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val classes = classStats.map { case (l, (nc, _)) => l -> nc }
     val nTrain = classes.values.sum
-    val tokTotals = trainToks.groupBy("lang").agg(count(lit(1)).as("tc"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tokTotals = classStats.map { case (l, (_, tc)) => l -> tc }
     val vocabSet = vocab.toSet
     val cwCounts = trainToks.filter(col("w").isInCollection(vocabSet))
       .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))

@@ -138,7 +138,10 @@ class PlanGuardSpec extends SparkSpec {
     "curate_manifest" -> 1,
     "date_funcs" -> 1,
     "decimal_arith" -> 1,
-    "decontaminate" -> 3,
+    // r20: +1 — the conditional post-scan fan-out (Prims.scanFanout) on
+    // the gram stream; it parallelizes the otherwise-serial explode on a
+    // few-row-group corpus file and is a no-op on parallel scans
+    "decontaminate" -> 4,
     "decontaminate_bloom" -> 3,
     "decontaminate_semantic" -> 3,
     "dedup_clusters" -> 1,
@@ -191,7 +194,10 @@ class PlanGuardSpec extends SparkSpec {
     "projection" -> 1,
     "quality_score" -> 1,
     "quantile_sketch_gate" -> 5,
-    "repetition_score" -> 5,
+    // r20: 5 → 3 — the 2-gram and 3-gram streams ride ONE tagged explode
+    // and one (doc_id, n, g) count instead of two explodes + two
+    // exchanges + a join
+    "repetition_score" -> 3,
     "rolling_sum" -> 2,
     "semantic_dedup" -> 9,
     "semantic_incremental" -> 8,
