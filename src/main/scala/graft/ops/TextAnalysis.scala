@@ -316,29 +316,30 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), expr(wordsExpr).as("ws"))
       .filter(size(col("ws")) >= 3)
-    // ONE tagged gram pass for both gram sizes (r20): the 2-gram and
-    // 3-gram streams previously each exploded the corpus, paid their own
+    // ONE gram pass for both gram sizes (r20): the 2-gram and 3-gram
+    // streams previously each exploded the corpus, paid their own
     // (doc_id, g) exchange, aggregated per doc and joined back — two
     // full-gram-volume shuffles and a join for what is one partitioned
-    // count. Tagging each gram with its size n and grouping on
-    // (doc_id, n, g) yields identical per-gram counts (n rides the key,
-    // so the two gram families can never merge) in ONE exchange; the two
-    // per-doc aggregate rows then come from one conditional aggregation,
-    // no join. Same rows, same values, half the shuffle.
+    // count. One explode emits both families into one (doc_id, g) count;
+    // the two families can never merge because a token contains no ' '
+    // (the shared wordsExpr splits on it), so a 2-gram string carries
+    // exactly one space and a 3-gram exactly two — the per-doc
+    // aggregation re-derives the family from the gram's space count on
+    // the (far smaller) grouped rows. Same rows, same values, half the
+    // shuffle and one corpus explode instead of two.
     val grams = docs.select(col("doc_id"), explode(expr(
       """concat(
         |  transform(sequence(1, size(ws) - 1),
-        |    i -> named_struct('n', 2, 'g', array_join(slice(ws, i, 2), ' '))),
+        |    i -> array_join(slice(ws, i, 2), ' ')),
         |  transform(sequence(1, size(ws) - 2),
-        |    i -> named_struct('n', 3, 'g', array_join(slice(ws, i, 3), ' '))))"""
-        .stripMargin)).as("t"))
-      .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
-    grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+        |    i -> array_join(slice(ws, i, 3), ' ')))""".stripMargin)).as("g"))
+    val is2 = size(split(col("g"), " ", -1)) === 2
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
-      .agg(max(when(col("n") === 2, col("c"))).as("top2"),
-        sum(when(col("n") === 2, col("c"))).as("tot2"),
-        sum(when(col("n") === 3 && col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
-        sum(when(col("n") === 3, col("c"))).as("tot3"))
+      .agg(max(when(is2, col("c"))).as("top2"),
+        sum(when(is2, col("c"))).as("tot2"),
+        sum(when(!is2 && col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
+        sum(when(!is2, col("c"))).as("tot3"))
       .select(col("doc_id"),
         (col("top2").cast("double") / col("tot2")).as("top2_frac"),
         (col("dup3").cast("double") / col("tot3")).as("dup3_frac"))
