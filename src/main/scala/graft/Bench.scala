@@ -34,6 +34,21 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Scan-split floor (guide §6): openCostInBytes models per-file
+      // open/seek overhead when packing files into splits; the 4 MB
+      // default (HDFS-era) also acts as a FLOOR on split size
+      // (maxSplitBytes = max(openCost, totalBytes/defaultParallelism)),
+      // which pins every sub-4MB-per-core table — the whole sf0.1
+      // fixture set — to a near-serial scan front regardless of row
+      // groups. 16 KB is the honest local-NVMe/page-cache open cost and
+      // lets minPartitionNum (defaults to defaultParallelism) size the
+      // splits, so scan parallelism tracks SPARK_GRAFT_CPUS at every
+      // core count. Scale posture: at warehouse scale files are
+      // 128 MB–1 GB, where bytesPerCore >> openCost and this value is
+      // inert; it only matters exactly where the default mis-serializes
+      // small-file scans.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (64 * 1024).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_MATERIALIZE_MODE=reliable re-times the whole surface

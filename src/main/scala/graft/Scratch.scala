@@ -14,6 +14,8 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (64 * 1024).toString)) // scan-split floor - see Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same hook as Verify/Bench: probe individual queries under either
@@ -69,6 +71,8 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (64 * 1024).toString)) // scan-split floor - see Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -45,14 +45,40 @@ object Prims {
     * their exchange-free plans). The fan-out key is a deterministic
     * column (hash repartition), never `rand()` — see SPARK-38388 — and
     * the bytes moved are exactly the under-parallel input, the same bytes
-    * a single task would otherwise process serially. */
+    * a single task would otherwise process serially.
+    *
+    * PRECONDITION: call on raw scans only. `df.rdd` is planning-only on
+    * an exchange-free plan, but under AQE it EXECUTES any shuffle query
+    * stages in the plan — asserted below so a future non-scan caller
+    * fails loudly instead of silently launching jobs (and mis-reading a
+    * post-shuffle partition count as scan parallelism). At least one
+    * deterministic key is required: keyless round-robin repartition
+    * re-draws row placement on task retry (the SPARK-38388 class this
+    * API exists to avoid).
+    *
+    * Fan-out width is sized from the INPUT, not a blanket constant
+    * (r20's 2×parallelism shattered byte-sized inputs into 64
+    * micro-tasks and anti-scaled at 32 cores — decontaminate's 8→32
+    * ratio was 0.54): estimated scan bytes / 128 MB (the healthy-split
+    * yardstick, guide §6), clamped to [parallelism, 2×parallelism] so a
+    * small input engages every core once and a huge unsplittable one
+    * gets at most two waves. */
   def scanFanout(df: DataFrame, keys: Column*): DataFrame = {
+    require(keys.nonEmpty,
+      "scanFanout requires at least one deterministic key column (SPARK-38388)")
     val sess = df.sparkSession
     if (sess.conf.get(ScanFanoutKey, "auto") == "off") return df
+    require(!df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      "scanFanout must be applied to a raw scan (plan already contains an exchange)")
     val parallelism = sess.sparkContext.defaultParallelism
-    val scanParts = df.rdd.getNumPartitions // planning only — no job runs
-    if (scanParts * 2 <= parallelism) df.repartition(parallelism * 2, keys: _*)
-    else df
+    val scanParts = df.rdd.getNumPartitions // planning only — scan-only plan, see above
+    if (scanParts * 2 <= parallelism) {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val target = ((bytes / (128L << 20)) + 1).min(2L * parallelism)
+        .max(parallelism).toInt
+      df.repartition(target, keys: _*)
+    } else df
   }
 
   /** THE materialization barrier — every eager pin in graft routes

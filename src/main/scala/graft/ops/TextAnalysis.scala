@@ -309,40 +309,59 @@ object TextAnalysis {
   /** Repetition filtering (the Gopher-rules family): fraction of 2-gram
     * instances taken by the single most frequent 2-gram, and fraction of
     * 3-gram instances that are repeats — high values flag boilerplate /
-    * template spam. Two map-side-combinable aggregations keyed by
-    * (doc, gram) then doc; no joins wider than the doc id. Defined over
-    * docs with ≥ 3 words (same domain rule as shingling). */
+    * template spam. Defined over docs with ≥ 3 words (same domain rule
+    * as shingling).
+    *
+    * ZERO cross-doc aggregation (r21). Every statistic here is a
+    * function of one doc's OWN gram multiset (the top 2-gram's
+    * multiplicity; 3-gram instances whose gram repeats), so the r20
+    * corpus explode → (doc_id, g) exchange → per-doc re-aggregation was
+    * shuffling gram volume only to group rows that were never apart. A
+    * per-row array_sort + run-length `aggregate` fold per family
+    * computes the same integer counts inside the scan stage: one corpus
+    * pass, no explode, no gram exchange at ANY scale — the only
+    * exchange left is the deterministic ORDER BY (guide §1.2 step 1,
+    * §2.4 "remove shuffles outright"). Exactness: top2 = longest equal
+    * run of the sorted 2-gram array = max 2-gram count; dup3 =
+    * tot3 − (number of length-1 runs) = Σ c over grams with c > 1; the
+    * final divisions are the same int/int → double as the grouped form,
+    * bit-identical to the oracle. Per-doc cost is O(g log g) in the
+    * doc's OWN gram count — embarrassingly parallel, no skew coupling
+    * between docs (a giant doc only sorts its own grams). */
   def repetitionScore(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), expr(wordsExpr).as("ws"))
       .filter(size(col("ws")) >= 3)
-    // ONE gram pass for both gram sizes (r20): the 2-gram and 3-gram
-    // streams previously each exploded the corpus, paid their own
-    // (doc_id, g) exchange, aggregated per doc and joined back — two
-    // full-gram-volume shuffles and a join for what is one partitioned
-    // count. One explode emits both families into one (doc_id, g) count;
-    // the two families can never merge because a token contains no ' '
-    // (the shared wordsExpr splits on it), so a 2-gram string carries
-    // exactly one space and a 3-gram exactly two — the per-doc
-    // aggregation re-derives the family from the gram's space count on
-    // the (far smaller) grouped rows. Same rows, same values, half the
-    // shuffle and one corpus explode instead of two.
-    val grams = docs.select(col("doc_id"), explode(expr(
-      """concat(
-        |  transform(sequence(1, size(ws) - 1),
-        |    i -> array_join(slice(ws, i, 2), ' ')),
-        |  transform(sequence(1, size(ws) - 2),
-        |    i -> array_join(slice(ws, i, 3), ' ')))""".stripMargin)).as("g"))
-    val is2 = size(split(col("g"), " ", -1)) === 2
-    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max(when(is2, col("c"))).as("top2"),
-        sum(when(is2, col("c"))).as("tot2"),
-        sum(when(!is2 && col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
-        sum(when(!is2, col("c"))).as("tot3"))
+    // max multiplicity of any 2-gram = longest run in the sorted array
+    // ('' as the initial prev is safe: grams join non-empty words, so a
+    // gram is never the empty string)
+    val top2 = expr(
+      """aggregate(
+        |  array_sort(transform(sequence(1, size(ws) - 1),
+        |    i -> array_join(slice(ws, i, 2), ' '))),
+        |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+        |  (acc, g) -> named_struct(
+        |    'prev', g,
+        |    'run',  IF(g = acc.prev, acc.run + 1L, 1L),
+        |    'best', greatest(acc.best, IF(g = acc.prev, acc.run + 1L, 1L))),
+        |  acc -> acc.best)""".stripMargin)
+    // number of 3-grams occurring exactly once = number of length-1 runs
+    val singles3 = expr(
+      """aggregate(
+        |  array_sort(transform(sequence(1, size(ws) - 2),
+        |    i -> array_join(slice(ws, i, 3), ' '))),
+        |  named_struct('prev', '', 'run', 0L, 'sing', 0L),
+        |  (acc, g) -> IF(g = acc.prev,
+        |    named_struct('prev', g, 'run', acc.run + 1L, 'sing', acc.sing),
+        |    named_struct('prev', g, 'run', 1L,
+        |      'sing', acc.sing + IF(acc.run = 1L, 1L, 0L))),
+        |  acc -> acc.sing + IF(acc.run = 1L, 1L, 0L))""".stripMargin)
+    val tot2 = (size(col("ws")) - 1).cast("long")
+    val tot3 = (size(col("ws")) - 2).cast("long")
+    docs
       .select(col("doc_id"),
-        (col("top2").cast("double") / col("tot2")).as("top2_frac"),
-        (col("dup3").cast("double") / col("tot3")).as("dup3_frac"))
+        (top2.cast("double") / tot2).as("top2_frac"),
+        ((tot3 - singles3).cast("double") / tot3).as("dup3_frac"))
       .withColumn("keep", col("top2_frac") <= 0.20 && col("dup3_frac") <= 0.30)
       .orderBy("doc_id")
   }
@@ -876,8 +895,15 @@ object TextAnalysis {
     // two separate corpus-scanning collects; per-class doc count and
     // token count are one combinable aggregation — Σ size(ws) per class
     // equals the exploded token count exactly)
+    // NULL-text docs: explode(ws) contributes 0 tokens, but size(NULL)
+    // is -1/NULL depending on spark.sql.legacy.sizeOfNull — so the token
+    // total coalesces per doc to 0 (the langId NULL-handling discipline),
+    // keeping Σ per-class tokens ≡ the exploded token count for every
+    // input, not just NULL-free fixtures.
+    val wsTokens = when(col("ws").isNull, lit(0L))
+      .otherwise(size(col("ws")).cast("long"))
     val classStats = train.groupBy("lang")
-      .agg(count(lit(1)).as("nc"), sum(size(col("ws")).cast("long")).as("tc"))
+      .agg(count(lit(1)).as("nc"), sum(wsTokens).as("tc"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val classes = classStats.map { case (l, (nc, _)) => l -> nc }
     val nTrain = classes.values.sum

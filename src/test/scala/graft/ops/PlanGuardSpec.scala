@@ -140,7 +140,12 @@ class PlanGuardSpec extends SparkSpec {
     "decimal_arith" -> 1,
     // r20: +1 — the conditional post-scan fan-out (Prims.scanFanout) on
     // the gram stream; it parallelizes the otherwise-serial explode on a
-    // few-row-group corpus file and is a no-op on parallel scans
+    // few-row-group corpus file and is a no-op on parallel scans.
+    // FIXTURE DEPENDENCY: this 4 encodes that the fan-out FIRES under the
+    // test session (sf0.001 documents is single-row-group and local[4]
+    // splits it into <=2 scan partitions). Regenerating sf0.001 with 3+
+    // row groups (or lowering openCostInBytes in SparkSpec) flips this
+    // back to 3 for an environment reason, not a plan regression.
     "decontaminate" -> 4,
     "decontaminate_bloom" -> 3,
     "decontaminate_semantic" -> 3,
@@ -195,9 +200,10 @@ class PlanGuardSpec extends SparkSpec {
     "quality_score" -> 1,
     "quantile_sketch_gate" -> 5,
     // r20: 5 → 3 — the 2-gram and 3-gram streams ride ONE tagged explode
-    // and one (doc_id, n, g) count instead of two explodes + two
-    // exchanges + a join
-    "repetition_score" -> 3,
+    // r21: 3 -> 1 — per-doc run-length folds over each row's own sorted
+    // gram arrays replace the corpus explode + (doc_id, g) count + per-doc
+    // re-aggregation entirely; the final ORDER BY is the only exchange
+    "repetition_score" -> 1,
     "rolling_sum" -> 2,
     "semantic_dedup" -> 9,
     "semantic_incremental" -> 8,
