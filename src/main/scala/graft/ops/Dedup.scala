@@ -554,6 +554,15 @@ object Dedup {
     // bytes ROSE 15.9 → 19.5 MB — the un-pinned consumers do not in fact
     // share exchanges across the join subtrees — and wall was flat-to-
     // worse. The pin stays.)
+    // (r21 probed replacing the self-join with BUCKETED POSTINGS:
+    // groupBy(hs).sort_array(collect_list(doc_id)) over the rare-filtered
+    // index — bounded ≤ MaxShingleDf per list — then an i<j array-comb
+    // explode for pairs and an explode+count for sizes. Shuffle ROSE
+    // 14.8 → 18.2 MB and wall +0.2–0.5 s family-wide: the pinned
+    // self-join's two sides plan ONE ReusedExchange, so the "two heavy
+    // exchanges" the rewrite removes are already one, while partial
+    // collect_list lists serialize with per-array overhead and collapse
+    // nothing. Not kept — fifth structural variant rejected on numbers.)
     val shr = sh.join(rare, "hs").materialized
     val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shr.as("a").join(shr.as("b"),

@@ -400,6 +400,11 @@ object EventAnalytics {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
+      // single-partition WindowExec — BOUNDED BY CONSTRUCTION: the input
+      // is the (prev_type, next_type) count matrix, ≤ |event_type|² rows
+      // (event types are a closed enumeration, not data-volume-scaled),
+      // so the "No Partition Defined" warning this emits is safe at any
+      // corpus size. One of exactly two such sites (see moving_avg).
       .withColumn("n_total", sum("n").over(Window.partitionBy()))
       .select("prev_type", "next_type", "n", "n_total")
       .orderBy("prev_type", "next_type")

@@ -1029,6 +1029,10 @@ object Tpch {
       .groupBy("day")
       .agg(count(lit(1)).as("n_orders"),
         sum(dec2(col("o_totalprice"))).as("rev"))
+    // single-partition WindowExec — BOUNDED BY CONSTRUCTION: the input is
+    // the per-DAY aggregate, whose row count grows with the calendar span
+    // of o_orderdate (~365 rows/year at ANY data volume), not with order
+    // volume. One of exactly two such sites (see user_journey).
     val w = Window.orderBy("day").rowsBetween(-6, 0)
     daily
       .withColumn("mov_rev_7d", sum(col("rev")).over(w).cast("double"))
