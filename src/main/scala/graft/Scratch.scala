@@ -18,6 +18,7 @@ object Scratch {
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (64 * 1024).toString)) // scan-split floor - see Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessUtil.applyEnvConf(spark) // SPARK_GRAFT_CONF=k=v;... probe arms
     // same hook as Verify/Bench: probe individual queries under either
     // materialize mode (SPARK_GRAFT_MATERIALIZE_MODE=reliable)
     sys.env.get("SPARK_GRAFT_MATERIALIZE_MODE").foreach { mode =>

@@ -73,7 +73,14 @@ object Prims {
       "scanFanout must be applied to a raw scan (plan already contains an exchange)")
     val parallelism = sess.sparkContext.defaultParallelism
     val scanParts = df.rdd.getNumPartitions // planning only — scan-only plan, see above
-    if (scanParts * 2 <= parallelism) {
+    // *3, not the r20 *2: once the fixture scans split (r21 multi-row-
+    // group layout, 13-way documents scans at 32 cores), the 2x
+    // threshold still fired and measured a wall WASH for extra shuffle
+    // bytes (frame_near_dup 4.1 vs 2.7 MB, decontaminate 0.89 vs
+    // 0.02 MB, wall ±0.1 s). Fan out only for genuinely under-parallel
+    // scans (< a third of the cores), where the r20 single-task A/Bs
+    // showed the real wins.
+    if (scanParts * 3 <= parallelism) {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       val target = ((bytes / (128L << 20)) + 1).min(2L * parallelism)
         .max(parallelism).toInt

@@ -740,9 +740,15 @@ object TextAnalysis {
     * ranks and band edges agree bit-for-bit; the final rollup is a
     * 3-group aggregation. */
   def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    // pinned: consumed by the count rollup, the rank's range-partitioner
+    // sampling pass, and the range exchange — three executions of the
+    // per-doc LM-scoring projection without the pin (the rfm_segments
+    // r21 pattern: pin rank inputs whose upstream is a non-trivial
+    // aggregation/scoring chain, not a bare scan projection)
     val scored = unigramScoredDocs(s, dir)
       .withColumn("mean_mnats",
         col("surprisal_mnats").cast("double") / col("n_tok"))
+      .materialized
     val n = scored.agg(count(lit(1)).as("n"))
     val ranked = Prims.globalRowNumber(
       scored.crossJoin(broadcast(n)), "rn", col("mean_mnats"), col("doc_id"))
@@ -778,6 +784,10 @@ object TextAnalysis {
     val counts = Tables.documents(s, dir)
       .select(explode(expr(wordsExpr)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // pinned: the rank's sampling pass + range exchange would each
+      // re-run the corpus-wide word-count aggregation (same rationale
+      // as the rfm_segments/quality_buckets pins)
+      .materialized
     val ranked = Prims.globalRowNumber(counts, "rank", col("cnt").desc, col("w"))
     ranked
       .select(expr("CAST(round(ln(rank) * 1e6) AS BIGINT)").as("x"),

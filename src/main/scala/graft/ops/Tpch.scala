@@ -1080,6 +1080,12 @@ object Tpch {
         // matches the oracle's epoch_us(CAST(... AS TIMESTAMP))
         max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
         sumDec2(col("o_totalprice")).as("monetary"))
+      // pinned: consumed by the totals rollup, the first rank's range-
+      // partitioner SAMPLING pass, and the range exchange itself — three
+      // executions of the orders scan+agg without the pin (r21 A/B:
+      // 1.50–2.53 s → measured below; shuffle 4.9 → lower, the partial-
+      // agg re-runs disappear). Ranks 2–3 already read rank 1's pin.
+      .materialized
     val totals = base.agg(max("last_us").as("ref_us"),
       count(lit(1)).as("n"))
     val withRec = base.crossJoin(broadcast(totals))
